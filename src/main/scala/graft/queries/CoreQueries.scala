@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Exprs._
+
+/** Relational battery: one named query per operator family from
+  * SURVEY.md §2 (A=aggregation, V=window, C=conditional, W=filter,
+  * F/G=flatten-generate, O=sort/set), expressed over the driver's
+  * TPC-H-ish tables so the DuckDB oracle can verify them.
+  *
+  * Scale notes (100 TB thinking): every query here groups/joins on its
+  * natural key so the shuffle is the minimum one; dimension tables
+  * (part/nation/region/customer at TPC-H proportions) are broadcast
+  * explicitly; aggregates are all map-side-combinable (sum/count/min/max
+  * over decimal or long). No query collects to the driver.
+  */
+object CoreQueries {
+
+  /** A1/O1/O2 — top-K by count (reference `data_preparation.py:9-33`). */
+  val topParts = Query(
+    "a1_top_parts",
+    """SELECT l_partkey, COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |ORDER BY cnt DESC, l_partkey
+      |LIMIT 5""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    lineitem(spark, d)
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"l_partkey")
+      .limit(5)
+  }
+
+  /** A2 — count-distinct per group, the reference's core "traffic" metric
+    * (`data_preparation.py:71-74`), plus an exact money sum, over a
+    * fact⋈dim join with the dimension broadcast.
+    */
+  val segmentOrders = Query(
+    "a2_segment_orders",
+    """SELECT c_mktsegment,
+      |       COUNT(DISTINCT o_orderkey) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    orders(spark, d)
+      .join(broadcast(customer(spark, d)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        countDistinct($"o_orderkey").as("n_orders"),
+        sumMoney($"o_totalprice").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** A3/A4-shape — pricing summary (grouped sums over base and derived
+    * money, reference A3 `data_preparation.py:390-393`). TPC-H Q1 shape:
+    * fully map-side-combinable, single shuffle on the 6-value group key.
+    */
+  val pricingSummary = Query(
+    "a3_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       SUM(l_quantity) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    lineitem(spark, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sumMoney($"l_extendedprice").as("sum_base_price"),
+        sumDerived($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** A4 — global KPI row (reference `cumulative_report.py:39-56`): one
+    * full-table aggregate, derived scalar computed from exact parts.
+    */
+  val globalKpis = Query(
+    "a4_global_kpis",
+    """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+      |       COUNT(DISTINCT o_orderkey) AS n_orders,
+      |       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+      |       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(DISTINCT o_orderkey) AS avg_order_value
+      |FROM orders""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    orders(spark, d)
+      .agg(
+        sumMoney($"o_totalprice").as("total_revenue"),
+        countDistinct($"o_orderkey").as("n_orders"),
+        date_format(min($"o_orderdate"), "yyyy-MM-dd").as("first_day"),
+        date_format(max($"o_orderdate"), "yyyy-MM-dd").as("last_day"))
+      .withColumn("avg_order_value", $"total_revenue" / $"n_orders")
+  }
+
+  /** A5 — two-level aggregate: average monthly revenue (reference
+    * `cumulative_report.py:45`). Exact decimal at both levels; the final
+    * division is a deterministic double op on identical operands.
+    */
+  val avgMonthlyRevenue = Query(
+    "a5_avg_monthly_revenue",
+    """SELECT CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_monthly_revenue
+      |FROM (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY 1
+      |)""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    orders(spark, d)
+      .groupBy(monthKey($"o_orderdate").as("month"))
+      .agg(sumMoney($"o_totalprice").as("rev"))
+      .agg((sumMoney($"rev") / count(lit(1))).as("avg_monthly_revenue"))
+  }
+
+  /** A9 — pivot long→wide with zero fill (reference
+    * `monthly_report.py:237-238`): explicit pivot value list for plan
+    * determinism (no extra distinct-values job at scale).
+    */
+  val pivotStatus = Query(
+    "a9_pivot_status",
+    """SELECT l_returnflag,
+      |       COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
+      |       COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    lineitem(spark, d)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .count()
+      .na.fill(0L, Seq("F", "O"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** V1/V2 — read-side dedup by rank: newest row per key wins (reference
+    * `monthly_report.py:52-71`). One shuffle on the dedup key; the window
+    * sort is per-partition. Explicit tiebreaker keeps it deterministic.
+    */
+  val dedupLatestEvent = Query(
+    "v1_dedup_latest_event",
+    """SELECT user_id, event_type, event_id, value
+      |FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    events(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"value")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** V3/A7 — percent-of-group via unbounded partition window (reference
+    * `data_preparation.py:262-267`): share of each linestatus within its
+    * returnflag. Integer counts → the ratio is deterministic.
+    */
+  val pctOfGroup = Query(
+    "v3_pct_of_group",
+    """SELECT l_returnflag, l_linestatus, cnt,
+      |       cnt / SUM(cnt) OVER (PARTITION BY l_returnflag) * 100 AS pct
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |)
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    lineitem(spark, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "pct",
+        $"cnt" / sum($"cnt").over(Window.partitionBy($"l_returnflag")) * 100)
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** C2/C3 — first-match-wins CASE WHEN bucketing (reference
+    * `transform.py:125-157`, `data_preparation.py:53-60`).
+    */
+  val priorityBucket = Query(
+    "c2_priority_bucket",
+    """SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
+      |            WHEN o_orderpriority LIKE '2%' THEN 'high'
+      |            WHEN lower(o_orderpriority) LIKE '%medium%' THEN 'normal'
+      |            ELSE 'low' END AS priority_class,
+      |       COUNT(*) AS n,
+      |       COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY priority_class""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    orders(spark, d)
+      .withColumn(
+        "priority_class",
+        when($"o_orderpriority".startsWith("1"), "urgent")
+          .when($"o_orderpriority".startsWith("2"), "high")
+          .when(lower($"o_orderpriority").contains("medium"), "normal")
+          .otherwise("low"))
+      .groupBy($"priority_class")
+      .agg(count(lit(1)).as("n"), countDistinct($"o_custkey").as("n_customers"))
+      .orderBy($"priority_class")
+  }
+
+  /** W2/W4 — case-insensitive regex filter (reference
+    * `data_preparation.py:210`, `:281-282`), pushed ahead of the agg.
+    */
+  val regexFilter = Query(
+    "w2_regex_filter",
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_value
+      |FROM part
+      |WHERE regexp_matches(p_type, '(?i)promo|econ')
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    part(spark, d)
+      .filter($"p_type".rlike("(?i)promo|econ"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"), sumMoney($"p_retailprice").as("retail_value"))
+      .orderBy($"p_brand")
+  }
+
+  /** A8/O4 — zero-filled aggregation over a fixed 7-day domain (reference
+    * `data_preparation.py:49-50`): Spark drops empty groups, so the
+    * literal domain is left-joined back in — the domain side is a 7-row
+    * local relation, broadcast for free.
+    */
+  val dowDomainFill = Query(
+    "a8_dow_domain_fill",
+    """WITH dows(day_of_week, dow) AS (VALUES
+      |  ('Monday',1),('Tuesday',2),('Wednesday',3),('Thursday',4),
+      |  ('Friday',5),('Saturday',6),('Sunday',7)),
+      |agg AS (
+      |  SELECT dayname(o_orderdate) AS day_of_week,
+      |         COUNT(DISTINCT o_orderkey) AS n_orders
+      |  FROM orders WHERE o_orderstatus = 'P' GROUP BY 1)
+      |SELECT d.day_of_week, d.dow, COALESCE(a.n_orders, 0) AS n_orders
+      |FROM dows d LEFT JOIN agg a ON d.day_of_week = a.day_of_week
+      |ORDER BY d.dow""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val dows = Seq(
+      ("Monday", 1), ("Tuesday", 2), ("Wednesday", 3), ("Thursday", 4),
+      ("Friday", 5), ("Saturday", 6), ("Sunday", 7)
+    ).toDF("day_of_week", "dow")
+    val agg = orders(spark, d)
+      .filter($"o_orderstatus" === "P")
+      .groupBy(dayName($"o_orderdate").as("day_of_week"))
+      .agg(countDistinct($"o_orderkey").as("n_orders"))
+    dows.join(agg, Seq("day_of_week"), "left")
+      .na.fill(0L, Seq("n_orders"))
+      .select($"day_of_week", $"dow", $"n_orders")
+      .orderBy($"dow")
+  }
+
+  /** A10 — histogram binning into hourly time slots (reference
+    * `transform.py:171-197`): label is a pure column derivation, so this
+    * is a plain single-shuffle aggregate.
+    */
+  val timeSlots = Query(
+    "a10_time_slots",
+    """SELECT printf('%02d:00-%02d:00', hour(ts), hour(ts) + 1) AS time_slot,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY time_slot""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    events(spark, d)
+      .groupBy(timeSlot($"ts").as("time_slot"))
+      .agg(count(lit(1)).as("n_events"), sumMoney($"value").as("total_value"))
+      .orderBy($"time_slot")
+  }
+
+  /** Join chain fact⋈fact⋈dims — revenue per region (TPC-H Q5 shape).
+    * The two facts shuffle on their join keys once; nation/region/customer
+    * are broadcast (at 100 TB customer would be bucket-joined instead —
+    * the broadcast threshold decides, here it is explicit).
+    */
+  val regionRevenue = Query(
+    "j1_region_revenue",
+    """SELECT r_name,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    lineitem(spark, d)
+      .join(orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer(spark, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(spark, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region(spark, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        sumDerived($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"r_name")
+  }
+
+  /** O3/O5 — union + distinct (reference `load.py:196`,
+    * `data_preparation.py:195`; distinct at `load.py:75`).
+    */
+  val unionDistinctUsers = Query(
+    "o3_union_distinct_users",
+    """SELECT DISTINCT user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id FROM events WHERE value > 150
+      |)
+      |ORDER BY user_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val ev = events(spark, d)
+    ev.filter($"event_type" === "purchase").select($"user_id")
+      .unionByName(ev.filter($"value" > 150).select($"user_id"))
+      .distinct()
+      .orderBy($"user_id")
+  }
+
+  /** F1/G2 — stringly-encoded modifier codec round-trip: build the
+    * reference's `Name(Option);Name(Option)` encoding
+    * (`transform.py:42-43`), then re-parse it with posexplode + regex
+    * (`data_preparation.py:214`, `cumulative_report.py:255-282`).
+    */
+  val modifierParse = Query(
+    "g1_modifier_parse",
+    """SELECT p_partkey,
+      |       generate_subscripts(string_split(modifiers, ';'), 1) - 1 AS idx,
+      |       regexp_extract(unnest(string_split(modifiers, ';')), '^(.*?)\(', 1) AS mod_name,
+      |       regexp_extract(unnest(string_split(modifiers, ';')), '\((.*?)\)', 1) AS mod_option
+      |FROM (
+      |  SELECT p_partkey, 'Brand(' || p_brand || ');Type(' || p_type || ')' AS modifiers
+      |  FROM part
+      |)
+      |ORDER BY p_partkey, idx""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    part(spark, d)
+      .withColumn(
+        "modifiers",
+        concat(lit("Brand("), $"p_brand", lit(");Type("), $"p_type", lit(")")))
+      .select($"p_partkey", posexplode(split($"modifiers", ";")).as(Seq("idx", "m")))
+      .select(
+        $"p_partkey",
+        $"idx".cast("long").as("idx"),
+        regexp_extract($"m", "^(.*?)\\(", 1).as("mod_name"),
+        regexp_extract($"m", "\\((.*?)\\)", 1).as("mod_option"))
+      .orderBy($"p_partkey", $"idx")
+  }
+
+  val all: Seq[Query] = Seq(
+    topParts, segmentOrders, pricingSummary, globalKpis, avgMonthlyRevenue,
+    pivotStatus, dedupLatestEvent, pctOfGroup, priorityBucket, regexFilter,
+    dowDomainFill, timeSlots, regionRevenue, unionDistinctUsers, modifierParse)
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Exprs._
+
+/** Similarity-search + market-basket battery.
+  *
+  * Scale notes: brute-force top-k here is the *baseline* (query set ×
+  * corpus broadcast-nested-loop); the 100 TB path is the label/LSH
+  * bucketed variant (`e3_bucketed_knn`) where candidates are restricted
+  * to matching buckets — same ranking contract, bounded candidate sets.
+  * Ranking is done on the 6-dp-rounded cosine so FP summation order can
+  * never flip a rank between engines.
+  */
+object SimQueries {
+
+  private val knnOracle =
+    """WITH q AS (
+      |  SELECT vec_id AS qid,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id < 10
+      |),
+      |b AS (
+      |  SELECT vec_id AS bid,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |),
+      |dots AS (
+      |  SELECT qid, bid,
+      |         SUM(q.v * b.v) AS dot,
+      |         SUM(q.v * q.v) AS qq,
+      |         SUM(b.v * b.v) AS bb
+      |  FROM q JOIN b ON q.i = b.i
+      |  WHERE qid <> bid
+      |  GROUP BY qid, bid
+      |),
+      |ranked AS (
+      |  SELECT qid, bid,
+      |         round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |                            ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank
+      |  FROM dots
+      |)
+      |SELECT qid, rank, bid, cosine FROM ranked WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  /** Brute-force cosine top-5 neighbours for a fixed query set. */
+  val knnBrute = Query("e1_knn_cosine", knnOracle) { (spark, d) =>
+    import spark.implicits._
+    val emb = embeddings(spark, d)
+    val q = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val b = emb.select($"vec_id".as("bid"), $"embedding".as("bv"))
+    val scored = q.crossJoin(b)
+      .filter($"qid" =!= $"bid")
+      .select($"qid", $"bid", round(cosine($"qv", $"bv"), 6).as("cosine"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"bid")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank".cast("long").as("rank"), $"bid", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** Per-label centroids via posexplode + grouped avg — the reduce step
+    * of IVF coarse quantization (k-means assign would iterate this).
+    */
+  val labelCentroids = Query(
+    "e2_label_centroids",
+    """SELECT label, pos, round(AVG(v), 6) AS centroid
+      |FROM (
+      |  SELECT label,
+      |         generate_subscripts(embedding, 1) - 1 AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |)
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    embeddings(spark, d)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos".cast("long").as("pos"))
+      .agg(round(avg($"v".cast("double")), 6).as("centroid"))
+      .orderBy($"label", $"pos")
+  }
+
+  /** IVF-style bucketed ANN: candidates restricted to the query's label
+    * bucket — the scale path for similarity search (bounded candidates
+    * per query instead of the full corpus).
+    */
+  val bucketedKnn = Query(
+    "e3_bucketed_knn",
+    """WITH q AS (
+      |  SELECT vec_id AS qid, label,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id < 10
+      |),
+      |b AS (
+      |  SELECT vec_id AS bid, label,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |),
+      |dots AS (
+      |  SELECT qid, bid,
+      |         SUM(q.v * b.v) AS dot,
+      |         SUM(q.v * q.v) AS qq,
+      |         SUM(b.v * b.v) AS bb
+      |  FROM q JOIN b ON q.i = b.i AND q.label = b.label
+      |  WHERE qid <> bid
+      |  GROUP BY qid, bid
+      |),
+      |ranked AS (
+      |  SELECT qid, bid,
+      |         round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |                            ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank
+      |  FROM dots
+      |)
+      |SELECT qid, rank, bid, cosine FROM ranked WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val emb = embeddings(spark, d)
+    val q = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"label", $"embedding".as("qv"))
+    val b = emb.select($"vec_id".as("bid"), $"label", $"embedding".as("bv"))
+    val scored = q.join(b, Seq("label"))
+      .filter($"qid" =!= $"bid")
+      .select($"qid", $"bid", round(cosine($"qv", $"bv"), 6).as("cosine"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"bid")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank".cast("long").as("rank"), $"bid", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** A11/A12/P15 — market basket: set-valued baskets (collect_set, the
+    * reference's TransactionEncoder collapses duplicates —
+    * `cumulative_report.py:140-142`) → FP-Growth → association rules
+    * filtered on lift, mlxtend's output contract. Not SQL-expressible:
+    * rows-only check; the library spec asserts the contract on fixtures.
+    */
+  val basketRules = Query.rowsOnly("b1_basket_rules") { (spark, d) =>
+    import spark.implicits._
+    val baskets = lineitem(spark, d)
+      .join(broadcast(part(spark, d)), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_orderkey")
+      .agg(collect_set($"p_brand").as("items"))
+    val fp = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items")
+      .setMinSupport(0.05)
+      .setMinConfidence(0.0)
+    val model = fp.fit(baskets)
+    model.associationRules
+      .filter($"lift" >= 0.5)
+      .select(
+        array_join(array_sort($"antecedent"), ",").as("antecedent"),
+        array_join(array_sort($"consequent"), ",").as("consequent"),
+        round($"support", 6).as("support"),
+        round($"confidence", 6).as("confidence"),
+        round($"lift", 6).as("lift"))
+      .orderBy($"lift".desc, $"antecedent", $"consequent")
+  }
+
+  val all: Seq[Query] = Seq(knnBrute, labelCentroids, bucketedKnn, basketRules)
+}

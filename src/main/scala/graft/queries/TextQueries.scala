@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Exprs._
+
+/** Text-analysis / dedup battery over the `documents` table — the
+  * training-data-pipeline operators (token counting, quality scoring,
+  * language heuristics, fingerprinting, exact + n-gram near-dup).
+  *
+  * Scale notes: every per-document derivation is a narrow map (no
+  * shuffle); dedup shuffles once on the fingerprint / shingle key. The
+  * n-gram pair join is blocked by `source` so candidate pairs stay
+  * bounded — the same blocking idea MinHash-LSH uses with band buckets.
+  */
+object TextQueries {
+
+  /** Token / char statistics per document — pure narrow projection. */
+  val tokenStats = Query(
+    "t1_token_stats",
+    """SELECT doc_id, lang, n_chars,
+      |       length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+      |       length(replace(text, ' ', '')) / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    documents(spark, d)
+      .select(
+        $"doc_id", $"lang", $"n_chars",
+        tokenCount($"text").as("n_tokens"),
+        (length(translate($"text", " ", "")).cast("long") / tokenCount($"text"))
+          .as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: stopword ratio + length gate (reference-style
+    * heuristics; all integer-derived so the ratios are exact).
+    */
+  val qualityScore = Query(
+    "t2_quality_score",
+    """SELECT doc_id,
+      |       length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+      |       len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stopwords,
+      |       len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |         / (length(text) - length(replace(text, ' ', '')) + 1) AS stopword_ratio,
+      |       CAST(CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) >= 30
+      |                 AND len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |                     / (length(text) - length(replace(text, ' ', '')) + 1) < 0.2
+      |            THEN 1 ELSE 0 END AS BIGINT) AS passes_quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val nStop = size(filter(split($"text", " "), x => x === "the" || x === "a")).cast("long")
+    val nTok = tokenCount($"text")
+    documents(spark, d)
+      .select(
+        $"doc_id",
+        nTok.as("n_tokens"),
+        nStop.as("n_stopwords"),
+        (nStop / nTok).as("stopword_ratio"),
+        when(nTok >= 30 && nStop / nTok < 0.2, 1L).otherwise(0L).as("passes_quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint + exact dedup: md5 over normalized text; the
+    * canonical id is the min doc_id in each fingerprint group (window
+    * min, one shuffle on the fingerprint).
+    */
+  val exactDedup = Query(
+    "t3_exact_dedup",
+    """SELECT doc_id, fp, canonical_id,
+      |       CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+      |FROM (
+      |  SELECT doc_id, md5(lower(text)) AS fp,
+      |         MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    documents(spark, d)
+      .withColumn("fp", md5(lower($"text")))
+      .withColumn("canonical_id", min($"doc_id").over(Window.partitionBy($"fp")))
+      .select(
+        $"doc_id", $"fp", $"canonical_id",
+        when($"doc_id" === $"canonical_id", 1L).otherwise(0L).as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  /** N-gram (word 3-shingle) Jaccard near-dup pairs, blocked by source:
+    * explode distinct shingles, self-join on (block, shingle), count
+    * intersections, Jaccard from exact integer sizes. At 100 TB the
+    * block key would be an LSH band bucket instead of `source` — the
+    * join/agg shape is identical.
+    */
+  val ngramJaccard = Query(
+    "t4_ngram_jaccard",
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3
+      |),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, n_common,
+      |       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val sh = documents(spark, d)
+      .select($"doc_id", $"source", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", $"source", explode(wordShingles($"toks", 3)).as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select($"doc_id".as("doc_a"), $"source", $"sh")
+    val b = sh.select($"doc_id".as("doc_b"), $"source", $"sh")
+    val inter = a.join(b, Seq("source", "sh"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+      .select(
+        $"doc_a", $"doc_b", $"n_common",
+        ($"n_common" / ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Language-ID heuristic profile: per metadata lang, how the English
+    * stopword heuristic scores (aggregate of exact ratios via decimal).
+    */
+  val langProfile = Query(
+    "t5_lang_profile",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(CAST(
+      |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |           / (length(text) - length(replace(text, ' ', '')) + 1)
+      |         AS DECIMAL(18,6))) AS DOUBLE) AS sum_stop_ratio
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val nStop = size(filter(split($"text", " "), x => x === "the" || x === "a")).cast("long")
+    val ratio = nStop / tokenCount($"text")
+    documents(spark, d)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sumDerived(ratio).as("sum_stop_ratio"))
+      .orderBy($"lang")
+  }
+
+  val all: Seq[Query] = Seq(tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile)
+}
