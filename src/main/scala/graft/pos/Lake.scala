@@ -1,0 +1,85 @@
+package graft.pos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K4/K5 — the partitioned parquet lake (reference `etl/load.py:52-224`).
+  *
+  * Layout: Hive-style `year=YYYY/month=MM` derived from `shifted_time` —
+  * partition pruning makes the monthly report's two-partition read free
+  * (reference relies on Athena for the same).
+  *
+  * Write modes mirror the reference exactly (SURVEY §2.2 K5):
+  *   - [[writeFull]]       — K4 full overwrite (historical load).
+  *   - [[appendIncrement]] — K5's ACTUAL behavior: append-only new rows,
+  *     duplicates tolerated, exactly-once restored read-side by
+  *     [[Analytics.dedupLatest]] (V1).
+  *   - [[compactTo]]       — K5's INTENDED behavior as a maintenance job:
+  *     dedup + rewrite with dynamic partition overwrite.
+  *
+  * At scale: `partitionBy(year, month)` gives writers one directory per
+  * month; per-month file count follows the shuffle partitioning, so a
+  * repartition on the partition keys precedes the write to avoid the
+  * many-small-files explosion (each of N tasks writing M months).
+  */
+object Lake {
+
+  def withPartitionKeys(df: DataFrame): DataFrame =
+    df.withColumn("year", date_format(col("shifted_time"), "yyyy"))
+      .withColumn("month", date_format(col("shifted_time"), "MM"))
+
+  private def prepared(df: DataFrame): DataFrame = {
+    val cols = Schemas.curatedColumns.map(col) ++ Schemas.partitionKeys.map(col)
+    withPartitionKeys(df)
+      .select(cols: _*)
+      // One writer task per month-partition (reference writes one
+      // data.parquet per month, load.py:99-103); at 100 TB this becomes
+      // repartition(year, month, <salt>) to bound file size instead.
+      .repartition(col("year"), col("month"))
+  }
+
+  /** K4 — schema-enforced full write, one directory per month. */
+  def writeFull(df: DataFrame, root: String): Unit =
+    prepared(df).write
+      .partitionBy(Schemas.partitionKeys: _*)
+      .mode("overwrite")
+      .parquet(root)
+
+  /** K5(a) — append-only incremental: writes ONLY the new rows
+    * (reference `load.py:223` writes `monthly_data_to_add`, not the
+    * merged frame); the lake stays at-least-once and V1 dedups on read.
+    */
+  def appendIncrement(newRows: DataFrame, root: String): Unit =
+    prepared(newRows).write
+      .partitionBy(Schemas.partitionKeys: _*)
+      .mode("append")
+      .parquet(root)
+
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root)
+
+  /** Deduplicated view of the lake — V1 window, newest wins. */
+  def dedupView(spark: SparkSession, root: String): DataFrame =
+    Analytics.dedupLatest(read(spark, root))
+
+  /** K5(b) — compaction: rewrite only the months present in the source,
+    * deduplicated, via dynamic partition overwrite.
+    */
+  def compactTo(spark: SparkSession, sourceRoot: String, targetRoot: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Analytics.dedupLatest(read(spark, sourceRoot))
+        .repartition(col("year"), col("month"))
+        .write
+        .partitionBy(Schemas.partitionKeys: _*)
+        .mode("overwrite")
+        .parquet(targetRoot)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+}

@@ -1,0 +1,455 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.pos.{Analytics, ComboChoices, ComboExplode, MarketBasket}
+
+/** P1–P19 driver-gate battery: the POS engine's report relations
+  * (graft.pos.Analytics & co.) exercised over a deterministic "posified"
+  * view of the TPC-H tables, each with a DuckDB oracle that restates the
+  * reference semantics in SQL.
+  *
+  * The posified curated table synthesizes the POS schema from
+  * lineitem⋈orders⋈part: string receipt keys, hour-spread shifted_time,
+  * order_type strings that exercise every C1/C3 rule (including the
+  * case-sensitivity split), item names hitting the burger/beverage/combo
+  * filters, and positional combo modifier strings. Prices are floor()ed
+  * to integer-valued doubles so every sum/avg is exact in any execution
+  * order — the oracle can hash-compare without decimal plumbing.
+  */
+object PosQueries {
+
+  /** Shared CTE for every oracle: MUST stay in lockstep with [[posify]]. */
+  private val posCte =
+    """WITH pos AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS receipt_number,
+      |         o_orderdate + to_hours(l_orderkey % 24)
+      |                     + to_minutes((l_linenumber * 7) % 60) AS shifted_time,
+      |         CASE l_orderkey % 5
+      |           WHEN 0 THEN 'Mesa 01' WHEN 1 THEN 'Mesa 2 - terraza'
+      |           WHEN 2 THEN 'a domicilio rappi' WHEN 3 THEN 'Para Llevar'
+      |           ELSE 'desconocido' END AS order_type,
+      |         CASE l_partkey % 6
+      |           WHEN 0 THEN 'Smash Burger' WHEN 1 THEN 'Chicken Burger'
+      |           WHEN 2 THEN 'Refresco Coca' WHEN 3 THEN 'Malteada Chocolate'
+      |           WHEN 4 THEN 'Agua natural embotellada'
+      |           ELSE 'Combo Pa Dos' END AS item_name,
+      |         CASE WHEN l_partkey % 6 = 5 THEN
+      |           'Hamburguesa 1(Hamburguesa Smash 1);Hamburguesa 2(Hamburguesa Chiken 2);Mayonesa(Ajo);Mayonesa(Chipotle);Refresco Sabor(Agua Natural)'
+      |         ELSE
+      |           CASE l_partkey % 4
+      |             WHEN 0 THEN 'Mayonesa(Ajo)' WHEN 1 THEN 'Mayonesa(Sin Mayonesa 2)'
+      |             WHEN 2 THEN 'Mayonesa(Chipotle)' ELSE NULL END
+      |         END AS modifiers,
+      |         floor(l_extendedprice) AS price,
+      |         floor(l_extendedprice / 2) AS cost,
+      |         floor(l_extendedprice) AS total_money
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |)""".stripMargin
+
+  /** Reference C3 category CASE (case-insensitive mesa variant) in SQL. */
+  private val catCi =
+    """CASE WHEN order_type IS NULL THEN 'Otro'
+      |     WHEN lower(order_type) LIKE '%mesa%' THEN 'Restaurante'
+      |     WHEN lower(order_type) LIKE '%domicilio%' THEN 'A domicilio'
+      |     WHEN lower(order_type) LIKE '%llevar%' THEN 'Para llevar'
+      |     ELSE 'Otro' END""".stripMargin
+
+  /** Case-SENSITIVE Mesa variant (reference `data_preparation.py:355-364`). */
+  private val catCs =
+    """CASE WHEN order_type IS NULL THEN 'Otro'
+      |     WHEN order_type LIKE '%Mesa%' THEN 'Restaurante'
+      |     WHEN lower(order_type) LIKE '%domicilio%' THEN 'A domicilio'
+      |     WHEN lower(order_type) LIKE '%llevar%' THEN 'Para llevar'
+      |     ELSE 'Otro' END""".stripMargin
+
+  /** The posified curated view — Spark side of [[posCte]]. */
+  def posify(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val comboMods =
+      "Hamburguesa 1(Hamburguesa Smash 1);Hamburguesa 2(Hamburguesa Chiken 2);" +
+        "Mayonesa(Ajo);Mayonesa(Chipotle);Refresco Sabor(Agua Natural)"
+    lineitem(spark, d)
+      .join(orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(part(spark, d)), $"l_partkey" === $"p_partkey")
+      .select(
+        $"o_orderkey".cast("string").as("receipt_number"),
+        ($"o_orderdate" + expr(
+          "make_interval(0, 0, 0, 0, CAST(l_orderkey % 24 AS INT), CAST((l_linenumber * 7) % 60 AS INT), 0)"))
+          .as("shifted_time"),
+        when($"l_orderkey" % 5 === 0, "Mesa 01")
+          .when($"l_orderkey" % 5 === 1, "Mesa 2 - terraza")
+          .when($"l_orderkey" % 5 === 2, "a domicilio rappi")
+          .when($"l_orderkey" % 5 === 3, "Para Llevar")
+          .otherwise("desconocido").as("order_type"),
+        when($"l_partkey" % 6 === 0, "Smash Burger")
+          .when($"l_partkey" % 6 === 1, "Chicken Burger")
+          .when($"l_partkey" % 6 === 2, "Refresco Coca")
+          .when($"l_partkey" % 6 === 3, "Malteada Chocolate")
+          .when($"l_partkey" % 6 === 4, "Agua natural embotellada")
+          .otherwise("Combo Pa Dos").as("item_name"),
+        when($"l_partkey" % 6 === 5, comboMods)
+          .otherwise(
+            when($"l_partkey" % 4 === 0, "Mayonesa(Ajo)")
+              .when($"l_partkey" % 4 === 1, "Mayonesa(Sin Mayonesa 2)")
+              .when($"l_partkey" % 4 === 2, "Mayonesa(Chipotle)")
+              .otherwise(lit(null: String))).as("modifiers"),
+        floor($"l_extendedprice").cast("double").as("price"),
+        floor($"l_extendedprice" / 2).cast("double").as("cost"),
+        floor($"l_extendedprice").cast("double").as("total_money"))
+  }
+
+  val p01 = Query(
+    "p01_top_products",
+    s"""$posCte
+       |SELECT item_name, COUNT(*) AS items_sold
+       |FROM pos GROUP BY item_name
+       |ORDER BY items_sold DESC, item_name
+       |LIMIT 5""".stripMargin) { (spark, d) =>
+    Analytics.topProducts(posify(spark, d), 5)
+  }
+
+  val p02 = Query(
+    "p02_sales_by_day_comparison",
+    s"""$posCte,
+       |prepared AS (
+       |  SELECT strftime(shifted_time, '%Y-%m') AS month,
+       |         dayname(shifted_time) AS day_of_week,
+       |         $catCi AS order_category,
+       |         receipt_number
+       |  FROM pos
+       |),
+       |dows(day_of_week, ord) AS (VALUES ('Tuesday',1),('Wednesday',2),('Thursday',3),
+       |  ('Friday',4),('Saturday',5),('Sunday',6)),
+       |agg AS (
+       |  SELECT month, day_of_week, order_category,
+       |         COUNT(DISTINCT receipt_number) AS count
+       |  FROM prepared GROUP BY 1, 2, 3
+       |)
+       |SELECT m.month, d.day_of_week, c.order_category, COALESCE(a.count, 0) AS count
+       |FROM dows d
+       |CROSS JOIN (SELECT DISTINCT month FROM agg) m
+       |CROSS JOIN (SELECT DISTINCT order_category FROM agg) c
+       |LEFT JOIN agg a ON a.month = m.month AND a.day_of_week = d.day_of_week
+       |  AND a.order_category = c.order_category
+       |ORDER BY m.month, d.ord, c.order_category""".stripMargin) { (spark, d) =>
+    Analytics.salesByDayComparison(posify(spark, d))
+  }
+
+  val p05 = Query(
+    "p05_mayo_by_month",
+    s"""$posCte
+       |SELECT strftime(shifted_time, '%Y-%m') AS month, item_name,
+       |       CASE WHEN lower(regexp_extract(modifiers, 'Mayonesa\\((.*?)\\)', 1))
+       |                 LIKE '%sin mayonesa%' THEN 'Natural'
+       |            ELSE regexp_extract(modifiers, 'Mayonesa\\((.*?)\\)', 1) END AS mayo_type,
+       |       COUNT(*) AS count
+       |FROM pos
+       |WHERE regexp_matches(item_name, '(?i)Burger|Smash')
+       |  AND regexp_matches(modifiers, '(?i)Mayonesa')
+       |GROUP BY 1, 2, 3
+       |ORDER BY month, item_name, mayo_type""".stripMargin) { (spark, d) =>
+    Analytics.mayoDistributionByMonth(posify(spark, d))
+      .orderBy(col("month"), col("item_name"), col("mayo_type"))
+  }
+
+  val p06 = Query(
+    "p06_mayo_pct",
+    s"""$posCte,
+       |counts AS (
+       |  SELECT item_name,
+       |         regexp_extract(modifiers, 'Mayonesa\\((.*?)\\)', 1) AS mayo_type,
+       |         COUNT(*) AS count
+       |  FROM pos
+       |  WHERE regexp_matches(item_name, '(?i)Burger|Smash')
+       |    AND regexp_matches(modifiers, '(?i)Mayonesa')
+       |  GROUP BY 1, 2
+       |)
+       |SELECT item_name, mayo_type, count,
+       |       count / SUM(count) OVER (PARTITION BY item_name) * 100 AS percentage
+       |FROM counts
+       |ORDER BY item_name, mayo_type""".stripMargin) { (spark, d) =>
+    Analytics.mayoPctAndCounts(posify(spark, d))
+      .orderBy(col("item_name"), col("mayo_type"))
+  }
+
+  private val bevStandardize =
+    """CASE WHEN lower(item_name) LIKE '%mineral%' THEN 'Agua Mineral'
+      |     WHEN lower(item_name) LIKE '%natural%' OR lower(item_name) LIKE '%embotellada%'
+      |       THEN 'Agua Embotellada'
+      |     ELSE item_name END""".stripMargin
+
+  private val bevCategory =
+    """CASE WHEN lower(item_name) LIKE '%malteada%' THEN 'Malteadas'
+      |     WHEN lower(item_name) LIKE '%agua%' THEN 'Aguas'
+      |     ELSE 'Refrescos' END""".stripMargin
+
+  val p07 = Query(
+    "p07_beverage_distribution",
+    s"""$posCte,
+       |counts AS (
+       |  SELECT $bevCategory AS category, item_name, COUNT(*) AS count
+       |  FROM pos
+       |  WHERE regexp_matches(item_name, '(?i)Refresco|Malteada|Coca|Squirt|Agua|Manzanita')
+       |  GROUP BY 1, 2
+       |)
+       |SELECT category, item_name, count,
+       |       count / SUM(count) OVER (PARTITION BY category) * 100 AS percentage
+       |FROM counts
+       |ORDER BY category, item_name""".stripMargin) { (spark, d) =>
+    Analytics.beverageDistribution(posify(spark, d))
+      .orderBy(col("category"), col("item_name"))
+  }
+
+  val p08 = Query(
+    "p08_beverage_by_month",
+    s"""$posCte,
+       |std AS (
+       |  SELECT strftime(shifted_time, '%Y-%m') AS month,
+       |         $bevStandardize AS item_name
+       |  FROM pos
+       |  WHERE regexp_matches(item_name, '(?i)Refresco|Malteada|Coca|Squirt|Agua|Manzanita')
+       |)
+       |SELECT month, $bevCategory AS category, item_name, COUNT(*) AS count
+       |FROM std
+       |GROUP BY 1, 2, 3
+       |ORDER BY month, category, item_name""".stripMargin) { (spark, d) =>
+    Analytics.beverageDistributionByMonth(posify(spark, d))
+      .orderBy(col("month"), col("category"), col("item_name"))
+  }
+
+  val p09 = Query(
+    "p09_sales_by_day_of_week",
+    s"""$posCte,
+       |prepared AS (
+       |  SELECT dayname(shifted_time) AS day_of_week,
+       |         $catCs AS order_category,
+       |         receipt_number
+       |  FROM pos
+       |),
+       |dows(day_of_week, ord) AS (VALUES ('Monday',0),('Tuesday',1),('Wednesday',2),
+       |  ('Thursday',3),('Friday',4),('Saturday',5),('Sunday',6)),
+       |agg AS (
+       |  SELECT day_of_week, order_category, COUNT(DISTINCT receipt_number) AS count
+       |  FROM prepared GROUP BY 1, 2
+       |)
+       |SELECT d.day_of_week, c.order_category, COALESCE(a.count, 0) AS count
+       |FROM dows d
+       |CROSS JOIN (SELECT DISTINCT order_category FROM agg) c
+       |LEFT JOIN agg a ON a.day_of_week = d.day_of_week AND a.order_category = c.order_category
+       |ORDER BY d.ord, c.order_category""".stripMargin) { (spark, d) =>
+    Analytics.salesByDayOfWeek(posify(spark, d))._2
+  }
+
+  val p10 = Query(
+    "p10_daily_sales_metrics",
+    s"""$posCte
+       |SELECT strftime(CAST(shifted_time AS DATE), '%Y-%m-%d') AS date,
+       |       SUM(price) AS total_sales,
+       |       COUNT(DISTINCT receipt_number) AS unique_receipts
+       |FROM pos
+       |GROUP BY 1
+       |ORDER BY date""".stripMargin) { (spark, d) =>
+    Analytics.dailySalesMetrics(posify(spark, d))
+      .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))
+  }
+
+  val p11 = Query(
+    "p11_daily_sales_comparison",
+    s"""$posCte
+       |SELECT strftime(shifted_time, '%Y-%m') AS month,
+       |       CAST(day(shifted_time) AS INT) AS day_of_month,
+       |       SUM(price) AS total_sales,
+       |       COUNT(DISTINCT receipt_number) AS unique_receipts
+       |FROM pos
+       |GROUP BY 1, 2
+       |ORDER BY month, day_of_month""".stripMargin) { (spark, d) =>
+    Analytics.dailySalesComparison(posify(spark, d))
+  }
+
+  val p12 = Query(
+    "p12_cumulative_kpis",
+    s"""$posCte
+       |SELECT SUM(total_money) AS total_revenue,
+       |       COUNT(DISTINCT receipt_number) AS total_receipts,
+       |       strftime(MIN(shifted_time), '%Y-%m-%d') AS first_sale_date,
+       |       strftime(MAX(shifted_time), '%Y-%m-%d') AS last_sale_date,
+       |       SUM(total_money) / COUNT(DISTINCT receipt_number) AS average_receipt_value,
+       |       (SELECT AVG(rev) FROM (
+       |          SELECT SUM(total_money) AS rev FROM pos
+       |          GROUP BY strftime(shifted_time, '%Y-%m'))) AS average_monthly_revenue
+       |FROM pos""".stripMargin) { (spark, d) =>
+    Analytics.cumulativeKpis(posify(spark, d))
+      .select(
+        col("total_revenue"), col("total_receipts"), col("first_sale_date"),
+        col("last_sale_date"), col("average_receipt_value"), col("average_monthly_revenue"))
+  }
+
+  val p13 = Query(
+    "p13_weekday_vs_weekend",
+    s"""$posCte
+       |SELECT CASE WHEN isodow(shifted_time) >= 5 THEN 'Weekend' ELSE 'Weekday' END
+       |         AS period_type,
+       |       SUM(price) AS total_revenue,
+       |       COUNT(DISTINCT receipt_number) AS total_receipts,
+       |       SUM(price) / COUNT(DISTINCT receipt_number) AS avg_sale_per_receipt
+       |FROM pos
+       |GROUP BY 1
+       |ORDER BY period_type""".stripMargin) { (spark, d) =>
+    Analytics.weekdayVsWeekend(posify(spark, d))
+  }
+
+  val p14 = Query(
+    "p14_hourly_heatmap",
+    s"""$posCte,
+       |agg AS (
+       |  SELECT dayname(shifted_time) AS day_of_week, hour(shifted_time) AS h,
+       |         COUNT(DISTINCT receipt_number) AS n
+       |  FROM pos GROUP BY 1, 2
+       |),
+       |dows(day_of_week, ord) AS (VALUES ('Monday',0),('Tuesday',1),('Wednesday',2),
+       |  ('Thursday',3),('Friday',4),('Saturday',5),('Sunday',6))
+       |SELECT d.day_of_week,
+       |${(0 to 23).map(h => s"       COALESCE(MAX(CASE WHEN a.h = $h THEN a.n END), 0) AS \"$h\"")
+            .mkString(",\n")}
+       |FROM dows d LEFT JOIN agg a ON a.day_of_week = d.day_of_week
+       |GROUP BY d.day_of_week, d.ord
+       |ORDER BY d.ord""".stripMargin) { (spark, d) =>
+    Analytics.hourlyTrafficHeatmap(posify(spark, d))
+  }
+
+  val p16 = Query(
+    "p16_combo_choices",
+    s"""$posCte,
+       |parts AS (
+       |  SELECT item_name AS combo_name, unnest(string_split(modifiers, ';')) AS part
+       |  FROM pos
+       |  WHERE lower(item_name) LIKE '%combo%' AND modifiers IS NOT NULL
+       |),
+       |choices AS (
+       |  SELECT combo_name,
+       |         CASE WHEN lower(trim(regexp_extract(part, '\\((.*?)\\)', 1))) LIKE '%smash%'
+       |                THEN 'Smash Burger'
+       |              WHEN lower(trim(regexp_extract(part, '\\((.*?)\\)', 1))) LIKE '%chiken%'
+       |                OR lower(trim(regexp_extract(part, '\\((.*?)\\)', 1))) LIKE '%chicken%'
+       |                THEN 'Chicken Burger'
+       |              WHEN lower(trim(regexp_extract(part, '\\((.*?)\\)', 1))) LIKE '%coca%'
+       |                THEN 'Coca-Cola'
+       |              ELSE trim(regexp_extract(part, '\\((.*?)\\)', 1)) END AS choice
+       |  FROM parts
+       |  WHERE (lower(string_split(part, '(')[1]) LIKE '%hamburguesa%'
+       |      OR lower(string_split(part, '(')[1]) LIKE '%refresco%'
+       |      OR lower(string_split(part, '(')[1]) LIKE '%papas%'
+       |      OR lower(string_split(part, '(')[1]) LIKE '%malteada%')
+       |    AND regexp_matches(part, '\\((.*?)\\)')
+       |)
+       |SELECT combo_name, choice, COUNT(*) AS count
+       |FROM choices
+       |GROUP BY 1, 2
+       |ORDER BY combo_name, choice""".stripMargin) { (spark, d) =>
+    ComboChoices.comboChoiceCounts(posify(spark, d))
+      .orderBy(col("combo_name"), col("choice"))
+  }
+
+  /** P4/G1 — combo explosion through the flatMap generator, aggregated
+    * compactly. The oracle restates the expected parse of the (fixed)
+    * combo modifier string as a UNION.
+    */
+  val p04 = Query(
+    "p04_explode_combos",
+    s"""$posCte,
+       |exploded AS (
+       |  SELECT item_name, price FROM pos WHERE NOT lower(item_name) LIKE '%combo%'
+       |  UNION ALL
+       |  SELECT u.gen_name AS item_name, 0 AS price
+       |  FROM pos
+       |  CROSS JOIN (VALUES ('Smash Burger'), ('Chicken Burger'), ('Agua Natural')) u(gen_name)
+       |  WHERE lower(item_name) LIKE '%combo%' AND modifiers IS NOT NULL
+       |)
+       |SELECT item_name, COUNT(*) AS n_rows, SUM(price) AS total_price
+       |FROM exploded
+       |GROUP BY item_name
+       |ORDER BY item_name""".stripMargin) { (spark, d) =>
+    ComboExplode.explodeComboItems(posify(spark, d))
+      .groupBy(col("item_name"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total_price"))
+      .orderBy(col("item_name"))
+  }
+
+  val p17 = Query(
+    "p17_monthly_trend",
+    s"""$posCte
+       |SELECT strftime(shifted_time, '%Y-%m') AS month,
+       |       SUM(total_money) AS total_sales
+       |FROM pos
+       |GROUP BY 1
+       |ORDER BY month""".stripMargin) { (spark, d) =>
+    Analytics.monthlySalesTrend(posify(spark, d))
+  }
+
+  val p18 = Query(
+    "p18_monthly_kpi_comparison",
+    s"""$posCte,
+       |monthly AS (
+       |  SELECT strftime(shifted_time, '%Y-%m') AS month,
+       |         SUM(total_money) AS revenue,
+       |         COUNT(DISTINCT receipt_number) AS receipts
+       |  FROM pos GROUP BY 1
+       |)
+       |SELECT month, revenue, receipts,
+       |       LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+       |       CASE WHEN LAG(revenue) OVER (ORDER BY month) > 0
+       |            THEN (revenue - LAG(revenue) OVER (ORDER BY month))
+       |                 / LAG(revenue) OVER (ORDER BY month) * 100 END AS revenue_change_pct
+       |FROM monthly
+       |ORDER BY month""".stripMargin) { (spark, d) =>
+    Analytics.monthlyKpiComparison(posify(spark, d))
+  }
+
+  val p19 = Query(
+    "p19_dedup_read",
+    s"""$posCte,
+       |deduped AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY receipt_number, item_name
+       |                               ORDER BY shifted_time DESC, price DESC,
+       |                                        COALESCE(modifiers, '') DESC) AS rn
+       |  FROM pos
+       |)
+       |SELECT strftime(shifted_time, '%Y-%m') AS month,
+       |       COUNT(*) AS n_rows,
+       |       SUM(price) AS total_price
+       |FROM deduped WHERE rn = 1
+       |GROUP BY 1
+       |ORDER BY month""".stripMargin) { (spark, d) =>
+    // The reference's dedup is tie-arbitrary (SURVEY §7.4.4); the gate
+    // query pins ties with explicit deterministic tiebreakers.
+    Analytics.dedupLatest(
+      posify(spark, d),
+      Seq(col("price").desc, coalesce(col("modifiers"), lit("")).desc))
+      .groupBy(date_format(col("shifted_time"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total_price"))
+      .orderBy(col("month"))
+  }
+
+  /** P15/P16-mayo — not SQL-expressible (FP-Growth; positional pairing):
+    * rows-only gate, semantics pinned by ScalaTest specs.
+    */
+  val p15 = Query.rowsOnly("p15_market_basket") { (spark, d) =>
+    MarketBasket.rules(posify(spark, d), minSupport = 0.01, minLift = 0.5)
+      .withColumn("antecedents", array_join(array_sort(col("antecedents")), ","))
+      .withColumn("consequents", array_join(array_sort(col("consequents")), ","))
+      .orderBy(col("lift").desc, col("antecedents"), col("consequents"))
+  }
+
+  val p16b = Query.rowsOnly("p16_combo_burger_mayo") { (spark, d) =>
+    ComboChoices.comboBurgerMayoCounts(posify(spark, d))
+      .orderBy(col("combo_name"), col("burger_type"), col("mayo_type"))
+  }
+
+  val all: Seq[Query] = Seq(
+    p01, p02, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14,
+    p15, p16, p16b, p17, p18, p19)
+}
