@@ -1,0 +1,109 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection for document corpora —
+  * the shingle→minhash→band→bucket-join pipeline.
+  *
+  * Engine-independent determinism: the base shingle hash is the first 7
+  * hex digits of md5 (28 bits), so every permutation `(a·h + b) mod P`
+  * stays within exact int64 arithmetic (max a·h < 2^59) — the whole
+  * pipeline is reproducible bit-for-bit in any SQL engine, which is what
+  * lets the DuckDB oracle verify it.
+  *
+  * Scale shape: one narrow map to shingles, one shuffle to per-doc
+  * signatures (k min-aggregates, map-side combinable), one shuffle on
+  * (band, band-signature) for bucketing. Candidate verification touches
+  * only bucket-mates — the whole point of LSH — so the pair join never
+  * goes quadratic in the corpus.
+  */
+object MinHashLSH {
+
+  /** Modulus 2^31−1 (prime). */
+  val P: Long = 2147483647L
+
+  /** Deterministic permutation coefficients (LCG-spread, fixed seed —
+    * Date/random-free for replayability).
+    */
+  def coefficients(numHashes: Int): Seq[(Long, Long)] =
+    (1 to numHashes).map { i =>
+      val a = (1103515245L * i + 12345L) % P
+      val b = (69069L * i + 1013904223L) % P
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** 28-bit base hash of a shingle: first 7 hex digits of md5. */
+  def shingleHash(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Distinct word k-shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .filter(size(toks) >= k)
+      .select(
+        col(idCol),
+        explode(
+          array_distinct(
+            transform(
+              sequence(lit(1), size(toks) - lit(k - 1)),
+              i => array_join(slice(toks, i, lit(k)), " ")))).as("shingle"))
+  }
+
+  /** MinHash signature per document: `sig_0 … sig_{n-1}` columns, each
+    * `min((a_i·h + b_i) mod P)` over the doc's shingles. One shuffle,
+    * partial mins map-side.
+    */
+  def signatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleSize)
+      .withColumn("h", shingleHash(col("shingle")))
+    val aggs = coefficients(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"sig_$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate near-dup pairs: docs sharing at least one LSH band
+    * (consecutive signature slices of `rowsPerBand`), with the signature-
+    * estimated Jaccard (fraction of equal components). `numHashes` must
+    * be divisible by `rowsPerBand`.
+    */
+  def candidatePairs(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        struct((0 until rowsPerBand)
+          .map(r => col(s"sig_${bIdx * rowsPerBand + r}").as(s"v$r")): _*)
+          .as("vals"))
+    }
+    val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.vals").as("vals"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("vals"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("vals"))
+    val pairs = a.join(b, Seq("band", "vals"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sigA = sig.select(
+      col(idCol).as("id_a") +: (0 until numHashes).map(i => col(s"sig_$i").as(s"a_$i")): _*)
+    val sigB = sig.select(
+      col(idCol).as("id_b") +: (0 until numHashes).map(i => col(s"sig_$i").as(s"b_$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sigA, "id_a")
+      .join(sigB, "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (matches.cast("double") / numHashes).as("est_jaccard"))
+  }
+}

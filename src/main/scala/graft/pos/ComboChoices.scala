@@ -36,7 +36,11 @@ object ComboChoices {
     if (modifierString == null) Seq.empty
     else
       modifierString.split(";", -1).toSeq.flatMap { part =>
-        val key = part.split("\\(")(0).toLowerCase
+        // indexOf, not split-on-regex: this runs per modifier entry in the
+        // hot path and String.split("\\(") would recompile its Pattern
+        // every call.
+        val parenIdx = part.indexOf('(')
+        val key = (if (parenIdx >= 0) part.substring(0, parenIdx) else part).toLowerCase
         if (choiceKeys.exists(key.contains))
           paren.findFirstMatchIn(part).map(m => standardName(m.group(1).trim))
         else None

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.dedup.{MinHashLSH, SimHash}
+import graft.multimodal.Multimodal
+
+/** Gate battery for the scale-path dedup operators (MinHash-LSH, SimHash)
+  * and the multimodal plumbing. The hash pipelines are exact integer
+  * arithmetic end-to-end, so DuckDB verifies them bit-for-bit; the SQL is
+  * generated from the same coefficient table the library uses.
+  */
+object DedupQueries {
+
+  private val K = 8 // signature length for the gate queries
+  private val RowsPerBand = 2
+
+  private val shinglesCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3
+      |),
+      |hashed AS (
+      |  SELECT doc_id,
+      |         CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+      |  FROM sh
+      |)""".stripMargin
+
+  private def sigSelect: String =
+    MinHashLSH.coefficients(K).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % ${MinHashLSH.P}) AS sig_$i"
+    }.mkString(",\n       ")
+
+  /** MinHash signatures per document. */
+  val minhashSignatures = Query(
+    "m1_minhash_signatures",
+    s"""$shinglesCte
+       |SELECT doc_id,
+       |       $sigSelect
+       |FROM hashed
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    MinHashLSH
+      .signatures(documents(spark, d), "doc_id", "text", shingleSize = 3, numHashes = K)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Banded LSH candidate pairs + signature-estimated Jaccard. */
+  val lshCandidates = Query(
+    "m2_lsh_candidates", {
+      val bands = (0 until K / RowsPerBand).map { j =>
+        val cols = (0 until RowsPerBand).map(r => s"sig_${j * RowsPerBand + r}")
+        s"SELECT doc_id, $j AS band, ${cols.zipWithIndex.map { case (c, i) => s"$c AS v$i" }.mkString(", ")} FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      val eq = (0 until K).map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""$shinglesCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |         $sigSelect
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |banded AS (
+         |  $bands
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+         |  WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |       CAST($eq AS DOUBLE) / $K AS est_jaccard
+         |FROM pairs
+         |JOIN sig sa ON sa.doc_id = id_a
+         |JOIN sig sb ON sb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (spark, d) =>
+    val sig = MinHashLSH.signatures(documents(spark, d), "doc_id", "text", 3, K)
+    MinHashLSH.candidatePairs(sig, "doc_id", K, RowsPerBand)
+      .withColumnRenamed("id_a", "id_a")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash fingerprints (exact 28-bit integer pipeline). */
+  val simhashFingerprints = Query(
+    "m3_simhash_fingerprints", {
+      val bitSums = (0 until SimHash.Bits)
+        .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS bit_$i")
+        .mkString(",\n       ")
+      val fp = (0 until SimHash.Bits)
+        .map(i => s"CASE WHEN bit_$i > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |),
+         |hashed AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) AS h
+         |  FROM toks
+         |),
+         |sums AS (
+         |  SELECT doc_id,
+         |       $bitSums
+         |  FROM hashed GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+         |FROM sums
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, d) =>
+    SimHash.fingerprints(documents(spark, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-pairs within a source block, Hamming ≤ 10. */
+  val simhashPairs = Query(
+    "m4_simhash_pairs", {
+      val bitSums = (0 until SimHash.Bits)
+        .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS bit_$i")
+        .mkString(",\n       ")
+      val fp = (0 until SimHash.Bits)
+        .map(i => s"CASE WHEN bit_$i > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+         |),
+         |hashed AS (
+         |  SELECT doc_id, source,
+         |         CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) AS h
+         |  FROM toks
+         |),
+         |fps AS (
+         |  SELECT doc_id, source, CAST($fp AS BIGINT) AS simhash FROM (
+         |    SELECT doc_id, source,
+         |       $bitSums
+         |    FROM hashed GROUP BY doc_id, source
+         |  )
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fps a JOIN fps b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (spark, d) =>
+    val docs = documents(spark, d)
+    val fps = SimHash.fingerprints(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    SimHash.nearPairs(fps, "doc_id", "source", maxDistance = 10)
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Multimodal decode plumbing: binary payload → typed metadata +
+    * stub-decoded dimensions. The oracle reproduces the stub arithmetic
+    * from the source text (payload = UTF-8 of ASCII text).
+    */
+  val mediaDecode = Query(
+    "mm1_media_decode",
+    """SELECT doc_id AS asset_id,
+      |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |       CAST(16 + ascii(substr(text, 1, 1)) % 128 AS INT) AS width,
+      |       CAST(16 + ascii(substr(text, 2, 1)) % 128 AS INT) AS height,
+      |       CAST(3 AS INT) AS channels
+      |FROM documents
+      |ORDER BY asset_id""".stripMargin) { (spark, d) =>
+    Multimodal.decodeImages(Multimodal.fromDocuments(documents(spark, d)))
+      .select(
+        col("asset_id"), col("meta.n_bytes").as("n_bytes"),
+        col("width"), col("height"), col("channels"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Feature + frame plumbing — float accumulation is order-dependent per
+    * element position only (sequential in-partition fold): rows-only.
+    */
+  val mediaFeatures = Query.rowsOnly("mm2_media_features") { (spark, d) =>
+    val feats = Multimodal.extractFeatures(
+      Multimodal.fromDocuments(documents(spark, d)), dim = 16)
+    feats
+      .select(col("asset_id"), round(aggregate(col("features"),
+        lit(0.0), (acc, v) => acc + v.cast("double")), 4).as("feature_sum"))
+      .orderBy(col("asset_id"))
+  }
+
+  val all: Seq[Query] = Seq(
+    minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
+    mediaDecode, mediaFeatures)
+}

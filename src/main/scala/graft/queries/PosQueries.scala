@@ -66,8 +66,19 @@ object PosQueries {
       |     WHEN lower(order_type) LIKE '%llevar%' THEN 'Para llevar'
       |     ELSE 'Otro' END""".stripMargin
 
+  /** Memoized cached view: the reference computes its cleaned frame once
+    * and fans out to every report relation (`monthly_report.py:656-679`);
+    * same here — 19 gate queries share one cached posified table instead
+    * of re-running the fact⋈fact⋈dim join per query.
+    */
+  private val viewCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def posify(spark: SparkSession, d: String): DataFrame =
+    viewCache.getOrElseUpdate((spark, d), buildPosify(spark, d).cache())
+
   /** The posified curated view — Spark side of [[posCte]]. */
-  def posify(spark: SparkSession, d: String): DataFrame = {
+  private def buildPosify(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val comboMods =
       "Hamburguesa 1(Hamburguesa Smash 1);Hamburguesa 2(Hamburguesa Chiken 2);" +

@@ -1,0 +1,96 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column
+  * (`ARRAY<FLOAT>`).
+  *
+  * Two tiers:
+  *   - [[bruteTopK]] — exact cosine top-k, query-set × corpus. The
+  *     baseline; right answer when the query set is small (broadcast the
+  *     queries, stream the corpus).
+  *   - [[bucketedTopK]] — IVF-style: candidates restricted to the query's
+  *     bucket (a coarse-quantizer label or LSH bucket). The 100 TB path:
+  *     per-query work is bucket-sized, not corpus-sized.
+  *
+  * Ranking is computed on the rounded cosine with an id tiebreaker, so
+  * results are reproducible regardless of partitioning / summation order.
+  */
+object Ann {
+
+  /** Double-precision cosine between two float-array columns (fold is
+    * per-row sequential, deterministic).
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.Exprs.cosine(a, b)
+
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("bid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("bid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Exact top-k: `queries` broadcast against the corpus. */
+  def bruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val b = corpus.select(col(idCol).as("bid"), col(vecCol).as("bv"))
+    rank(
+      q.crossJoin(b)
+        .filter(col("qid") =!= col("bid"))
+        .select(col("qid"), col("bid"), round(cosine(col("qv"), col("bv")), 6).as("cosine")),
+      k)
+  }
+
+  /** Bucketed top-k: join on the bucket column instead of cross join. */
+  def bucketedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucketCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("qid"), col(bucketCol).as("bucket"), col(vecCol).as("qv")))
+    val b = corpus.select(col(idCol).as("bid"), col(bucketCol).as("bucket"), col(vecCol).as("bv"))
+    rank(
+      q.join(b, "bucket")
+        .filter(col("qid") =!= col("bid"))
+        .select(col("qid"), col("bid"), round(cosine(col("qv"), col("bv")), 6).as("cosine")),
+      k)
+  }
+
+  /** Per-bucket centroids (the reduce step of IVF coarse quantization /
+    * one k-means iteration): bucket → dense centroid array.
+    */
+  def centroids(corpus: DataFrame, bucketCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(bucketCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(bucketCol), col("pos"))
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy(col(bucketCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col(bucketCol), transform(col("pc"), x => x.getField("c")).as("centroid"))
+
+  /** Assign each vector to its nearest centroid (by cosine) — the other
+    * half of an IVF build / k-means iteration.
+    */
+  def assign(corpus: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String): DataFrame = {
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents.select(col(bucketCol), col("centroid"))))
+      .select(col(idCol), col(bucketCol),
+        round(cosine(col(vecCol), col("centroid")), 6).as("cosine"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cosine").desc, col(bucketCol))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col(idCol), col(bucketCol), col("cosine"))
+  }
+}

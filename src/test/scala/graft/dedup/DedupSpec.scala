@@ -1,0 +1,91 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+
+/** Property checks for the scale-path dedup / similarity / multimodal
+  * operators.
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank", "s0"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend", "s0"), // near-dup of 0
+    (2L, "completely different content about spark query engines and shuffles", "s0"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank", "s1")  // exact dup of 0
+  ).toDF("doc_id", "text", "source")
+
+  test("MinHash: identical docs → identical signatures; near-dups closer than unrelated") {
+    val sig = MinHashLSH.signatures(docs, "doc_id", "text", 3, 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i)).toSeq).toMap
+    assert(sig(0L) === sig(3L)) // exact dup: same shingle set
+    def est(a: Long, b: Long) =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y } / 16.0
+    assert(est(0L, 1L) > est(0L, 2L))
+    assert(est(0L, 1L) > 0.4) // 10/12 shared shingles
+  }
+
+  test("LSH candidates: dup pair surfaces with est_jaccard 1.0; thresholds hold") {
+    val sig = MinHashLSH.signatures(docs, "doc_id", "text", 3, 16)
+    val pairs = MinHashLSH.candidatePairs(sig, "doc_id", 16, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 3L)) === 1.0)
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup bucketed
+  }
+
+  test("SimHash: exact dup → distance 0; near-dup closer than unrelated") {
+    val fp = SimHash.fingerprints(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(0L, 3L) === 0)
+    assert(ham(0L, 1L) < ham(0L, 2L))
+  }
+
+  test("ANN: bruteTopK self-consistency and bucketed subset") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.95f, 0.05f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Ann.bruteTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .collect()
+    // 1 closest (cos≈0.99); 2 and 3 both cos 0 → bid tiebreak picks 2
+    assert(top.map(_.getAs[Long]("bid")).toSeq === Seq(1L, 2L))
+    val bucketed = Ann.bucketedTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", "label", 2).collect()
+    assert(bucketed.map(_.getAs[Long]("bid")).toSeq === Seq(1L)) // only same-bucket
+  }
+
+  test("ANN: centroids + assign round-trip") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.8f, 0.2f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Ann.centroids(vecs, "label", "embedding")
+    assert(cents.count() === 2)
+    val assigned = Ann.assign(vecs, cents, "vec_id", "embedding", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    assert(assigned === Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("Multimodal: decode strips payload, keeps schema; features have fixed dim; frames sample") {
+    val media = Multimodal.fromDocuments(docs.select($"doc_id", $"text", $"source"))
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("asset_id", "media_type", "content", "meta"))
+    val decoded = Multimodal.decodeImages(media)
+    assert(!decoded.columns.contains("content"))
+    val d0 = decoded.filter($"asset_id" === 0).collect().head
+    assert(d0.getAs[Int]("width") === 16 + ('t' & 0x7f))
+    assert(d0.getAs[Int]("channels") === 3)
+    val feats = Multimodal.extractFeatures(media, dim = 8, batchSize = 2).collect()
+    assert(feats.forall(_.getAs[Seq[Float]]("features").length === 8))
+    val frames = Multimodal.sampleFrames(media, stride = 16)
+    assert(frames.filter($"asset_id" === 0).count() ===
+      (docs.collect().head.getAs[String]("text").length + 15) / 16)
+  }
+}
