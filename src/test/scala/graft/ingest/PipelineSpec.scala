@@ -1,0 +1,136 @@
+package graft.ingest
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.SparkSpec
+import graft.pos.{Analytics, Lake, Pipeline}
+import java.net.InetSocketAddress
+import java.nio.file.Files
+
+/** S1–S4 + full daily_run end-to-end against a local HTTP stub of the
+  * POS API (pagination, cursor, 402, watermark advance, at-least-once
+  * lake append, read-side dedup).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def receiptJson(num: String, ts: String, item: String, price: Double): String =
+    s"""{"receipt_number":"$num","receipt_date":"$ts","created_at":"$ts",
+       |"updated_at":"$ts","order":"Mesa 01",
+       |"payments":[{"type":"CASH"}],
+       |"line_items":[{"item_name":"$item","cost":${price / 2},"price":$price,
+       |"total_money":$price,"line_modifiers":[{"name":"Mayonesa","option":"Ajo"}]}]}"""
+      .stripMargin.replaceAll("\n", "")
+
+  private def startStub(
+      pages: Map[Option[String], String],
+      items: String = """{"items":[{"id":1}]}""",
+      receipts402: Boolean = false): (HttpServer, Int) = {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/items", (ex: HttpExchange) => respond(ex, 200, items))
+    server.createContext("/receipts", (ex: HttpExchange) => {
+      if (receipts402) respond(ex, 402, """{"error":"payment required"}""")
+      else {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val cursor = q.split("&").find(_.startsWith("cursor=")).map(_.stripPrefix("cursor="))
+        respond(ex, 200, pages.getOrElse(cursor, """{"receipts":[]}"""))
+      }
+    })
+    server.start()
+    (server, server.getAddress.getPort)
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def config(port: Int): Pipeline.Config = {
+    val dir = Files.createTempDirectory("pipe")
+    Pipeline.Config(
+      baseUrl = s"http://localhost:$port",
+      apiKey = "test-key",
+      lakeRoot = dir.resolve("lake").toString,
+      statePath = dir.resolve("etl_state.json"),
+      rawDir = dir.resolve("raw"),
+      reportDir = dir.resolve("reports"),
+      pageDelayMs = 0)
+  }
+
+  test("S1/S2: cursor pagination walks all pages; receipt counting; cap halts") {
+    val pages = Map(
+      None -> s"""{"receipts":[${receiptJson("r1", "2025-07-02T10:00:00Z", "Burger", 100.0)}],"cursor":"c1"}""",
+      Some("c1") -> s"""{"receipts":[${receiptJson("r2", "2025-07-01T10:00:00Z", "Fries", 50.0)}]}""")
+    val (server, port) = startStub(pages)
+    try {
+      val api = new PosApiClient(s"http://localhost:$port", "k", pageDelayMs = 0)
+      val got = api.fetchReceiptPages("2025-07-01T00:00:00Z", "2025-08-01T00:00:00Z")
+      assert(got.length === 2)
+      val capped = api.fetchReceiptPages("2025-07-01T00:00:00Z", "2025-08-01T00:00:00Z",
+        receiptCap = Some(1))
+      assert(capped.length === 1)
+      val parsed = Receipts.fromPages(spark, got).collect()
+      assert(parsed.map(_.getAs[String]("receipt_number")).toSet === Set("r1", "r2"))
+    } finally server.stop(0)
+  }
+
+  test("daily_run e2e: fetch → transform → append → watermark commit; idempotent on re-run") {
+    val body =
+      s"""{"receipts":[${receiptJson("r1", "2025-07-02T10:00:00Z", "Burger", 100.0)},
+         |${receiptJson("r2", "2025-07-03T11:00:00Z", "Fries", 50.0)}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val (server, port) = startStub(Map(None -> body))
+    try {
+      val cfg = config(port)
+      // Seed the state so the watermark filter passes both receipts
+      new graft.pos.StateStore(cfg.statePath).commit(Some("2025-07-01T00:00:00.000Z"))
+      assert(Pipeline.dailyRun(spark, cfg) === true)
+      // Watermark advanced to max(updated_at)
+      assert(new graft.pos.StateStore(cfg.statePath).readLastTimestamp()
+        === "2025-07-03T11:00:00Z")
+      val lake = Lake.read(spark, cfg.lakeRoot)
+      assert(lake.count() === 2)
+      assert(lake.columns.contains("time_slot"))
+      // Second run: same data now older than watermark → no-op
+      assert(Pipeline.dailyRun(spark, cfg) === false)
+      assert(Lake.read(spark, cfg.lakeRoot).count() === 2)
+      // Reports render from the lake
+      val md = Pipeline.cumulativeReport(spark, cfg)
+      assert(md.contains("Total Revenue") && md.contains("$150.00"))
+      val monthly = Pipeline.monthlyReport(spark, cfg, "2025-07", "2025-06")
+      assert(monthly.contains("(new)")) // no prior month → pct renders (new)
+      assert(monthly.contains("Burger"))
+    } finally server.stop(0)
+  }
+
+  test("S3: HTTP 402 tolerated as empty batch; no state advance") {
+    val (server, port) = startStub(Map.empty, receipts402 = true)
+    try {
+      val cfg = config(port)
+      new graft.pos.StateStore(cfg.statePath).commit(Some("2025-07-01T00:00:00.000Z"))
+      assert(Pipeline.dailyRun(spark, cfg) === false)
+      assert(new graft.pos.StateStore(cfg.statePath).readLastTimestamp()
+        === "2025-07-01T00:00:00.000Z")
+    } finally server.stop(0)
+  }
+
+  test("late update flow: newer version of a receipt wins in the dedup view") {
+    val v1 = s"""{"receipts":[${receiptJson("r1", "2025-07-02T10:00:00Z", "Burger", 100.0)}]}"""
+    val (server1, port1) = startStub(Map(None -> v1))
+    val cfg = config(port1)
+    new graft.pos.StateStore(cfg.statePath).commit(Some("2025-07-01T00:00:00.000Z"))
+    try { assert(Pipeline.dailyRun(spark, cfg)) } finally server1.stop(0)
+    // Same receipt re-emitted later with a new price and newer timestamps
+    val v2 = s"""{"receipts":[${receiptJson("r1", "2025-07-05T09:00:00Z", "Burger", 120.0)}]}"""
+    val (server2, port2) = startStub(Map(None -> v2))
+    try {
+      val cfg2 = cfg.copy(baseUrl = s"http://localhost:${server2.getAddress.getPort}")
+      assert(Pipeline.dailyRun(spark, cfg2))
+    } finally server2.stop(0)
+    val raw = Lake.read(spark, cfg.lakeRoot)
+    assert(raw.count() === 2) // append-only: both versions at rest
+    val deduped = Analytics.dedupLatest(raw).collect()
+    assert(deduped.length === 1)
+    assert(deduped.head.getAs[Double]("price") === 120.0) // newest wins
+  }
+}
