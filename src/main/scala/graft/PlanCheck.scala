@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan diagnostics: prints formatted physical plans for representative
+  * queries and greps them for the properties that matter at scale —
+  * filter/column pushdown into the parquet scan, broadcast joins on
+  * dims, whole-stage codegen coverage.
+  *
+  * Usage: runMain graft.PlanCheck [sfDir] [queryName ...]
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("a3_pricing_summary", "j1_region_revenue", "v1_dedup_latest_event",
+        "w2_regex_filter", "t1_token_stats", "e3_bucketed_knn")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      println(s"\n========== $name ==========")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // collect() (not count()) so THIS QueryExecution runs and AQE
+      // finalizes the inspected plan — count() builds a separate one.
+      df.collect()
+      val physical = df.queryExecution.executedPlan.toString()
+      println(physical.linesIterator.take(40).mkString("\n"))
+      val checks = Seq(
+        "PushedFilters present" -> physical.contains("PushedFilters: ["),
+        "Column pruning (ReadSchema)" -> physical.contains("ReadSchema"),
+        "BroadcastHashJoin" -> physical.contains("BroadcastHashJoin"),
+        // simple-mode plan strings mark codegen stages with "*(n)"
+        "WholeStageCodegen" -> (physical.contains("WholeStageCodegen") ||
+          "\\*\\(\\d+\\)".r.findFirstIn(physical).isDefined))
+      println("-- checks: " + checks.map { case (k, v) => s"$k=$v" }.mkString(", "))
+    }
+    spark.stop()
+  }
+}

@@ -58,6 +58,31 @@ object Lake {
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** K2 — CSV snapshot sink (reference `load.py:18-28`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
+
+  /** K3 — single-object parquet sink (reference `load.py:30-47`). */
+  def writeSingleParquet(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** S10 — watermark recovery by lake scan: max(shifted_time) of the
+    * lexicographically-latest partition (reference `extract.py:254-296`).
+    * Partition pruning keeps the scan to one month.
+    */
+  def latestWatermark(spark: SparkSession, root: String): Option[String] = {
+    val lake = read(spark, root)
+    // Partition columns may read back as int (type inference) — work
+    // with whatever type the catalog inferred.
+    val latest = lake.select(col("year"), col("month")).distinct()
+      .orderBy(col("year").desc, col("month").desc).limit(1).collect()
+    latest.headOption.map { r =>
+      lake.filter(col("year") === r.get(0) && col("month") === r.get(1))
+        .agg(date_format(max(col("shifted_time")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+        .collect().head.getString(0)
+    }
+  }
+
   /** Deduplicated view of the lake — V1 window, newest wins. */
   def dedupView(spark: SparkSession, root: String): DataFrame =
     Analytics.dedupLatest(read(spark, root))

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pos.{Analytics, Lake}
+import java.nio.file.Files
+
+/** Structured-Streaming ingest: drop-dir → curated lake with checkpoint
+  * exactly-once; windowed event-time aggregation.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def receiptLine(num: String, ts: String, item: String, price: Double): String =
+    s"""{"receipt_number":"$num","receipt_date":"$ts","created_at":"$ts","updated_at":"$ts","order":"Mesa 01","payments":[{"type":"CASH"}],"line_items":[{"item_name":"$item","cost":${price / 2},"price":$price,"total_money":$price,"line_modifiers":[]}]}"""
+
+  test("drop-dir → lake: AvailableNow micro-batch, checkpointed exactly-once, late files picked up") {
+    val dir = Files.createTempDirectory("stream")
+    val drop = dir.resolve("drop"); Files.createDirectories(drop)
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+
+    Files.writeString(drop.resolve("batch1.jsonl"),
+      receiptLine("r1", "2025-07-01T10:00:00Z", "Burger", 100.0) + "\n" +
+        receiptLine("r2", "2025-07-02T11:00:00Z", "Fries", 50.0) + "\n")
+
+    val q1 = StreamingIngest.toLake(spark, drop.toString, lake, ckpt)
+    q1.awaitTermination(60000)
+    assert(Lake.read(spark, lake).count() === 2)
+    val row = Lake.read(spark, lake).filter(org.apache.spark.sql.functions.col("receipt_number") === "r1")
+      .collect().head
+    assert(row.getAs[String]("time_slot") === "04:00-05:00") // 10:00 − 6h
+    assert(row.getAs[String]("order_type") === "Para llevar") // C1 cascade ran
+
+    // Second trigger: only the NEW file is processed (checkpoint offsets)
+    Files.writeString(drop.resolve("batch2.jsonl"),
+      receiptLine("r3", "2025-08-01T12:00:00Z", "Malteada", 60.0) + "\n")
+    val q2 = StreamingIngest.toLake(spark, drop.toString, lake, ckpt)
+    q2.awaitTermination(60000)
+    val after = Lake.read(spark, lake)
+    assert(after.count() === 3) // r1/r2 not duplicated
+    assert(after.select("year", "month").distinct().count() === 2)
+  }
+
+  test("windowed revenue with watermark over the curated stream (memory sink)") {
+    val dir = Files.createTempDirectory("stream2")
+    val drop = dir.resolve("drop"); Files.createDirectories(drop)
+    Files.writeString(drop.resolve("b.jsonl"),
+      receiptLine("r1", "2025-07-01T10:05:00Z", "Burger", 100.0) + "\n" +
+        receiptLine("r2", "2025-07-01T10:40:00Z", "Fries", 50.0) + "\n" +
+        receiptLine("r3", "2025-07-01T11:10:00Z", "Malteada", 60.0) + "\n")
+    val curated = graft.pos.Transform.run(StreamingIngest.rawStream(spark, drop.toString))
+    val q = StreamingIngest.windowedRevenue(curated, "1 hour")
+      .writeStream.format("memory").queryName("wrev").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT window.start, revenue FROM wrev ORDER BY 1").collect()
+    assert(out.length === 2) // 10:00 and 11:00 windows
+    assert(out(0).getAs[Double]("revenue") === 150.0)
+    assert(out(1).getAs[Double]("revenue") === 60.0)
+  }
+
+  test("S10: lake-scan watermark recovery finds max shifted_time of latest month") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("wm").toString
+    val rows = Seq(
+      ("r1", Timestamp.valueOf("2025-07-30 10:00:00")),
+      ("r2", Timestamp.valueOf("2025-08-02 09:30:00")),
+      ("r3", Timestamp.valueOf("2025-08-01 23:00:00"))
+    ).toDF("receipt_number", "shifted_time")
+      .withColumn("datetime", $"shifted_time")
+      .withColumn("date", org.apache.spark.sql.functions.lit("x"))
+      .withColumn("time", org.apache.spark.sql.functions.lit("x"))
+      .withColumn("order_type", org.apache.spark.sql.functions.lit("Mesa"))
+      .withColumn("item_name", org.apache.spark.sql.functions.lit("Burger"))
+      .withColumn("cost", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("price", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("total_money", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("modifiers", org.apache.spark.sql.functions.lit(null: String))
+      .withColumn("payment_type", org.apache.spark.sql.functions.lit("CASH"))
+      .withColumn("minutes_past_midnight", org.apache.spark.sql.functions.lit(0L))
+      .withColumn("time_slot", org.apache.spark.sql.functions.lit("00:00-01:00"))
+    Lake.writeFull(rows, dir)
+    assert(Lake.latestWatermark(spark, dir) === Some("2025-08-02T09:30:00.000Z"))
+  }
+}
