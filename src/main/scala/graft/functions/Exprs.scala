@@ -60,9 +60,17 @@ object Exprs {
     (length(text) - length(translate(text, " ", "")) + lit(1)).cast("long")
 
   /** Cosine similarity between two float-vector columns, computed in
-    * double precision. Left-to-right fold keeps per-row determinism.
+    * double precision, left-to-right — the native codegen'd expression
+    * ([[CosineSimilarity]]); bit-identical to [[cosineHof]].
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    CosineSimilarity.column(org.apache.spark.sql.SparkSession.active, a, b)
+
+  /** Built-ins-only variant (zip_with + aggregate fold) — interpreted
+    * higher-order functions; kept as the reference implementation the
+    * native expression is equivalence-tested against.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(
         zip_with(x, y, (u, v) => u.cast(DoubleType) * v.cast(DoubleType)),

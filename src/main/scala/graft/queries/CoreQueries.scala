@@ -366,8 +366,53 @@ object CoreQueries {
       .orderBy($"p_partkey", $"idx")
   }
 
+  /** §2.10 JSON — parse the events `props` JSON column; regexp-based
+    * extraction so both engines share exact semantics (DuckDB's JSON
+    * extension availability is not assumed).
+    */
+  val jsonProps = Query(
+    "s7_json_props",
+    """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k_bucket""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    events(spark, d)
+      .withColumn("k_bucket",
+        regexp_extract($"props", "\"k\": (\\d+)", 1).cast("long") % 10)
+      .groupBy($"k_bucket")
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("total_value"))
+      .orderBy($"k_bucket")
+  }
+
+  /** Skew-mitigation salted join: same result as the plain join (the
+    * oracle is the UNsalted SQL — proving the salt is semantics-free).
+    */
+  val saltedJoin = Query(
+    "x1_salted_join",
+    """SELECT o_orderpriority,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.operators.SkewJoin
+      .saltedJoin(
+        lineitem(spark, d), orders(spark, d).withColumnRenamed("o_orderkey", "l_orderkey"),
+        key = "l_orderkey",
+        saltSource = Seq("l_partkey", "l_suppkey", "l_linenumber"),
+        saltBuckets = 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumMoney($"l_extendedprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   val all: Seq[Query] = Seq(
     topParts, segmentOrders, pricingSummary, globalKpis, avgMonthlyRevenue,
     pivotStatus, dedupLatestEvent, pctOfGroup, priorityBucket, regexFilter,
-    dowDomainFill, timeSlots, regionRevenue, unionDistinctUsers, modifierParse)
+    dowDomainFill, timeSlots, regionRevenue, unionDistinctUsers, modifierParse,
+    jsonProps, saltedJoin)
 }
