@@ -25,7 +25,23 @@ object Bench {
       Tables.nation _, Tables.region _, Tables.supplier _, Tables.events _,
       Tables.documents _, Tables.embeddings _)
       .foreach(load => load(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Steady-state measurement: one untimed warm-up execution per query
+    // (codegen compilation + JIT), then the timed run. Each run fully
+    // materializes via count().
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    // Drop everything the warm-up pinned (FPGrowth fits leak persisted
+    // freqItemsets RDDs; accumulated caches evict useful ones), then
+    // re-warm the one cache the POS battery shares by design.
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc()
+    val pos = graft.queries.PosQueries.posify(spark, sfDir)
+    pos.cache()
+    pos.count()
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

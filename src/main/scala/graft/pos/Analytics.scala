@@ -37,6 +37,13 @@ object Analytics {
       .otherwise("Otro")
   }
 
+  /** P3 on a shifted_time-keyed frame: run [[Transform.cleanForReporting]]
+    * with `datetime` derived from `shifted_time` (frames that carry only
+    * the shifted timestamp, e.g. lake reads).
+    */
+  def cleanedView(df: DataFrame): DataFrame =
+    Transform.cleanForReporting(df.withColumn("datetime", col("shifted_time")))
+
   /** P1 — top-N products by line count (reference `data_preparation.py:9-33`). */
   def topProducts(df: DataFrame, topN: Int = 5): DataFrame =
     df.groupBy(col("item_name"))

@@ -410,9 +410,41 @@ object CoreQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** S7/S8 — the engine's SQL-text surface: the reference's Athena
+    * window-dedup query run verbatim through spark.sql over registered
+    * temp views (same SQL text serves as its own oracle).
+    */
+  val sqlSurface = Query(
+    "s8_sql_dedup_surface",
+    """SELECT user_id, COUNT(*) AS n_types,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT user_id, event_type, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ts DESC, event_id DESC) AS rank_num
+      |  FROM events
+      |)
+      |WHERE rank_num = 1
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, d) =>
+    events(spark, d).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT user_id, COUNT(*) AS n_types,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT user_id, event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rank_num
+        |  FROM events
+        |)
+        |WHERE rank_num = 1
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)
+  }
+
   val all: Seq[Query] = Seq(
     topParts, segmentOrders, pricingSummary, globalKpis, avgMonthlyRevenue,
     pivotStatus, dedupLatestEvent, pctOfGroup, priorityBucket, regexFilter,
     dowDomainFill, timeSlots, regionRevenue, unionDistinctUsers, modifierParse,
-    jsonProps, saltedJoin)
+    jsonProps, saltedJoin, sqlSurface)
 }

@@ -460,7 +460,29 @@ object PosQueries {
       .orderBy(col("combo_name"), col("burger_type"), col("mayo_type"))
   }
 
+  /** P3 — clean-for-reporting through the library function: type
+    * coercion, null drops, day_of_week/hour_of_day features, aggregated
+    * compactly for the gate.
+    */
+  val p03 = Query(
+    "p03_clean_for_reporting",
+    s"""$posCte
+       |SELECT dayname(shifted_time) AS day_of_week,
+       |       hour(shifted_time) AS hour_of_day,
+       |       COUNT(*) AS n,
+       |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       |FROM pos
+       |GROUP BY 1, 2
+       |ORDER BY day_of_week, hour_of_day""".stripMargin) { (spark, d) =>
+    val cleaned = Analytics.cleanedView(posify(spark, d))
+    cleaned
+      .groupBy(col("day_of_week"), col("hour_of_day"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exprs.sumMoney(col("price")).as("total_price"))
+      .orderBy(col("day_of_week"), col("hour_of_day"))
+  }
+
   val all: Seq[Query] = Seq(
-    p01, p02, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14,
+    p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14,
     p15, p16, p16b, p17, p18, p19)
 }
