@@ -182,7 +182,67 @@ object DedupQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** Full text profile through graft.text.TextOps: token stats, quality
+    * gate, per-language marker scores, positional fingerprint — one
+    * narrow pass, exact arithmetic.
+    */
+  val textProfile = Query(
+    "t6_text_profile", {
+      def nTok = "(length(text) - length(replace(text, ' ', '')) + 1)"
+      def stop(words: Seq[String]) = {
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), x -> x IN ($list)))"
+      }
+      val scoreCols = graft.text.TextOps.langMarkers.toSeq.sortBy(_._1).map {
+        case (lang, markers) =>
+          s"round(${stop(markers)} / $nTok, 6) AS score_$lang"
+      }.mkString(",\n       ")
+      val P = graft.dedup.MinHashLSH.P
+      s"""SELECT doc_id,
+         |       CAST($nTok AS BIGINT) AS n_tokens,
+         |       CAST($nTok + length(text) - length(regexp_replace(text, '[.,;:!?''-]', '', 'g')) AS BIGINT) AS n_tokens_est,
+         |       round(${stop(Seq("the", "a"))} / $nTok, 6) AS stopword_ratio,
+         |       CAST(CASE WHEN $nTok >= 30 AND ${stop(Seq("the", "a"))} / $nTok < 0.2
+         |            THEN 1 ELSE 0 END AS BIGINT) AS passes_quality,
+         |       CAST((SELECT SUM(
+         |               i * (CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) % $P) % $P)
+         |             FROM (SELECT unnest(string_split(text, ' ')) AS tok,
+         |                          generate_subscripts(string_split(text, ' '), 1) AS i)
+         |            ) % $P AS BIGINT) AS fingerprint,
+         |       $scoreCols
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, d) =>
+    graft.text.TextOps.profile(documents(spark, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs, bucketed by label. */
+  val embeddingNearDup = Query(
+    "e4_embedding_neardup",
+    """WITH flat AS (
+      |  SELECT vec_id, label,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |),
+      |dots AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS aa, SUM(b.v * b.v) AS bb
+      |  FROM flat a
+      |  JOIN flat b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
+      |FROM dots
+      |WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, d) =>
+    graft.similarity.Ann
+      .nearDupPairs(embeddings(spark, d), "vec_id", "embedding", "label", 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
-    mediaDecode, mediaFeatures)
+    mediaDecode, mediaFeatures, textProfile, embeddingNearDup)
 }

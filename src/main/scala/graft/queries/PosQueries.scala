@@ -468,7 +468,7 @@ object PosQueries {
     "p03_clean_for_reporting",
     s"""$posCte
        |SELECT dayname(shifted_time) AS day_of_week,
-       |       hour(shifted_time) AS hour_of_day,
+       |       CAST(hour(shifted_time) AS INT) AS hour_of_day,
        |       COUNT(*) AS n,
        |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
        |FROM pos

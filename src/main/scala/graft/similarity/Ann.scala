@@ -68,6 +68,24 @@ object Ann {
       k)
   }
 
+  /** Embedding-cosine near-duplicate pairs within a bucket: the
+    * similarity-search form of near-dup detection (threshold on the
+    * 6-dp-rounded cosine keeps the cut reproducible).
+    */
+  def nearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucketCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(bucketCol).as("bucket"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(bucketCol).as("bucket"), col(vecCol).as("vb"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Per-bucket centroids (the reduce step of IVF coarse quantization /
     * one k-means iteration): bucket → dense centroid array.
     */

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus pipelines: token statistics,
+  * quality scoring, language-ID heuristics, order-sensitive
+  * fingerprinting. All pure column derivations (narrow, codegen'd) with
+  * exact integer/decimal arithmetic where results feed dedup decisions —
+  * reproducible across engines and partitionings.
+  */
+object TextOps {
+
+  /** Whitespace token count for single-space-separated text (cheap form;
+    * see [[graft.functions.Exprs.tokenCount]]).
+    */
+  def tokenCount(text: Column): Column = graft.functions.Exprs.tokenCount(text)
+
+  /** BPE-ish token estimate: word count plus intra-word punctuation
+    * splits — approximates subword segmentation without a vocab.
+    */
+  def tokenEstimate(text: Column): Column =
+    tokenCount(text) +
+      (length(text) - length(regexp_replace(text, "[.,;:!?'-]", ""))).cast("long")
+
+  /** Count of tokens drawn from a stopword list. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(split(text, " "), t => stopwords.map(t === _).reduce(_ || _))).cast("long")
+
+  /** Stopword ratio — the core of the length/stopword quality gate. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordCount(text, stopwords) / tokenCount(text)
+
+  /** Quality gate: minimum length + bounded stopword ratio
+    * (1 = passes). Thresholds follow common corpus-filtering practice.
+    */
+  def qualityFlag(
+      text: Column,
+      minTokens: Int = 30,
+      maxStopRatio: Double = 0.2,
+      stopwords: Seq[String] = Seq("the", "a")): Column =
+    when(tokenCount(text) >= minTokens &&
+      stopwordRatio(text, stopwords) < maxStopRatio, 1L).otherwise(0L)
+
+  /** Language-ID score for one language: fraction of tokens in that
+    * language's marker-word list. Scores for several languages → argmax
+    * is the classification; here each score is exposed so the decision
+    * is auditable.
+    */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    stopwordRatio(text, markers)
+
+  /** Default marker lists (tiny on purpose — the operator shape, not a
+    * trained model).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "de", "et"))
+
+  /** Order-SENSITIVE document fingerprint: positional weighted checksum
+    * `Σ (i+1)·h(tok_i) mod P` over 28-bit md5-derived token hashes —
+    * exact int64 arithmetic (max term ≈ 10^5·2^28 ≪ 2^63), so two
+    * documents with the same bag but different order fingerprint
+    * differently (unlike md5-of-sorted-tokens), and any SQL engine
+    * reproduces it bit-for-bit.
+    */
+  def positionalFingerprint(text: Column): Column = {
+    val P = graft.dedup.MinHashLSH.P
+    val terms = transform(
+      split(text, " "),
+      (tok, i) =>
+        (i.cast("long") + 1L) * conv(substring(md5(tok), 1, 7), 16, 10).cast("long") % P)
+    aggregate(terms, lit(0L), (acc, t) => (acc + t) % P)
+  }
+
+  /** Full per-document profile in one pass. */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      round(langScore(t, markers), 6).as(s"score_$lang")
+    }
+    docs.select(
+      Seq(
+        col(idCol),
+        tokenCount(t).as("n_tokens"),
+        tokenEstimate(t).as("n_tokens_est"),
+        round(stopwordRatio(t, Seq("the", "a")), 6).as("stopword_ratio"),
+        qualityFlag(t).as("passes_quality"),
+        positionalFingerprint(t).as("fingerprint")) ++ scores: _*)
+  }
+}
