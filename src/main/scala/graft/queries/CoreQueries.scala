@@ -442,9 +442,31 @@ object CoreQueries {
         |ORDER BY user_id""".stripMargin)
   }
 
+  /** §2.12 — event-time tumbling window aggregation (the batch form of
+    * the streaming windowed revenue; same `window()` semantics Structured
+    * Streaming uses, so the oracle pins the window alignment too).
+    */
+  val windowedRevenue = Query(
+    "st1_windowed_revenue",
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS window_start,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY window_start""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    events(spark, d)
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n_events"), sumMoney($"value").as("revenue"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm").as("window_start"),
+        $"n_events", $"revenue")
+      .orderBy($"window_start")
+  }
+
   val all: Seq[Query] = Seq(
     topParts, segmentOrders, pricingSummary, globalKpis, avgMonthlyRevenue,
     pivotStatus, dedupLatestEvent, pctOfGroup, priorityBucket, regexFilter,
     dowDomainFill, timeSlots, regionRevenue, unionDistinctUsers, modifierParse,
-    jsonProps, saltedJoin, sqlSurface)
+    jsonProps, saltedJoin, sqlSurface, windowedRevenue)
 }

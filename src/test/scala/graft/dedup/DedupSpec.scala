@@ -37,6 +37,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup bucketed
   }
 
+  test("MinHash accuracy: signature estimate tracks true Jaccard within statistical error") {
+    import org.apache.spark.sql.functions._
+    // Build doc pairs with known overlap: base 40 tokens, variants
+    // replacing k of them → true shingle Jaccard is computable.
+    val base = (1 to 40).map(i => s"tok$i")
+    def doc(replaced: Int): String =
+      (base.dropRight(replaced) ++ (1 to replaced).map(i => s"alt$i")).mkString(" ")
+    val docs = Seq(
+      (0L, doc(0), "x"), (1L, doc(4), "x"), (2L, doc(12), "x"), (3L, doc(24), "x")
+    ).toDF("doc_id", "text", "source")
+    val n = 64
+    val sig = MinHashLSH.signatures(docs, "doc_id", "text", 3, n).collect()
+      .map(r => r.getLong(0) -> (1 to n).map(i => r.getLong(i)).toSeq).toMap
+    def est(a: Long, b: Long) =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y }.toDouble / n
+    def trueJaccard(a: String, b: String): Double = {
+      def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val (sa, sb) = (sh(a), sh(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    Seq(1L -> doc(4), 2L -> doc(12), 3L -> doc(24)).foreach { case (id, text) =>
+      val t = trueJaccard(doc(0), text)
+      val e = est(0L, id)
+      // std error of a 64-hash estimate ≈ sqrt(t(1-t)/64) ≤ 0.063; 3σ bound
+      assert(math.abs(e - t) < 0.19, s"doc $id: est $e vs true $t")
+    }
+    // Monotonicity: more replacement → lower estimate
+    assert(est(0L, 1L) > est(0L, 2L) && est(0L, 2L) > est(0L, 3L))
+  }
+
   test("SimHash: exact dup → distance 0; near-dup closer than unrelated") {
     val fp = SimHash.fingerprints(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

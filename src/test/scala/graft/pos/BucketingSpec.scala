@@ -12,6 +12,20 @@ class BucketingSpec extends SparkSpec {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
 
+    // Hermetic: drop catalog entries AND any orphaned warehouse dirs
+    // (a deleted metastore with a surviving location breaks overwrite).
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Bucketing.writeBucketed(li, "li_bucketed", Seq("l_orderkey"), 8)
     Bucketing.writeBucketed(o, "o_bucketed", Seq("o_orderkey"), 8)
 
