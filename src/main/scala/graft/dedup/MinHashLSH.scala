@@ -74,8 +74,12 @@ object MinHashLSH {
     * estimated Jaccard (fraction of equal components). `numHashes` must
     * be divisible by `rowsPerBand`.
     */
-  def candidatePairs(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  def candidatePairs(sigIn: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    // The signature relation is referenced three times below (band
+    // explode + both sides of the pair join); without a cache the whole
+    // shingle→hash→min aggregation would run three times.
+    val sig = sigIn.cache()
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { bIdx =>
       struct(

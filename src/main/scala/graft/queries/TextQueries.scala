@@ -116,10 +116,12 @@ object TextQueries {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
     import spark.implicits._
+    // sh feeds sizes + both join sides — cache to compute shingles once.
     val sh = documents(spark, d)
       .select($"doc_id", $"source", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", $"source", explode(wordShingles($"toks", 3)).as("sh"))
+      .cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select($"doc_id".as("doc_a"), $"source", $"sh")
     val b = sh.select($"doc_id".as("doc_b"), $"source", $"sh")
