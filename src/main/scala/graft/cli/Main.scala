@@ -25,7 +25,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     val validSteps = Set("daily_run", "full_extract", "load_historical",
-      "monthly_report", "cumulative_report", "report")
+      "monthly_report", "cumulative_report", "report", "compact")
     val step = opts.getOrElse("step",
       sys.error(s"--step required: ${validSteps.mkString("|")}"))
     // Fail fast on bad args BEFORE paying the Spark session startup.
@@ -72,6 +72,10 @@ object Main {
       case "cumulative_report" =>
         Pipeline.cumulativeReport(spark, cfg)
         println(s"cumulative_report: written to ${cfg.reportDir}")
+      case "compact" =>
+        val target = opts.getOrElse("compact-target", cfg.lakeRoot + "_compacted")
+        graft.pos.Lake.compactTo(spark, cfg.lakeRoot, target)
+        println(s"compact: deduplicated lake written to $target")
       case "report" =>
         val rm = opts.getOrElse("report-month", sys.error("--report-month required"))
         val cm = opts.getOrElse("comparison-month", sys.error("--comparison-month required"))

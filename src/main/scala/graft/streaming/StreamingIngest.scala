@@ -30,6 +30,67 @@ object StreamingIngest {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dropDir)
 
+  /** Raw stream with corrupt-record capture: malformed JSONL lines land
+    * in `_corrupt_record` instead of silently vanishing (PERMISSIVE
+    * default drops them once columns are pruned). Callers split on
+    * `_corrupt_record IS NULL` → good rows to the lake, bad lines to a
+    * quarantine sink for replay/alerting — at 100 TB silent drops are
+    * data-loss incidents, not noise.
+    */
+  def rawStreamWithCorrupt(
+      spark: SparkSession,
+      dropDir: String,
+      maxFilesPerTrigger: Int = 100): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      Schemas.rawReceipt.fields :+
+        org.apache.spark.sql.types.StructField(
+          "_corrupt_record", org.apache.spark.sql.types.StringType))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dropDir)
+  }
+
+  /** Curated + quarantine twin streams from one drop directory: returns
+    * (toLake query, quarantine query). Exactly-once on both via their
+    * checkpoints.
+    */
+  def toLakeWithQuarantine(
+      spark: SparkSession,
+      dropDir: String,
+      lakeRoot: String,
+      quarantineDir: String,
+      checkpointRoot: String): (StreamingQuery, StreamingQuery) = {
+    val raw = rawStreamWithCorrupt(spark, dropDir)
+    val good = Transform.run(
+      raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"))
+      .withColumn("year", date_format(col("shifted_time"), "yyyy"))
+      .withColumn("month", date_format(col("shifted_time"), "MM"))
+    val lakeQ = good.writeStream
+      .format("parquet")
+      .option("path", lakeRoot)
+      .option("checkpointLocation", s"$checkpointRoot/lake")
+      .partitionBy(Schemas.partitionKeys: _*)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    // Spark rejects queries referencing ONLY _corrupt_record from a raw
+    // JSON source — project a real column alongside it.
+    val badQ = raw
+      .select(col("_corrupt_record").as("line"), col("receipt_number"))
+      .filter(col("line").isNotNull)
+      .writeStream
+      .format("json")
+      .option("path", quarantineDir)
+      .option("checkpointLocation", s"$checkpointRoot/quarantine")
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    (lakeQ, badQ)
+  }
+
   /** Curated append stream into the partitioned lake: raw → flatten →
     * homogenize → time slots → partitioned parquet, exactly-once via the
     * checkpoint (file-source offsets + file-sink log).

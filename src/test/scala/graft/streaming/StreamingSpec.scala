@@ -40,6 +40,25 @@ class StreamingSpec extends SparkSpec {
     assert(after.select("year", "month").distinct().count() === 2)
   }
 
+  test("corrupt-record quarantine: bad lines captured, good rows curated") {
+    val dir = Files.createTempDirectory("streamq")
+    val drop = dir.resolve("drop"); Files.createDirectories(drop)
+    Files.writeString(drop.resolve("mixed.jsonl"),
+      receiptLine("r1", "2025-07-01T10:00:00Z", "Burger", 100.0) + "\n" +
+        "this is not json {{{\n" +
+        receiptLine("r2", "2025-07-02T11:00:00Z", "Fries", 50.0) + "\n" +
+        "[1,2,3]\n")
+    val (lakeQ, badQ) = StreamingIngest.toLakeWithQuarantine(
+      spark, drop.toString, dir.resolve("lake").toString,
+      dir.resolve("quarantine").toString, dir.resolve("ckpt").toString)
+    lakeQ.awaitTermination(60000); badQ.awaitTermination(60000)
+    assert(Lake.read(spark, dir.resolve("lake").toString).count() === 2)
+    val quarantined = spark.read.json(dir.resolve("quarantine").toString)
+      .select("line").collect().map(_.getString(0))
+    assert(quarantined.length === 2)
+    assert(quarantined.exists(_.contains("not json")))
+  }
+
   test("windowed revenue with watermark over the curated stream (memory sink)") {
     val dir = Files.createTempDirectory("stream2")
     val drop = dir.resolve("drop"); Files.createDirectories(drop)
