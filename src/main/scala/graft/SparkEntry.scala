@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, DedupQueries, PosQueries, Query, SimQueries, TextQueries}
+import graft.queries.{CoreQueries, DedupQueries, PosQueries, Query, RelQueries, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{CoreQueries, DedupQueries, PosQueries, Query, SimQueries, 
 object SparkEntry {
 
   val registry: Seq[Query] =
-    CoreQueries.all ++ TextQueries.all ++ SimQueries.all ++ PosQueries.all ++ DedupQueries.all
+    CoreQueries.all ++ TextQueries.all ++ SimQueries.all ++ PosQueries.all ++
+      DedupQueries.all ++ RelQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

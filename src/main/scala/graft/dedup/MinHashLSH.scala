@@ -37,19 +37,38 @@ object MinHashLSH {
   def shingleHash(c: Column): Column =
     conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
-  /** Distinct word k-shingles per document: (id, shingle). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+  /** Word k-shingles per document: (id, shingle). Tokenization is
+    * materialized as a column first so `split` runs once per row —
+    * referencing it inside the higher-order `transform` lambda would
+    * re-split per shingle (lambdas block common-subexpression reuse).
+    */
+  private def shingleBag(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
-      .filter(size(toks) >= k)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(1), size(col("__toks")) - lit(k - 1)),
+            i => array_join(slice(col("__toks"), i, lit(k)), " "))).as("shingle"))
+
+  /** Distinct word k-shingles per document: (id, shingle). The distinct
+    * is per-document inside the array (narrow, no shuffle) — NOT a
+    * global `.distinct()`, which would add an exchange over the full
+    * shingle stream.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= k)
       .select(
         col(idCol),
         explode(
           array_distinct(
             transform(
-              sequence(lit(1), size(toks) - lit(k - 1)),
-              i => array_join(slice(toks, i, lit(k)), " ")))).as("shingle"))
-  }
+              sequence(lit(1), size(col("__toks")) - lit(k - 1)),
+              i => array_join(slice(col("__toks"), i, lit(k)), " ")))).as("shingle"))
 
   /** MinHash signature per document: `sig_0 … sig_{n-1}` columns, each
     * `min((a_i·h + b_i) mod P)` over the doc's shingles. One shuffle,
@@ -61,7 +80,10 @@ object MinHashLSH {
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 16): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleSize)
+    // Duplicate shingles cannot change a min — feed the raw bag and skip
+    // the per-document distinct entirely (the reference oracle's
+    // SELECT DISTINCT is a no-op under MIN for the same reason).
+    val sh = shingleBag(docs, idCol, textCol, shingleSize)
       .withColumn("h", shingleHash(col("shingle")))
     val aggs = coefficients(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"sig_$i")

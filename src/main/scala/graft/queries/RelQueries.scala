@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.{AsOfJoin, RangeJoin, Sampling, Sessionize}
+
+/** Gate battery for the temporal-relational operators (sessionization,
+  * as-of join, keyed/bucketed range joins) and deterministic sampling.
+  *
+  * All time arithmetic runs on integer epoch-microseconds: events.ts is
+  * parquet TIMESTAMP(NANOS), which Spark floors to micros on read — the
+  * oracles apply the same floor (`epoch_ns(ts) // 1000`) so both engines
+  * compare identical integers. Sub-second timestamp comparisons through
+  * engine-native interval types would NOT be portable.
+  */
+object RelQueries {
+
+  private val HourMicros = 3600L * 1000000L
+  private val GapMicros = 30L * 60L * 1000000L // 30-min session gap
+  private val BurstMicros = 300L * 1000000L // 5-min error-burst window
+
+  /** Epoch-micros CTE shared by the oracles. */
+  private val eventsUs =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         epoch_ns(ts) // 1000 AS tus
+      |  FROM events
+      |)""".stripMargin
+
+  /** r1 — gap-based sessionization (batch replay of streaming session
+    * windows): 30-min inactivity gap per user, per-session stats.
+    */
+  val sessionStats = Query(
+    "r1_session_stats",
+    s"""$eventsUs,
+       |l AS (
+       |  SELECT user_id, event_id, value, tus,
+       |         lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_t
+       |  FROM e
+       |),
+       |s AS (
+       |  SELECT user_id, event_id, value, tus,
+       |         CAST(SUM(CASE WHEN prev_t IS NULL OR tus - prev_t > $GapMicros
+       |                       THEN 1 ELSE 0 END)
+       |              OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       |  FROM l
+       |)
+       |SELECT user_id, session_no,
+       |       MIN(tus) AS session_start,
+       |       MAX(tus) AS session_end,
+       |       COUNT(*) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM s
+       |GROUP BY user_id, session_no
+       |ORDER BY user_id, session_no""".stripMargin) { (spark, d) =>
+    val e = events(spark, d).withColumn("tus", unix_micros(col("ts")))
+    Sessionize
+      .sessionStats(e, "user_id", "tus", "event_id", GapMicros, "value")
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  /** r2 — backward as-of join (union-and-fill, one shuffle, no range
+    * cross product): each purchase picks up the user's latest view at or
+    * before it.
+    */
+  val asOfViewBeforePurchase = Query(
+    "r2_asof_view_before_purchase",
+    s"""$eventsUs,
+       |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+       |v AS (SELECT * FROM e WHERE event_type = 'view')
+       |SELECT p.event_id, p.user_id,
+       |       (SELECT v.event_id FROM v
+       |        WHERE v.user_id = p.user_id AND v.tus <= p.tus
+       |        ORDER BY v.tus DESC, v.event_id DESC LIMIT 1) AS view_event_id,
+       |       (SELECT v.value FROM v
+       |        WHERE v.user_id = p.user_id AND v.tus <= p.tus
+       |        ORDER BY v.tus DESC, v.event_id DESC LIMIT 1) AS view_value
+       |FROM p
+       |ORDER BY p.event_id""".stripMargin) { (spark, d) =>
+    val e = events(spark, d).withColumn("tus", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "tus")
+    val views = e.filter(col("event_type") === "view")
+      .select(
+        col("user_id"), col("tus"),
+        col("event_id").as("view_event_id"), col("value").as("view_value"))
+    AsOfJoin
+      .asOfBackward(
+        purchases, views, "user_id", "tus", "tus",
+        payload = Seq("view_event_id", "view_value"),
+        rightTiebreaker = "view_event_id")
+      .select("event_id", "user_id", "view_event_id", "view_value")
+      .orderBy(col("event_id"))
+  }
+
+  /** r3 — keyed window join: purchases by the same user within one hour
+    * after each click (left join so zero-conversion clicks survive).
+    */
+  val clickToPurchase = Query(
+    "r3_click_purchase_window",
+    s"""$eventsUs,
+       |c AS (SELECT * FROM e WHERE event_type = 'click'),
+       |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+       |SELECT c.event_id, COUNT(p.event_id) AS n_purchases
+       |FROM c LEFT JOIN p
+       |  ON p.user_id = c.user_id
+       | AND p.tus >= c.tus AND p.tus <= c.tus + $HourMicros
+       |GROUP BY c.event_id
+       |ORDER BY c.event_id""".stripMargin) { (spark, d) =>
+    val e = events(spark, d).withColumn("tus", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "tus")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"), col("tus").as("p_tus"),
+        col("event_id").as("p_event_id"))
+    RangeJoin
+      .keyedWindowJoin(
+        clicks, purchases, "user_id", "p_user_id", "tus", "p_tus",
+        HourMicros, "left_outer")
+      .groupBy(col("event_id"))
+      .agg(count(col("p_event_id")).as("n_purchases"))
+      .orderBy(col("event_id"))
+  }
+
+  /** r4 — key-less bucketed range join: error-burst pairs, a following
+    * error within 5 minutes anywhere in the system. The time-bucket equi
+    * key keeps the plan a hash join — Spark's native plan for a pure
+    * range predicate is a quadratic nested loop.
+    */
+  val errorBurstPairs = Query(
+    "r4_error_burst_pairs",
+    s"""$eventsUs,
+       |err AS (SELECT event_id, tus FROM e WHERE event_type = 'error')
+       |SELECT a.event_id AS a_id, b.event_id AS b_id
+       |FROM err a JOIN err b
+       |  ON b.tus >= a.tus AND b.tus <= a.tus + $BurstMicros
+       | AND a.event_id <> b.event_id
+       |ORDER BY a_id, b_id""".stripMargin) { (spark, d) =>
+    val err = events(spark, d)
+      .filter(col("event_type") === "error")
+      .withColumn("tus", unix_micros(col("ts")))
+    val a = err.select(col("event_id").as("a_id"), col("tus").as("a_tus"))
+    val b = err.select(col("event_id").as("b_id"), col("tus").as("b_tus"))
+    RangeJoin
+      .bucketedWindowJoin(a, b, "a_tus", "b_tus", BurstMicros)
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** r5 — deterministic stratified sample: per-language keep rates as a
+    * pure function of doc_id (md5 bucket), reproducible across engines,
+    * replays, and incremental loads.
+    */
+  val stratifiedSample = Query(
+    "r5_stratified_sample",
+    """SELECT doc_id, lang
+      |FROM documents
+      |WHERE CAST(concat('0x', substr(md5(concat('strat1:', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 100
+      |      < CASE WHEN lang = 'en' THEN 10 WHEN lang = 'zh' THEN 50 ELSE 25 END
+      |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    Sampling
+      .stratified(
+        documents(spark, d), "doc_id", "lang", "strat1",
+        Map("en" -> 10, "zh" -> 50), defaultPct = 25)
+      .select("doc_id", "lang")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Query] = Seq(
+    sessionStats, asOfViewBeforePurchase, clickToPurchase, errorBurstPairs,
+    stratifiedSample)
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit contracts for the temporal-relational operators: sessionization
+  * gap/tie rules, as-of inclusivity and tie-breaking, range-join bucket
+  * coverage, and sampling determinism/strata rates.
+  */
+class RelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 60L * 1000000L // one minute in micros
+
+  test("sessionize: gap strictly greater than threshold starts a new session") {
+    // user 1: events at 0, 10, 40, 70 min with 30-min gap → the 10→40
+    // and 40→70 gaps are exactly 30 min (NOT > gap) → one session.
+    // user 2: 0 then 31 min → two sessions.
+    val df = Seq(
+      (1L, 0L * M, 10L), (1L, 10L * M, 11L), (1L, 40L * M, 12L), (1L, 70L * M, 13L),
+      (2L, 0L * M, 20L), (2L, 31L * M, 21L)
+    ).toDF("user_id", "tus", "event_id")
+    val out = Sessionize.withSessionNo(df, "user_id", "tus", "event_id", 30L * M)
+      .select("user_id", "event_id", "session_no").as[(Long, Long, Long)]
+      .collect().sorted
+    assert(out.toSeq == Seq(
+      (1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 1L), (1L, 13L, 1L),
+      (2L, 20L, 1L), (2L, 21L, 2L)))
+  }
+
+  test("asOfBackward: inclusive at equal time, latest-then-tiebreaker wins, null before any right row") {
+    val left = Seq((1L, 100L, "a"), (1L, 50L, "b"), (2L, 10L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 100L, 7L), // equal time → visible
+      (1L, 100L, 9L), // same (k, t): larger tiebreaker wins
+      (1L, 40L, 1L),
+      (2L, 11L, 5L) // after left's t=10 → invisible
+    ).toDF("k", "rt", "payload_id")
+    val out = AsOfJoin
+      .asOfBackward(left, right, "k", "t", "rt", Seq("payload_id"), "payload_id")
+      .select("tag", "payload_id").as[(String, Option[Long])]
+      .collect().toMap
+    assert(out == Map("a" -> Some(9L), "b" -> Some(1L), "c" -> None))
+  }
+
+  test("bucketedWindowJoin finds pairs across bucket boundaries") {
+    // window 10: (95, 104) spans two buckets; (0, 11) is outside.
+    val a = Seq((1L, 95L), (2L, 0L)).toDF("a_id", "a_t")
+    val b = Seq((10L, 104L), (11L, 11L), (12L, 95L)).toDF("b_id", "b_t")
+    val out = RangeJoin.bucketedWindowJoin(a, b, "a_t", "b_t", 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (1L, 12L)))
+  }
+
+  test("stratified sampling is deterministic and respects per-stratum rates") {
+    val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val s1 = Sampling.stratified(docs, "id", "lang", "s", Map("en" -> 10, "zh" -> 50), 25)
+    val s2 = Sampling.stratified(docs, "id", "lang", "s", Map("en" -> 10, "zh" -> 50), 25)
+    val ids1 = s1.select("id").as[Long].collect().toSet
+    assert(ids1 == s2.select("id").as[Long].collect().toSet, "same salt → same sample")
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 1000 docs per stratum; md5 buckets are near-uniform.
+    assert(byLang("en") > 50 && byLang("en") < 160)
+    assert(byLang("zh") > 420 && byLang("zh") < 580)
+    // different salt → different sample
+    val ids3 = Sampling.stratified(docs, "id", "lang", "other", Map("en" -> 10, "zh" -> 50), 25)
+      .select("id").as[Long].collect().toSet
+    assert(ids1 != ids3)
+  }
+}
