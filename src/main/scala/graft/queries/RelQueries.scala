@@ -169,7 +169,24 @@ object RelQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** r6 — sketch aggregates: HLL++ distinct counts and quantile
+    * sketches per event type. Sketches are THE 100 TB cardinality tool
+    * (constant memory, map-side combinable, mergeable across
+    * partitions) but their estimates are implementation-defined, so
+    * this query is rows-only for the driver; `RelOpsSpec` pins the
+    * estimates to ≤5% relative error against the exact values.
+    */
+  val sketchProfile = Query.rowsOnly("r6_sketch_profile") { (spark, d) =>
+    events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        approx_count_distinct(col("event_id"), 0.01).as("approx_events"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("median_value_est"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Query] = Seq(
     sessionStats, asOfViewBeforePurchase, clickToPurchase, errorBurstPairs,
-    stratifiedSample)
+    stratifiedSample, sketchProfile)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.Exprs._
+import graft.text.TextOps
 
 /** Text-analysis / dedup battery over the `documents` table — the
   * training-data-pipeline operators (token counting, quality scoring,
@@ -160,5 +161,40 @@ object TextQueries {
       .orderBy($"lang")
   }
 
-  val all: Seq[Query] = Seq(tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile)
+  /** Top-3 terms per document by tf·idf with the exact-integer idf
+    * surrogate `(N·10^6) div df` — see TextOps.tfIdfTopTerms for why
+    * `ln` is avoided (last-ulp engine divergence would break bit-exact
+    * verification).
+    */
+  val tfIdfTerms = Query(
+    "t7_tfidf_top_terms",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM toks WHERE term <> '' GROUP BY doc_id, term
+      |),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf * ((n.n * 1000000) // dfreq.df) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      |),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, term) AS rn
+      |  FROM scored
+      |)
+      |SELECT doc_id, term, score FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, score DESC, term""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val docs = documents(spark, d)
+    TextOps.tfIdfTopTerms(docs, "doc_id", "text", nDocs = docs.count(), k = 3)
+      .orderBy($"doc_id", $"score".desc, $"term")
+  }
+
+  val all: Seq[Query] =
+    Seq(tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile, tfIdfTerms)
 }

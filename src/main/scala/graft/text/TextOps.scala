@@ -75,6 +75,43 @@ object TextOps {
     aggregate(terms, lit(0L), (acc, t) => (acc + t) % P)
   }
 
+  /** Top-k terms per document by tf·idf with an exact-integer idf
+    * surrogate: `score = tf · ((N · 10^6) div df)`. The scaled integer
+    * division preserves the idf ordering (monotone in N/df) while
+    * keeping every value in exact int64 — `ln` would make the score
+    * engine-dependent in the last ulp and break bit-exact verification.
+    *
+    * Scale shape: one shuffle to (doc, term) counts; document frequency
+    * is a second map-side-combinable aggregate over the term key; the
+    * per-doc top-k is a bounded window. `nDocs` is passed in (a count
+    * the caller typically already has) so the plan stays action-free.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nDocs: Long,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df from the tf relation: one row per (doc, term) already → a
+    // plain count per term, no countDistinct shuffle needed.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(df, "term")
+      .withColumn("score", col("tf") * expr(s"(${nDocs}000000L div df)"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("score"))
+  }
+
   /** Full per-document profile in one pass. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

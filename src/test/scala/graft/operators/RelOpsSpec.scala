@@ -53,6 +53,25 @@ class RelOpsSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (1L, 12L)))
   }
 
+  test("sketch aggregates stay within 5% of exact on the sf0.001 events table") {
+    val d = "/root/testdata/sf0.001"
+    val approx = graft.queries.RelQueries.sketchProfile.build(spark, d)
+      .select("event_type", "approx_users", "approx_events")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("u"),
+        countDistinct(col("event_id")).as("e"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (u, e)) =>
+      val (au, ae) = approx(k)
+      assert(math.abs(au - u).toDouble / u <= 0.05, s"$k users: $au vs $u")
+      assert(math.abs(ae - e).toDouble / e <= 0.05, s"$k events: $ae vs $e")
+    }
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("id", "lang")
