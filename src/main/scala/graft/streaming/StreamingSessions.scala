@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization via `flatMapGroupsWithState` — the
+  * live counterpart of the batch `operators.Sessionize` replay, with
+  * identical session semantics (a session closes when the gap to the
+  * next event exceeds `gapMicros`; gap exactly equal does NOT close).
+  *
+  * State model: one `OpenSession` per user, keyed by the group. A
+  * micro-batch's events for a user are sorted inside the function
+  * (bounded by trigger size, not by history). Sessions are emitted when
+  *  - a later event arrives past the gap (closed by data), or
+  *  - the event-time watermark passes last_event + gap (closed by
+  *    timeout) — so output lag is bounded by the watermark delay even
+  *    for users who simply stop.
+  *
+  * Scale shape: state is O(active users), not O(events) — each group
+  * holds one fixed-size struct, and the state store shards by the
+  * group key across executors. Money totals accumulate in integer
+  * cents (exact, replay-stable), widened to double only on emit.
+  */
+object StreamingSessions {
+
+  /** `ts` carries the watermark through the typed projection (the
+    * event-time-timeout checker requires a watermarked column to
+    * survive into the stateful operator's input); the logic itself
+    * runs on the exact integer `tus`.
+    */
+  case class SessionEvent(
+      user_id: Long, tus: Long, event_id: Long, value: Double,
+      ts: java.sql.Timestamp)
+
+  case class OpenSession(
+      sessionStart: Long,
+      lastTus: Long,
+      nEvents: Long,
+      totalCents: Long)
+
+  case class ClosedSession(
+      user_id: Long,
+      session_start: Long,
+      session_end: Long,
+      n_events: Long,
+      total_value: Double)
+
+  private def close(userId: Long, s: OpenSession): ClosedSession =
+    ClosedSession(userId, s.sessionStart, s.lastTus, s.nEvents, s.totalCents / 100.0)
+
+  private def fold(userId: Long, gapMicros: Long)(
+      state: Option[OpenSession],
+      events: Seq[SessionEvent]): (Seq[ClosedSession], Option[OpenSession]) =
+    events.foldLeft((Seq.empty[ClosedSession], state)) {
+      case ((closed, None), e) =>
+        (closed, Some(OpenSession(e.tus, e.tus, 1L, math.round(e.value * 100))))
+      case ((closed, Some(s)), e) if e.tus - s.lastTus > gapMicros =>
+        (closed :+ close(userId, s),
+          Some(OpenSession(e.tus, e.tus, 1L, math.round(e.value * 100))))
+      case ((closed, Some(s)), e) =>
+        (closed, Some(s.copy(
+          lastTus = math.max(s.lastTus, e.tus),
+          nEvents = s.nEvents + 1L,
+          totalCents = s.totalCents + math.round(e.value * 100))))
+    }
+
+  /** The flatMapGroupsWithState function. Public for direct unit
+    * testing of the state transitions.
+    */
+  def sessionFunc(gapMicros: Long)(
+      userId: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      // Watermark passed lastTus + gap with no new events: flush.
+      val out = state.getOption.map(close(userId, _)).iterator
+      state.remove()
+      out
+    } else {
+      val sorted = events.toSeq.sortBy(e => (e.tus, e.event_id))
+      val (closed, open) = fold(userId, gapMicros)(state.getOption, sorted)
+      open match {
+        case Some(s) =>
+          state.update(s)
+          // Event-time timeout fires once the watermark passes this.
+          // Clamped above the current watermark: with a watermark delay
+          // longer than the gap, a late-but-accepted event can have
+          // lastTus + gap already behind the watermark, and Spark
+          // rejects a timeout in the past (the session then flushes on
+          // the next trigger instead).
+          state.setTimeoutTimestamp(math.max(
+            (s.lastTus + gapMicros) / 1000L + 1L,
+            state.getCurrentWatermarkMs() + 1L))
+        case None => state.remove()
+      }
+      closed.iterator
+    }
+  }
+
+  /** Wire the operator onto a stream of events. `events` must carry
+    * (user_id, ts: timestamp, event_id, value); the watermark delay
+    * bounds both late data and session-flush lag.
+    */
+  def sessionize(
+      events: DataFrame,
+      gapMicros: Long,
+      watermarkDelay: String = "1 hour"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tus"),
+        col("event_id").cast("long"),
+        col("value").cast("double"),
+        col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFunc(gapMicros))
+  }
+}
