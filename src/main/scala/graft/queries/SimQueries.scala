@@ -140,6 +140,70 @@ object SimQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** Full IVF multi-probe ANN: label-bucket centroids as the coarse
+    * quantizer, each query probes its 2 nearest lists, top-3 within the
+    * probed candidates. Same determinism contract as e1/e3 (rank on the
+    * 6-dp-rounded cosine, id tiebreakers).
+    */
+  val ivfKnn = Query(
+    "e5_ivf_knn",
+    """WITH ev AS (
+      |  SELECT vec_id, label,
+      |         generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |),
+      |cent AS (
+      |  SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i
+      |),
+      |q AS (SELECT * FROM ev WHERE vec_id < 10),
+      |qdots AS (
+      |  SELECT q.vec_id AS qid, cent.label,
+      |         SUM(q.v * cent.c) AS dot,
+      |         SUM(q.v * q.v) AS qq,
+      |         SUM(cent.c * cent.c) AS cc
+      |  FROM q JOIN cent ON q.i = cent.i
+      |  GROUP BY qid, cent.label
+      |),
+      |probes AS (
+      |  SELECT qid, label FROM (
+      |    SELECT qid, label,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+      |    FROM qdots)
+      |  WHERE pr <= 2
+      |),
+      |bdots AS (
+      |  SELECT p.qid, b.vec_id AS bid,
+      |         SUM(qv.v * b.v) AS dot,
+      |         SUM(qv.v * qv.v) AS qq,
+      |         SUM(b.v * b.v) AS bb
+      |  FROM probes p
+      |  JOIN ev b ON b.label = p.label
+      |  JOIN q qv ON qv.vec_id = p.qid AND qv.i = b.i
+      |  WHERE b.vec_id <> p.qid
+      |  GROUP BY p.qid, b.vec_id
+      |),
+      |ranked AS (
+      |  SELECT qid, bid,
+      |         round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank
+      |  FROM bdots
+      |)
+      |SELECT qid, rank, bid, cosine FROM ranked WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val emb = embeddings(spark, d)
+    graft.similarity.Ann
+      .ivfTopK(
+        corpus = emb.select($"vec_id", $"label", $"embedding"),
+        queries = emb.filter($"vec_id" < 10),
+        idCol = "vec_id", vecCol = "embedding", listCol = "label",
+        k = 3, nprobe = 2)
+      .orderBy($"qid", $"rank")
+  }
+
   /** A11/A12/P15 — market basket: set-valued baskets (collect_set, the
     * reference's TransactionEncoder collapses duplicates —
     * `cumulative_report.py:140-142`) → FP-Growth → association rules
@@ -168,5 +232,5 @@ object SimQueries {
       .orderBy($"lift".desc, $"antecedent", $"consequent")
   }
 
-  val all: Seq[Query] = Seq(knnBrute, labelCentroids, bucketedKnn, basketRules)
+  val all: Seq[Query] = Seq(knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn)
 }

@@ -98,6 +98,45 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col(bucketCol), transform(col("pc"), x => x.getField("c")).as("centroid"))
 
+  /** Full IVF search path: each query probes its `nprobe` nearest
+    * centroid lists, then ranks candidates drawn ONLY from those lists.
+    * This is the complete coarse-quantizer ANN: per-query cost is
+    * nprobe × (corpus / numLists) instead of the corpus — the recall /
+    * cost dial every large-scale vector store exposes.
+    *
+    * Scale shape: the centroid table is tiny (numLists rows) and
+    * broadcast; the probe assignment is a narrow map over queries; the
+    * candidate join shuffles on the list id, so each list's vectors
+    * co-locate with the queries probing them.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, listCol, vecCol)
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col(listCol))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(
+        col("qid"), col("qv"), col(listCol),
+        round(cosine(col("qv"), col("centroid")), 6).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col(listCol))
+    val b = corpus.select(col(idCol).as("bid"), col(listCol), col(vecCol).as("bv"))
+    rank(
+      probes.join(b, listCol)
+        .filter(col("qid") =!= col("bid"))
+        .select(col("qid"), col("bid"), round(cosine(col("qv"), col("bv")), 6).as("cosine")),
+      k)
+  }
+
   /** Assign each vector to its nearest centroid (by cosine) — the other
     * half of an IVF build / k-means iteration.
     */
