@@ -195,6 +195,43 @@ object TextQueries {
       .orderBy($"doc_id", $"score".desc, $"term")
   }
 
-  val all: Seq[Query] =
-    Seq(tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile, tfIdfTerms)
+  /** Capstone: the composed curation pipeline (dedup → quality gate →
+    * deterministic sample) with a per-language token-budget summary —
+    * what a pre-training data run actually asks of the corpus layer.
+    */
+  val curationBudget = Query(
+    "t8_curation_budget",
+    """WITH canon AS (
+      |  SELECT doc_id, lang, text,
+      |         MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id
+      |  FROM documents
+      |),
+      |kept AS (
+      |  SELECT doc_id, lang,
+      |         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+      |  FROM canon
+      |  WHERE doc_id = canonical_id
+      |    AND (length(text) - length(replace(text, ' ', '')) + 1) >= 30
+      |    AND len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |        / (length(text) - length(replace(text, ' ', '')) + 1) < 0.2
+      |    AND CAST(concat('0x', substr(md5(concat('cur1:', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 100 < 50
+      |)
+      |SELECT lang,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      |FROM kept
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    TextOps.curate(documents(spark, d), "doc_id", "text")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount($"text")).as("total_tokens"))
+      .orderBy($"lang")
+  }
+
+  val all: Seq[Query] = Seq(
+    tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
+    tfIdfTerms, curationBudget)
 }

@@ -112,6 +112,31 @@ object TextOps {
       .select(col(idCol), col("term"), col("score"))
   }
 
+  /** Composed corpus-curation pass — the canonical training-data
+    * pipeline: exact dedup (keep the min-id canonical per content
+    * fingerprint) → quality gate → deterministic hash sample. One
+    * shuffle total (the fingerprint window); the quality gate and the
+    * sample are narrow filters layered on the same scan, so at 100 TB
+    * this is a single exchange over the corpus.
+    */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 30,
+      maxStopRatio: Double = 0.2,
+      samplePct: Int = 50,
+      salt: String = "cur1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("__fp", md5(lower(col(textCol))))
+      .withColumn("__canon", min(col(idCol)).over(Window.partitionBy(col("__fp"))))
+      .filter(col(idCol) === col("__canon"))
+      .filter(qualityFlag(col(textCol), minTokens, maxStopRatio) === 1L)
+      .filter(graft.operators.Sampling.bucket(col(idCol), salt) < samplePct)
+      .drop("__fp", "__canon")
+  }
+
   /** Full per-document profile in one pass. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
