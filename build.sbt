@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 task threads in ONE JVM: shuffle buffers, cached
+  // LSH signatures, and FP-Growth trees all share this heap. 8g is
+  // GC-bound at sf0.1 (bench times for cache-heavy queries swing 3x);
+  // the bench host has 128 GiB, so size the driver like the single
+  // executor it actually is.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -14,7 +14,9 @@ object PlanCheck {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("a3_pricing_summary", "j1_region_revenue", "v1_dedup_latest_event",
-        "w2_regex_filter", "t1_token_stats", "e3_bucketed_knn")
+        "w2_regex_filter", "t1_token_stats", "e3_bucketed_knn",
+        "r1_session_stats", "r2_asof_view_before_purchase", "r4_error_burst_pairs",
+        "t7_tfidf_top_terms", "t8_curation_budget", "e5_ivf_knn")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -31,7 +31,9 @@ object MarketBasket {
       .setItemsCol("items")
       .setMinSupport(minSupport)
       .setMinConfidence(0.0)
-    val model = fp.fit(baskets(df))
+    // FPGrowth.fit scans its input twice (support count + tree build);
+    // uncached, each pass would re-run the basket shuffle.
+    val model = fp.fit(baskets(df).cache())
     model.associationRules
       .filter(col("lift") >= minLift)
       .select(
@@ -45,7 +47,7 @@ object MarketBasket {
 
   /** Frequent itemsets ≥ min_support (the Apriori half of the contract). */
   def frequentItemsets(df: DataFrame, minSupport: Double = 0.01): DataFrame = {
-    val b = baskets(df)
+    val b = baskets(df).cache() // count + FPGrowth's two passes
     val n = b.count()
     val fp = new FPGrowth().setItemsCol("items").setMinSupport(minSupport)
     fp.fit(b).freqItemsets

@@ -216,6 +216,7 @@ object SimQueries {
       .join(broadcast(part(spark, d)), $"l_partkey" === $"p_partkey")
       .groupBy($"l_orderkey")
       .agg(collect_set($"p_brand").as("items"))
+      .cache() // FPGrowth.fit scans twice; don't re-shuffle per pass
     val fp = new org.apache.spark.ml.fpm.FPGrowth()
       .setItemsCol("items")
       .setMinSupport(0.05)
