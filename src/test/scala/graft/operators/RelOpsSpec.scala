@@ -53,6 +53,64 @@ class RelOpsSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (1L, 12L)))
   }
 
+  test("property: sessionize agrees with an in-memory reference fold on random event sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genEvents = Gen.listOfN(120, for {
+      u <- Gen.choose(1L, 5L)
+      t <- Gen.choose(0L, 200L) // minutes; gap threshold 10 min
+    } yield (u, t * M))
+    (1 to 5).foreach { i =>
+      val raw = genEvents.apply(Gen.Parameters.default, Seed(7L + i)).get
+        .zipWithIndex.map { case ((u, t), id) => (u, t, id.toLong) }
+      val out = Sessionize
+        .withSessionNo(raw.toDF("user_id", "tus", "event_id"), "user_id", "tus", "event_id", 10L * M)
+        .select("user_id", "event_id", "session_no").as[(Long, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      // Reference: per user, sort by (tus, event_id), fold gaps.
+      val expected = raw.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        var s = 0L; var prev = Long.MinValue
+        sorted.map { case (_, t, id) =>
+          if (prev == Long.MinValue || t - prev > 10L * M) s += 1
+          prev = t
+          (u, id) -> s
+        }
+      }.toMap
+      assert(out == expected)
+      // Every event lands in exactly one session.
+      assert(out.size == raw.size)
+    }
+  }
+
+  test("property: asOfBackward agrees with an in-memory reference on random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genLeft = Gen.listOfN(60, for {
+      k <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 100L)
+    } yield (k, t))
+    val genRight = Gen.listOfN(60, for {
+      k <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 100L)
+    } yield (k, t))
+    (1 to 5).foreach { i =>
+      val ls = genLeft.apply(Gen.Parameters.default, Seed(11L + i)).get
+        .zipWithIndex.map { case ((k, t), id) => (k, t, id.toLong) }
+      val rs = genRight.apply(Gen.Parameters.default, Seed(101L + i)).get
+        .zipWithIndex.map { case ((k, t), id) => (k, t, 1000L + id) }
+      val out = AsOfJoin
+        .asOfBackward(
+          ls.toDF("k", "t", "lid"),
+          rs.toDF("k", "rt", "rid"),
+          "k", "t", "rt", Seq("rid"), "rid")
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      val expected = ls.map { case (k, t, lid) =>
+        val cand = rs.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (cand.isEmpty) None else Some(cand.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(out == expected)
+    }
+  }
+
   test("sketch aggregates stay within 5% of exact on the sf0.001 events table") {
     val d = "/root/testdata/sf0.001"
     val approx = graft.queries.RelQueries.sketchProfile.build(spark, d)
