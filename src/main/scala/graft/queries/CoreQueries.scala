@@ -464,9 +464,63 @@ object CoreQueries {
       .orderBy($"window_start")
   }
 
+  /** NTILE decile bucketing — quantile bins as a window over a total
+    * order (deterministic: the ORDER BY includes the unique key).
+    * Summarized per decile so the gate output is compact.
+    */
+  val ntileDeciles = Query(
+    "a15_ntile_deciles",
+    """SELECT decile, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT o_totalprice,
+      |         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders
+      |)
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    // A global NTILE is single-partition by construction; it is applied
+    // here to a table whose per-row payload is two columns, and at
+    // cluster scale the same decile cut would come from approx
+    // percentile boundaries + a broadcast range join instead.
+    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+    orders(spark, d)
+      .select($"o_totalprice", ntile(10).over(w).cast("long").as("decile"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
+      .orderBy($"decile")
+  }
+
+  /** ROLLUP hierarchical aggregation: (status, priority) → status →
+    * grand total in one pass — Spark and DuckDB share the grouping-set
+    * semantics; NULL group keys are emitted as sentinel strings so the
+    * hash compare is unambiguous.
+    */
+  val rollupRevenue = Query(
+    "a16_rollup_revenue",
+    """SELECT COALESCE(o_orderstatus, '<all>') AS status,
+      |       COALESCE(o_orderpriority, '<all>') AS priority,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    orders(spark, d)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("<all>")).as("status"),
+        coalesce($"o_orderpriority", lit("<all>")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
   val all: Seq[Query] = Seq(
     topParts, segmentOrders, pricingSummary, globalKpis, avgMonthlyRevenue,
     pivotStatus, dedupLatestEvent, pctOfGroup, priorityBucket, regexFilter,
     dowDomainFill, timeSlots, regionRevenue, unionDistinctUsers, modifierParse,
-    jsonProps, saltedJoin, sqlSurface, windowedRevenue)
+    jsonProps, saltedJoin, sqlSurface, windowedRevenue, ntileDeciles,
+    rollupRevenue)
 }
