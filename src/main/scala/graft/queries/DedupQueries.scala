@@ -83,6 +83,31 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Fuzzy record linkage: within-brand part-name pairs at edit
+    * distance ≤ 2. `levenshtein` is exact integer in both engines; the
+    * brand block bounds the candidate pairs (the same blocking idea the
+    * LSH band join uses — never all-pairs).
+    */
+  val fuzzyNamePairs = Query(
+    "d1_fuzzy_name_pairs",
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |       levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a
+      |JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY key_a, key_b""".stripMargin) { (spark, d) =>
+    val p = graft.Tables.part(spark, d)
+    val a = p.select(col("p_partkey").as("key_a"), col("p_brand"), col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_brand"), col("p_name").as("name_b"))
+    a.join(b, "p_brand")
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("key_a"), col("key_b"), col("dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   /** SimHash fingerprints (exact 28-bit integer pipeline). */
   val simhashFingerprints = Query(
     "m3_simhash_fingerprints", {
@@ -244,5 +269,5 @@ object DedupQueries {
 
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
-    mediaDecode, mediaFeatures, textProfile, embeddingNearDup)
+    mediaDecode, mediaFeatures, textProfile, embeddingNearDup, fuzzyNamePairs)
 }
