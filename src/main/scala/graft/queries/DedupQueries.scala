@@ -102,6 +102,11 @@ object DedupQueries {
     val b = p.select(col("p_partkey").as("key_b"), col("p_brand"), col("p_name").as("name_b"))
     a.join(b, "p_brand")
       .filter(col("key_a") < col("key_b"))
+      // Length banding: |len(a)-len(b)| <= t is implied by edit distance
+      // <= t, so this filter is semantically redundant — but it prunes
+      // most candidates with a 2-int comparison before the O(n*m)
+      // levenshtein runs (standard record-linkage banding).
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 2)
       .select(col("key_a"), col("key_b"), col("dist"))
