@@ -112,8 +112,13 @@ object DedupQueries {
     a.join(b, "p_brand")
       .filter(col("key_a") < col("key_b"))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 2)
+      // Threshold-bounded levenshtein: banded O(n·t) DP that bails out
+      // at distance > 2 (returns -1) instead of the full O(n·m) matrix;
+      // values for surviving pairs are identical to the unbounded form,
+      // so the oracle SQL is unchanged.
+      .withColumn(
+        "dist", levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
       .select(col("key_a"), col("key_b"), col("dist"))
       .orderBy(col("key_a"), col("key_b"))
   }
