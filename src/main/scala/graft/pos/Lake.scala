@@ -55,8 +55,20 @@ object Lake {
       .mode("append")
       .parquet(root)
 
-  def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(root)
+  /** Reads with an explicit schema so the Hive partition VALUES stay
+    * strings: inference would turn `month=07` into int 7, and any
+    * write-back (merge, compaction) would then create a DIFFERENT
+    * `month=7` directory instead of overwriting the original partition.
+    * The reference's Athena table also surfaces year/month as strings
+    * (`monthly_report.py:61-63`).
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val withPartitions = org.apache.spark.sql.types.StructType(
+      Schemas.curated.fields ++ Schemas.partitionKeys.map(k =>
+        org.apache.spark.sql.types.StructField(
+          k, org.apache.spark.sql.types.StringType)))
+    spark.read.schema(withPartitions).parquet(root)
+  }
 
   /** K2 — CSV snapshot sink (reference `load.py:18-28`). */
   def writeCsv(df: DataFrame, path: String): Unit =

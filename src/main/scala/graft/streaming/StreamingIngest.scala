@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.pos.{Schemas, Transform}
@@ -110,6 +110,62 @@ object StreamingIngest {
       .partitionBy(Schemas.partitionKeys: _*)
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
+      .start()
+  }
+
+  /** Continuous merge-upsert into the lake via foreachBatch — the
+    * streaming form of the K5(b) compaction: each micro-batch is
+    * unioned with the existing rows of ONLY its affected months
+    * (left-semi prune), deduplicated (newest wins), and dynamically
+    * overwrites just those partitions.
+    *
+    * Delivery contract: foreachBatch replays a batch after a crash, so
+    * the sink must be idempotent — and this merge is: re-running the
+    * union+dedup+overwrite of the same batch yields byte-identical
+    * partitions. The existing-rows read is `localCheckpoint`ed to cut
+    * its lineage; otherwise the write plan would read the same path it
+    * overwrites, which Spark rejects.
+    */
+  def toLakeMerged(
+      spark: SparkSession,
+      dropDir: String,
+      lakeRoot: String,
+      checkpoint: String): StreamingQuery = {
+    val curated = Transform.run(rawStream(spark, dropDir))
+      .withColumn("year", date_format(col("shifted_time"), "yyyy"))
+      .withColumn("month", date_format(col("shifted_time"), "MM"))
+    curated.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val ss = batch.sparkSession
+        val lakeExists = new java.io.File(lakeRoot).exists()
+        val combined =
+          if (!lakeExists) batch
+          else {
+            val affected = batch.select("year", "month").distinct()
+            val existing = graft.pos.Lake.read(ss, lakeRoot)
+              .join(broadcast(affected), Seq("year", "month"), "left_semi")
+              .localCheckpoint(true)
+            batch.unionByName(existing)
+          }
+        val prev = ss.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          graft.pos.Analytics.dedupLatest(combined)
+            .repartition(col("year"), col("month"))
+            .write
+            .partitionBy(graft.pos.Schemas.partitionKeys: _*)
+            .mode("overwrite")
+            .parquet(lakeRoot)
+        } finally {
+          prev match {
+            case Some(v) => ss.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => ss.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
       .start()
   }
 

@@ -40,6 +40,31 @@ class StreamingSpec extends SparkSpec {
     assert(after.select("year", "month").distinct().count() === 2)
   }
 
+  test("foreachBatch merge-upsert: re-sent receipts replace, not duplicate") {
+    val dir = Files.createTempDirectory("streamm")
+    val drop = dir.resolve("drop"); Files.createDirectories(drop)
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+
+    Files.writeString(drop.resolve("b1.jsonl"),
+      receiptLine("r1", "2025-07-01T10:00:00Z", "Burger", 100.0) + "\n" +
+        receiptLine("r2", "2025-07-02T11:00:00Z", "Fries", 50.0) + "\n")
+    StreamingIngest.toLakeMerged(spark, drop.toString, lake, ckpt).awaitTermination(60000)
+    assert(Lake.read(spark, lake).count() === 2)
+
+    // r1/Burger re-sent with a corrected price and a later timestamp:
+    // the merge must REPLACE the old row (append would leave 3 rows and
+    // defer dedup to read time).
+    Files.writeString(drop.resolve("b2.jsonl"),
+      receiptLine("r1", "2025-07-01T12:30:00Z", "Burger", 120.0) + "\n")
+    StreamingIngest.toLakeMerged(spark, drop.toString, lake, ckpt).awaitTermination(60000)
+
+    val rows = Lake.read(spark, lake)
+    assert(rows.count() === 2, "merged, not appended")
+    val r1 = rows.filter(org.apache.spark.sql.functions.col("receipt_number") === "r1").collect().head
+    assert(r1.getAs[Double]("price") === 120.0, "newest row won")
+  }
+
   test("corrupt-record quarantine: bad lines captured, good rows curated") {
     val dir = Files.createTempDirectory("streamq")
     val drop = dir.resolve("drop"); Files.createDirectories(drop)
