@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Time-range joins that never fall back to BroadcastNestedLoopJoin.
@@ -57,10 +57,15 @@ object RangeJoin {
       leftTimeMicros: String,
       rightTimeMicros: String,
       windowMicros: Long): DataFrame = {
-    val lb = floor(col(leftTimeMicros) / windowMicros).cast("long")
+    // Exact integer floor division: (t - pmod(t, w)) is divisible by w,
+    // so DIV is exact for ALL long inputs — floor(t / w) on doubles
+    // loses exactness past 2^53, where a 0.5-ulp error could cross a
+    // bucket boundary and drop a matching pair.
+    def bucket(timeCol: String): Column =
+      expr(s"CAST(($timeCol - pmod($timeCol, ${windowMicros}L)) DIV ${windowMicros}L AS LONG)")
+    val lb = bucket(leftTimeMicros)
     val leftB = left.withColumn("__b", explode(array(lb, lb + 1)))
-    val rightB = right.withColumn(
-      "__b", floor(col(rightTimeMicros) / windowMicros).cast("long"))
+    val rightB = right.withColumn("__b", bucket(rightTimeMicros))
     leftB
       .join(rightB, "__b")
       .filter(

@@ -32,8 +32,13 @@ object MarketBasket {
       .setMinSupport(minSupport)
       .setMinConfidence(0.0)
     // FPGrowth.fit scans its input twice (support count + tree build);
-    // uncached, each pass would re-run the basket shuffle.
-    val model = fp.fit(baskets(df).cache())
+    // uncached, each pass would re-run the basket shuffle. fit
+    // materializes the frequent itemsets, so the basket cache can be
+    // dropped immediately after — downstream rule generation reads only
+    // the model, and leaving it pinned would accumulate across a full
+    // verify/bench run.
+    val b = baskets(df).cache()
+    val model = try fp.fit(b) finally b.unpersist()
     model.associationRules
       .filter(col("lift") >= minLift)
       .select(
@@ -50,7 +55,8 @@ object MarketBasket {
     val b = baskets(df).cache() // count + FPGrowth's two passes
     val n = b.count()
     val fp = new FPGrowth().setItemsCol("items").setMinSupport(minSupport)
-    fp.fit(b).freqItemsets
+    val model = try fp.fit(b) finally b.unpersist() // itemsets live in the model
+    model.freqItemsets
       .withColumn("support", col("freq") / lit(n.toDouble))
       .select(col("items"), col("support"), col("freq"))
       .orderBy(col("support").desc)

@@ -494,13 +494,18 @@ object CoreQueries {
 
   /** ROLLUP hierarchical aggregation: (status, priority) → status →
     * grand total in one pass — Spark and DuckDB share the grouping-set
-    * semantics; NULL group keys are emitted as sentinel strings so the
-    * hash compare is unambiguous.
+    * semantics. Subtotal rows are labeled via GROUPING(col), not
+    * COALESCE: a data NULL and a rollup NULL stay distinguishable, so
+    * this template is safe on nullable group keys (COALESCE would
+    * collide them into duplicate '<all>' keys with engine-dependent
+    * order).
     */
   val rollupRevenue = Query(
     "a16_rollup_revenue",
-    """SELECT COALESCE(o_orderstatus, '<all>') AS status,
-      |       COALESCE(o_orderpriority, '<all>') AS priority,
+    """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>'
+      |            ELSE o_orderstatus END AS status,
+      |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>'
+      |            ELSE o_orderpriority END AS priority,
       |       COUNT(*) AS n,
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders
@@ -509,10 +514,13 @@ object CoreQueries {
     import spark.implicits._
     orders(spark, d)
       .rollup($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
+      .agg(
+        count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"),
+        grouping($"o_orderstatus").as("g_status"),
+        grouping($"o_orderpriority").as("g_priority"))
       .select(
-        coalesce($"o_orderstatus", lit("<all>")).as("status"),
-        coalesce($"o_orderpriority", lit("<all>")).as("priority"),
+        when($"g_status" === 1, "<all>").otherwise($"o_orderstatus").as("status"),
+        when($"g_priority" === 1, "<all>").otherwise($"o_orderpriority").as("priority"),
         $"n", $"total")
       .orderBy($"status", $"priority")
   }

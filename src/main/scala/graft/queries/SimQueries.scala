@@ -221,7 +221,9 @@ object SimQueries {
       .setItemsCol("items")
       .setMinSupport(0.05)
       .setMinConfidence(0.0)
-    val model = fp.fit(baskets)
+    // fit materializes the itemsets into the model; drop the basket
+    // cache so it doesn't accumulate across a full verify/bench run.
+    val model = try fp.fit(baskets) finally baskets.unpersist()
     model.associationRules
       .filter($"lift" >= 0.5)
       .select(

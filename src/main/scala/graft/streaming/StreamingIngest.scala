@@ -150,7 +150,14 @@ object StreamingIngest {
         val prev = ss.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try {
-          graft.pos.Analytics.dedupLatest(combined)
+          // Deterministic tiebreakers (same as the P19 read-side dedup):
+          // two rows tying on (receipt_number, item_name, shifted_time) —
+          // e.g. a correction re-sent with the same timestamp — would
+          // otherwise get an arbitrary ROW_NUMBER winner, breaking the
+          // byte-identical-replay contract across Spark versions.
+          graft.pos.Analytics.dedupLatest(
+            combined,
+            Seq(col("price").desc, coalesce(col("modifiers"), lit("")).desc))
             .repartition(col("year"), col("month"))
             .write
             .partitionBy(graft.pos.Schemas.partitionKeys: _*)

@@ -5,9 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming sessionization via `flatMapGroupsWithState` — the
-  * live counterpart of the batch `operators.Sessionize` replay, with
-  * identical session semantics (a session closes when the gap to the
-  * next event exceeds `gapMicros`; gap exactly equal does NOT close).
+  * live counterpart of the batch `operators.Sessionize` replay. Session
+  * semantics (a session closes when the gap to the next event exceeds
+  * `gapMicros`; gap exactly equal does NOT close) are identical to the
+  * batch operator for in-order data. Late data bounded by the watermark
+  * can diverge from a batch replay: an event arriving after its session
+  * was timeout-flushed starts a fresh session (batch would have extended
+  * it), and a late event older than the open session's start does not
+  * lower sessionStart (batch would merge). Both divergences are bounded
+  * by the watermark delay.
   *
   * State model: one `OpenSession` per user, keyed by the group. A
   * micro-batch's events for a user are sorted inside the function
