@@ -8,12 +8,12 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus batch decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The decode kernels are STUBS (no image/audio codecs in this
-  * container): each is a clearly-marked deterministic fake that consumes
-  * real bytes and produces a real, schema-correct output — the Spark-side
-  * plumbing (schema, batching, partitioning, output shape) is real and
-  * tested. On a production cluster the stub body is replaced by the codec
-  * call (JNI/ffmpeg/javax.imageio); nothing else changes.
+  * The image path is REAL: payloads are genuine PNG files and the decode
+  * operators parse them with [[ImageCodec]] (magic-byte sniff, IHDR/SOF
+  * header parse, full inflate + unfilter raster decode) — no stubs. The
+  * model-inference feature kernel and the video demux remain documented
+  * deterministic stands-in (no accelerator / media demuxer in scope);
+  * their Spark-side batching contract is the real part.
   *
   * Scale: operators run per-partition over an iterator (the Scala analog
   * of mapInPandas batching) — no per-row task overhead, constant memory,
@@ -31,10 +31,37 @@ object Multimodal {
       StructField("mime", StringType),
       StructField("n_bytes", LongType))))))
 
-  /** Wrap a text corpus into media rows (UTF-8 payload) — a deterministic
-    * way to exercise the binary plumbing against the `documents` table.
+  /** Deterministic image geometry for the synthetic corpus: every
+    * derived quantity is a pure function of doc_id, so a SQL oracle can
+    * predict headers and pixel statistics without decoding anything.
     */
-  def fromDocuments(docs: DataFrame): DataFrame =
+  private[multimodal] def imgWidth(docId: Long): Int = (8 + docId % 24).toInt
+  private[multimodal] def imgHeight(docId: Long): Int = (8 + (docId * 3) % 24).toInt
+  private[multimodal] def imgPixel(docId: Long)(x: Int, y: Int): Int =
+    ((x + y + docId) % 256).toInt
+
+  /** Wrap a document corpus into media rows whose payloads are REAL
+    * encoded PNGs (8-bit grayscale, dimensions and gradient raster
+    * derived from doc_id). Encoding runs per-partition on executors;
+    * the driver never sees a payload.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val srcIdx = docs.schema.fieldIndex("source")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val png = ImageCodec.encodeGrayPng(imgWidth(id), imgHeight(id), imgPixel(id))
+        Row(id, "image", png, Row(r.getString(srcIdx), "image/png", png.length.toLong))
+      }
+    }
+  }
+
+  /** Text-payload variant (UTF-8 bytes labeled as opaque media) — feeds
+    * the stub kernels' batching specs and the frame-sampling stand-in.
+    */
+  def fromText(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("asset_id"),
       lit("image").as("media_type"),
@@ -44,16 +71,65 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB image decode: width/height/channels derived deterministically
-    * from the payload bytes (a real decoder reads the header the same
-    * way; same signature, same output schema).
+  /** Decode pass: parses each payload's real header (PNG IHDR or JPEG
+    * SOF via [[ImageCodec.decodeHeader]]) and adds (width, height,
+    * channels); undecodable payloads yield -1s rather than failing the
+    * batch. Batched per-partition; the payload column is pruned from the
+    * output.
     */
-  private[multimodal] def decodeStub(content: Array[Byte]): (Int, Int, Int) = {
-    // ??? real codec goes here — deterministic fake below.
-    val n = content.length
-    val w = 16 + (if (n > 0) (content(0) & 0x7f) else 0)
-    val h = 16 + (if (n > 1) (content(1) & 0x7f) else 0)
-    (w, h, 3)
+  def decodeImages(media: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      media.schema.filterNot(_.name == "content") ++ Seq(
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("channels", IntegerType)))
+    implicit val enc = Encoders.row(outSchema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val h = ImageCodec.decodeHeader(bytes)
+        val (w, ht, c) = h.map(x => (x.width, x.height, x.channels)).getOrElse((-1, -1, -1))
+        val kept = r.toSeq.zipWithIndex.collect { case (v, i) if i != contentIdx => v }
+        Row.fromSeq(kept ++ Seq(w, ht, c))
+      }
+    }
+  }
+
+  /** Full-raster feature pass: inflate + unfilter each PNG and compute
+    * exact integer pixel statistics (the "real decode" half of feature
+    * extraction — what a preprocessing pipeline runs before normalize /
+    * model input). Exact integers ⇒ SQL-oracle-checkable end-to-end
+    * through compression.
+    */
+  def pixelStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType),
+      StructField("pixel_max", IntegerType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("asset_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        ImageCodec.decodePng(bytes) match {
+          case Some((h, px)) =>
+            var sum = 0L; var max = 0
+            var i = 0
+            while (i < px.length) {
+              val v = px(i) & 0xff
+              sum += v; if (v > max) max = v
+              i += 1
+            }
+            Row(r.getLong(idIdx), h.width, h.height, sum, max)
+          case None =>
+            Row(r.getLong(idIdx), -1, -1, -1L, -1)
+        }
+      }
+    }
   }
 
   /** STUB feature extraction: fixed-dim float vector folded from the
@@ -69,27 +145,6 @@ object Multimodal {
       i += 1
     }
     acc
-  }
-
-  /** Decode pass: adds (width, height, channels) per asset. Batched
-    * per-partition; payload column is pruned from the output.
-    */
-  def decodeImages(media: DataFrame): DataFrame = {
-    val outSchema = StructType(
-      media.schema.filterNot(_.name == "content") ++ Seq(
-        StructField("width", IntegerType),
-        StructField("height", IntegerType),
-        StructField("channels", IntegerType)))
-    implicit val enc = Encoders.row(outSchema)
-    val contentIdx = media.schema.fieldIndex("content")
-    media.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](contentIdx)
-        val (w, h, c) = decodeStub(bytes)
-        val kept = r.toSeq.zipWithIndex.collect { case (v, i) if i != contentIdx => v }
-        Row.fromSeq(kept ++ Seq(w, h, c))
-      }
-    }
   }
 
   /** Feature-extract pass: asset_id → float[dim] embedding, batched

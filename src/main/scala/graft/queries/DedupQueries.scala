@@ -190,17 +190,20 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Multimodal decode plumbing: binary payload → typed metadata +
-    * stub-decoded dimensions. The oracle reproduces the stub arithmetic
-    * from the source text (payload = UTF-8 of ASCII text).
+  /** Multimodal decode: REAL PNG payloads (encoded per-partition, 8-bit
+    * grayscale, dims a pure function of doc_id) parsed back via magic
+    * bytes + IHDR. The oracle predicts the header fields — and the exact
+    * payload byte length, since the encoder's stored-block zlib has a
+    * closed-form size of 68 + h*(w+1). A decoder bug, an encoder bug, or
+    * a single corrupt byte offset all break the hash.
     */
   val mediaDecode = Query(
     "mm1_media_decode",
     """SELECT doc_id AS asset_id,
-      |       CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |       CAST(16 + ascii(substr(text, 1, 1)) % 128 AS INT) AS width,
-      |       CAST(16 + ascii(substr(text, 2, 1)) % 128 AS INT) AS height,
-      |       CAST(3 AS INT) AS channels
+      |       CAST(68 + (8 + (doc_id * 3) % 24) * (9 + doc_id % 24) AS BIGINT) AS n_bytes,
+      |       CAST(8 + doc_id % 24 AS INT) AS width,
+      |       CAST(8 + (doc_id * 3) % 24 AS INT) AS height,
+      |       CAST(1 AS INT) AS channels
       |FROM documents
       |ORDER BY asset_id""".stripMargin) { (spark, d) =>
     Multimodal.decodeImages(Multimodal.fromDocuments(documents(spark, d)))
@@ -210,15 +213,27 @@ object DedupQueries {
       .orderBy(col("asset_id"))
   }
 
-  /** Feature + frame plumbing — float accumulation is order-dependent per
-    * element position only (sequential in-partition fold): rows-only.
+  /** Full-raster decode: inflate + per-row unfilter each PNG and reduce
+    * to exact integer pixel statistics. The oracle recomputes the
+    * gradient raster (pixel(x,y) = (x + y + doc_id) % 256) directly —
+    * so the hash verifies the entire encode→deflate→inflate→unfilter
+    * round trip, not just the headers.
     */
-  val mediaFeatures = Query.rowsOnly("mm2_media_features") { (spark, d) =>
-    val feats = Multimodal.extractFeatures(
-      Multimodal.fromDocuments(documents(spark, d)), dim = 16)
-    feats
-      .select(col("asset_id"), round(aggregate(col("features"),
-        lit(0.0), (acc, v) => acc + v.cast("double")), 4).as("feature_sum"))
+  val mediaFeatures = Query(
+    "mm2_media_features",
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 24 AS INT) AS width,
+      |         CAST(8 + (doc_id * 3) % 24 AS INT) AS height
+      |  FROM documents
+      |)
+      |SELECT doc_id AS asset_id, width, height,
+      |       CAST(SUM((x + y + doc_id) % 256) AS BIGINT) AS pixel_sum,
+      |       CAST(MAX((x + y + doc_id) % 256) AS INT) AS pixel_max
+      |FROM dims, UNNEST(range(0, width)) AS ux(x), UNNEST(range(0, height)) AS uy(y)
+      |GROUP BY doc_id, width, height
+      |ORDER BY asset_id""".stripMargin) { (spark, d) =>
+    Multimodal.pixelStats(Multimodal.fromDocuments(documents(spark, d)))
       .orderBy(col("asset_id"))
   }
 

@@ -103,15 +103,29 @@ class DedupSpec extends SparkSpec {
     assert(assigned === Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
   }
 
-  test("Multimodal: decode strips payload, keeps schema; features have fixed dim; frames sample") {
+  test("Multimodal: PNG payloads decode to predicted headers and exact pixel stats") {
     val media = Multimodal.fromDocuments(docs.select($"doc_id", $"text", $"source"))
     assert(media.schema.fieldNames.toSeq ===
       Seq("asset_id", "media_type", "content", "meta"))
     val decoded = Multimodal.decodeImages(media)
     assert(!decoded.columns.contains("content"))
-    val d0 = decoded.filter($"asset_id" === 0).collect().head
-    assert(d0.getAs[Int]("width") === 16 + ('t' & 0x7f))
-    assert(d0.getAs[Int]("channels") === 3)
+    decoded.collect().foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      assert(r.getAs[Int]("width") === (8 + id % 24).toInt)
+      assert(r.getAs[Int]("height") === (8 + (id * 3) % 24).toInt)
+      assert(r.getAs[Int]("channels") === 1)
+    }
+    val stats = Multimodal.pixelStats(media).collect()
+    stats.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val w = (8 + id % 24).toInt; val h = (8 + (id * 3) % 24).toInt
+      val expected = (for (y <- 0 until h; x <- 0 until w) yield (x + y + id) % 256).sum
+      assert(r.getAs[Long]("pixel_sum") === expected)
+    }
+  }
+
+  test("Multimodal stubs: features have fixed dim; frames sample by stride") {
+    val media = Multimodal.fromText(docs.select($"doc_id", $"text", $"source"))
     val feats = Multimodal.extractFeatures(media, dim = 8, batchSize = 2).collect()
     assert(feats.forall(_.getAs[Seq[Float]]("features").length === 8))
     val frames = Multimodal.sampleFrames(media, stride = 16)

@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ImageCodec verified against the JDK's own independent PNG
+  * implementation (javax.imageio) in both directions, plus marker-level
+  * JPEG fixtures — no Spark needed.
+  */
+class ImageCodecSpec extends AnyFunSuite {
+
+  private def gradient(w: Int, h: Int)(x: Int, y: Int): Int = (x * 7 + y * 13) % 256
+
+  test("sniff: magic bytes classify PNG / JPEG / unknown") {
+    val png = ImageCodec.encodeGrayPng(4, 3, gradient(4, 3))
+    assert(ImageCodec.sniff(png) === "png")
+    assert(ImageCodec.sniff(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)) === "jpeg")
+    assert(ImageCodec.sniff("not an image".getBytes) === "unknown")
+    assert(ImageCodec.sniff(Array.emptyByteArray) === "unknown")
+  }
+
+  test("encodeGrayPng: ImageIO (independent decoder) reads back exact dims and pixels") {
+    val (w, h) = (23, 17)
+    val bytes = ImageCodec.encodeGrayPng(w, h, gradient(w, h))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img !== null, "ImageIO rejected our PNG")
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val gray = img.getRaster.getSample(x, y, 0)
+      assert(gray === gradient(w, h)(x, y), s"pixel ($x,$y)")
+    }
+  }
+
+  test("encodeGrayPng: closed-form byte length 68 + h*(w+1)") {
+    for ((w, h) <- Seq((1, 1), (8, 8), (31, 31), (100, 40))) {
+      val n = ImageCodec.encodeGrayPng(w, h, (_, _) => 0).length
+      assert(n === 68 + h * (w + 1), s"${w}x$h")
+    }
+  }
+
+  test("decodePng: decodes ImageIO-written PNGs (real deflate + row filters)") {
+    // ImageIO uses genuine compressed deflate streams and its own filter
+    // heuristics — if our inflate/unfilter path only handled our own
+    // stored-block output, this would catch it.
+    val (w, h) = (29, 21)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, gradient(w, h)(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val Some((header, px)) = ImageCodec.decodePng(out.toByteArray)
+    assert(header.width === w && header.height === h && header.channels === 1)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((px(y * w + x) & 0xff) === gradient(w, h)(x, y), s"pixel ($x,$y)")
+  }
+
+  test("decodePng: RGB ImageIO round trip (3-channel raster)") {
+    val (w, h) = (11, 9)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 31) % 256 << 16) | ((y * 17) % 256 << 8) | ((x + y) % 256))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val Some((header, px)) = ImageCodec.decodePng(out.toByteArray)
+    assert(header.width === w && header.height === h && header.channels === 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      assert((px(base) & 0xff) === (x * 31) % 256, s"R ($x,$y)")
+      assert((px(base + 1) & 0xff) === (y * 17) % 256, s"G ($x,$y)")
+      assert((px(base + 2) & 0xff) === (x + y) % 256, s"B ($x,$y)")
+    }
+  }
+
+  test("decodeHeader: JPEG SOF0 segment yields dims; SOS-before-SOF and truncation yield None") {
+    // Minimal marker stream: SOI, APP0 (stub), SOF0 with h=480 w=640,
+    // 3 components. Header parse never needs entropy-coded data.
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val jpeg = b(0xff, 0xd8) ++ // SOI
+      b(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46) ++ // APP0 len=4
+      b(0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80, 0x03) ++ // SOF0: prec 8, 480x640, 3 comp
+      b(0x01, 0x11, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00) ++
+      b(0xff, 0xd9) // EOI
+    val Some(h) = ImageCodec.decodeHeader(jpeg)
+    assert(h.format === "jpeg" && h.width === 640 && h.height === 480 && h.channels === 3)
+    // Progressive (SOF2) parses identically.
+    val prog = jpeg.clone(); prog(9) = 0xc2.toByte
+    assert(ImageCodec.decodeHeader(prog).map(_.width) === Some(640))
+    assert(ImageCodec.decodeHeader(b(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02)) === None)
+    assert(ImageCodec.decodeHeader(jpeg.take(12)) === None)
+  }
+
+  test("ImageIO-written JPEG: real-world header parse") {
+    val img = new java.awt.image.BufferedImage(33, 15, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val Some(h) = ImageCodec.decodeHeader(out.toByteArray)
+    assert(h.format === "jpeg" && h.width === 33 && h.height === 15 && h.channels === 3)
+  }
+}
