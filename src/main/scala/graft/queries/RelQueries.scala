@@ -172,17 +172,43 @@ object RelQueries {
   /** r6 — sketch aggregates: HLL++ distinct counts and quantile
     * sketches per event type. Sketches are THE 100 TB cardinality tool
     * (constant memory, map-side combinable, mergeable across
-    * partitions) but their estimates are implementation-defined, so
-    * this query is rows-only for the driver; `RelOpsSpec` pins the
-    * estimates to ≤5% relative error against the exact values.
+    * partitions) but their estimates are implementation-defined, so no
+    * SQL engine can reproduce the estimate bit-for-bit. The gate
+    * instead emits the EXACT values (oracled normally) plus
+    * bound-check flags computed in Spark against those exact values;
+    * the oracle asserts the flags are 1. A sketch drifting past its
+    * error bound flips a flag and fails the hash — the bound assertion
+    * lives in the driver gate, not just `RelOpsSpec`.
     */
-  val sketchProfile = Query.rowsOnly("r6_sketch_profile") { (spark, d) =>
+  val sketchProfile = Query(
+    "r6_sketch_profile",
+    """SELECT event_type,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_events,
+      |       CAST(1 AS BIGINT) AS users_within_5pct,
+      |       CAST(1 AS BIGINT) AS events_within_5pct,
+      |       CAST(1 AS BIGINT) AS median_within_bounds
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, d) =>
     events(spark, d)
       .groupBy(col("event_type"))
       .agg(
+        countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("event_id")).as("exact_events"),
         approx_count_distinct(col("event_id"), 0.01).as("approx_events"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("median_value_est"))
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("median_est"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"))
+      .select(
+        col("event_type"), col("exact_users"), col("exact_events"),
+        when(abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.05, 1L).otherwise(0L).as("users_within_5pct"),
+        when(abs(col("approx_events") - col("exact_events"))
+          <= col("exact_events") * 0.05, 1L).otherwise(0L).as("events_within_5pct"),
+        when(col("median_est").between(col("p45"), col("p55")), 1L)
+          .otherwise(0L).as("median_within_bounds"))
       .orderBy(col("event_type"))
   }
 

