@@ -106,6 +106,11 @@ object DedupQueries {
     // On a corpus with a wide length distribution, banding wins — the
     // choice is data-dependent, which is why it lives in the query, not
     // the operator.
+    // Scale note: the brand block is quadratic in block size — fine at
+    // gate scale, but at 100× data each 25-brand block grows 100× and
+    // pairs 10 000×. The d2 gate below runs the same semantics through
+    // FuzzyLinkage.wordBlockedPairs (composite pigeonhole blocking),
+    // which is the documented large-scale path.
     val p = graft.Tables.part(spark, d)
     val a = p.select(col("p_partkey").as("key_a"), col("p_brand"), col("p_name").as("name_a"))
     val b = p.select(col("p_partkey").as("key_b"), col("p_brand"), col("p_name").as("name_b"))
@@ -120,6 +125,26 @@ object DedupQueries {
         "dist", levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= 2)
       .select(col("key_a"), col("key_b"), col("dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  /** d1's semantics through the scale path: composite (brand, word-pos,
+    * word) pigeonhole blocking instead of the quadratic brand block.
+    * The oracle is deliberately the UNBLOCKED formulation — a hash
+    * match proves the blocking loses zero pairs on this corpus, i.e.
+    * the scale path is a pure plan change, not a semantics change.
+    */
+  val fuzzyBlockedPairs = Query(
+    "d2_fuzzy_blocked",
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |       levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a
+      |JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY key_a, key_b""".stripMargin) { (spark, d) =>
+    graft.dedup.FuzzyLinkage
+      .wordBlockedPairs(graft.Tables.part(spark, d), "p_partkey", "p_brand", "p_name", 2)
       .orderBy(col("key_a"), col("key_b"))
   }
 
@@ -299,5 +324,6 @@ object DedupQueries {
 
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
-    mediaDecode, mediaFeatures, textProfile, embeddingNearDup, fuzzyNamePairs)
+    mediaDecode, mediaFeatures, textProfile, embeddingNearDup, fuzzyNamePairs,
+    fuzzyBlockedPairs)
 }

@@ -124,6 +124,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("FuzzyLinkage: word-blocked pairs equal brute force; cross-word edits found") {
+    val parts = Seq(
+      (1L, "B1", "ivory azure rose"),
+      (2L, "B1", "ivory azure rosy"),   // 1 edit, last word
+      (3L, "B1", "ivary azure rosy"),   // edits in TWO different words vs 1
+      (4L, "B1", "navy green plum"),    // unrelated
+      (5L, "B2", "ivory azure rose"),   // other block: never paired
+      (6L, "B1", "ivory azure")         // shorter, within 2 edits of nothing here
+    ).toDF("id", "brand", "name")
+    val got = FuzzyLinkage.wordBlockedPairs(parts, "id", "brand", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force within block
+    val rows = parts.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, ba, na) <- rows; (ib, bb, nb) <- rows
+      if ba == bb && ia < ib && lev(na, nb) <= 2
+    } yield (ia, ib) -> lev(na, nb).toLong).toMap
+    assert(got === expected)
+    assert(got.contains((1L, 3L)), "pair with edits in two different words must survive blocking")
+  }
+
   test("Multimodal stubs: features have fixed dim; frames sample by stride") {
     val media = Multimodal.fromText(docs.select($"doc_id", $"text", $"source"))
     val feats = Multimodal.extractFeatures(media, dim = 8, batchSize = 2).collect()
