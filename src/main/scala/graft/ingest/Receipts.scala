@@ -25,6 +25,18 @@ object Receipts {
       .select(col("r.*"))
   }
 
+  /** Page-body DataFrame (e.g. the `pos-receipts` DataSource V2 output)
+    * → one row per receipt. Same schema-on-read parse as [[fromPages]],
+    * but the bodies never touch the driver.
+    */
+  def fromBodies(bodies: DataFrame): DataFrame = {
+    val spark = bodies.sparkSession
+    import spark.implicits._
+    spark.read.schema(envelopeSchema).json(bodies.select(col("body")).as[String])
+      .select(explode(col("receipts")).as("r"))
+      .select(col("r.*"))
+  }
+
   /** W9 — client-side watermark filter: `created_at > last_ts`
     * (ISO-8601 strings compare correctly lexicographically).
     */

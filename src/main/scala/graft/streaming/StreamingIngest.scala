@@ -130,8 +130,9 @@ object StreamingIngest {
       spark: SparkSession,
       dropDir: String,
       lakeRoot: String,
-      checkpoint: String): StreamingQuery = {
-    val curated = Transform.run(rawStream(spark, dropDir))
+      checkpoint: String,
+      maxFilesPerTrigger: Int = 100): StreamingQuery = {
+    val curated = Transform.run(rawStream(spark, dropDir, maxFilesPerTrigger))
       .withColumn("year", date_format(col("shifted_time"), "yyyy"))
       .withColumn("month", date_format(col("shifted_time"), "MM"))
     curated.writeStream

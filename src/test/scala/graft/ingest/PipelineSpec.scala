@@ -74,6 +74,66 @@ class PipelineSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("S1-V2: DataSource V2 source slices the range, paginates per slice, equals driver path") {
+    // Range-aware stub: serves ONE receipt per page (forcing cursor
+    // pagination inside every slice), filtered by updated_at_min/max.
+    val all = Seq(
+      ("r1", "2025-07-02T10:00:00Z"), ("r2", "2025-07-08T09:00:00Z"),
+      ("r3", "2025-07-11T00:00:00Z"), // exactly on a slice boundary
+      ("r4", "2025-07-15T12:00:00Z"), ("r5", "2025-07-22T08:00:00Z"),
+      ("r6", "2025-07-30T23:00:00Z"))
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val cursors = new java.util.concurrent.ConcurrentHashMap[String, (String, String, Int)]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/receipts", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+      val (mn, mx, off) = params.get("cursor") match {
+        case Some(c) => cursors.get(c)
+        case None => (params("updated_at_min"), params("updated_at_max"), 0)
+      }
+      val inRange = all.filter { case (_, ts) => ts >= mn && ts <= mx }
+        .sortBy(_._2)(Ordering[String].reverse)
+      val page = inRange.slice(off, off + 1)
+      if (page.isEmpty) respond(ex, 200, """{"receipts":[]}""")
+      else {
+        val (num, ts) = page.head
+        val receipts = receiptJson(num, ts, "Burger", 100.0)
+        val body =
+          if (off + 1 < inRange.size) {
+            val c = "c" + counter.incrementAndGet()
+            cursors.put(c, (mn, mx, off + 1))
+            s"""{"receipts":[$receipts],"cursor":"$c"}"""
+          } else s"""{"receipts":[$receipts]}"""
+        respond(ex, 200, body)
+      }
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val df = spark.read.format("pos-receipts")
+        .option("baseUrl", s"http://localhost:$port").option("apiKey", "k")
+        .option("updatedAtMin", "2025-07-01T00:00:00Z")
+        .option("updatedAtMax", "2025-07-31T00:00:00Z")
+        .option("numSlices", "3").option("pageDelayMs", "0")
+        .load()
+      val rows = df.collect()
+      assert(rows.map(_.getAs[String]("slice_start")).distinct.length === 3)
+      assert(rows.length === 6) // one page per receipt: pagination ran in every slice
+      val parsed = Receipts.fromBodies(df)
+      val nums = parsed.select("receipt_number").collect().map(_.getString(0))
+      assert(nums.sorted.toSeq === all.map(_._1).sorted) // each receipt exactly once
+      // Executor path ≡ driver path
+      val driverPages = new PosApiClient(s"http://localhost:$port", "k", pageDelayMs = 0)
+        .fetchReceiptPages("2025-07-01T00:00:00Z", "2025-07-31T00:00:00Z")
+      val driverNums = Receipts.fromPages(spark, driverPages)
+        .select("receipt_number").collect().map(_.getString(0))
+      assert(nums.sorted.toSeq === driverNums.sorted.toSeq)
+    } finally server.stop(0)
+  }
+
   test("daily_run e2e: fetch → transform → append → watermark commit; idempotent on re-run") {
     val body =
       s"""{"receipts":[${receiptJson("r1", "2025-07-02T10:00:00Z", "Burger", 100.0)},

@@ -65,6 +65,57 @@ class StreamingSpec extends SparkSpec {
     assert(r1.getAs[Double]("price") === 120.0, "newest row won")
   }
 
+  test("crash recovery: kill merge stream mid-run, restart from checkpoint, lake equals batch replay") {
+    val dir = Files.createTempDirectory("streamcr")
+    val drop = dir.resolve("drop"); Files.createDirectories(drop)
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // Three files → three micro-batches (maxFilesPerTrigger = 1),
+    // including a cross-batch correction of r1 the merge must apply.
+    Files.writeString(drop.resolve("b1.jsonl"),
+      receiptLine("r1", "2025-07-01T10:00:00Z", "Burger", 100.0) + "\n" +
+        receiptLine("r2", "2025-07-02T11:00:00Z", "Fries", 50.0) + "\n")
+    Files.writeString(drop.resolve("b2.jsonl"),
+      receiptLine("r1", "2025-07-05T09:00:00Z", "Burger", 120.0) + "\n")
+    Files.writeString(drop.resolve("b3.jsonl"),
+      receiptLine("r3", "2025-08-01T12:00:00Z", "Malteada", 60.0) + "\n" +
+        receiptLine("r4", "2025-08-02T13:00:00Z", "Refresco", 30.0) + "\n")
+
+    // "Crash": stop() as soon as the first batch reports progress — the
+    // stream dies with committed work behind it and unprocessed files
+    // ahead of it (possibly mid-foreachBatch; the merge is replay-safe).
+    val q1 = StreamingIngest.toLakeMerged(spark, drop.toString, lake, ckpt, maxFilesPerTrigger = 1)
+    val deadline = System.currentTimeMillis + 60000
+    while (!q1.recentProgress.exists(_.numInputRows > 0) && System.currentTimeMillis < deadline)
+      Thread.sleep(25)
+    q1.stop(); q1.awaitTermination(60000)
+
+    // Restart from the same checkpoint: replays/continues to completion.
+    StreamingIngest.toLakeMerged(spark, drop.toString, lake, ckpt, maxFilesPerTrigger = 1)
+      .awaitTermination(120000)
+
+    // Batch-replay oracle: same transform + same dedup over all files.
+    val batchRaw = spark.read.schema(graft.pos.Schemas.rawReceipt)
+      .json(drop.toString)
+    val expected = Analytics.dedupLatest(
+      graft.pos.Transform.run(batchRaw),
+      Seq(org.apache.spark.sql.functions.col("price").desc,
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col("modifiers"),
+          org.apache.spark.sql.functions.lit("")).desc))
+      .select("receipt_number", "item_name", "price", "total_money", "shifted_time")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got = Lake.read(spark, lake)
+      .select("receipt_number", "item_name", "price", "total_money", "shifted_time")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got === expected)
+    assert(got.map(_.head).toSet === Set("r1", "r2", "r3", "r4"))
+    // The correction won: r1 at 120, exactly one row.
+    val r1 = Lake.read(spark, lake)
+      .filter(org.apache.spark.sql.functions.col("receipt_number") === "r1").collect()
+    assert(r1.length === 1 && r1.head.getAs[Double]("price") === 120.0)
+  }
+
   test("corrupt-record quarantine: bad lines captured, good rows curated") {
     val dir = Files.createTempDirectory("streamq")
     val drop = dir.resolve("drop"); Files.createDirectories(drop)
