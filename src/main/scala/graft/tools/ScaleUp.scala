@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Bench-only scale-up: derive an sf1-sized dataset from the driver's
+  * sf0.1 tables by unioning key-shifted copies of the FACT tables
+  * (lineitem, orders, events ×copies) while keeping dimensions and the
+  * text/embedding corpora as-is — the realistic shape (facts grow,
+  * dims don't). Timestamps of each events copy shift by 37 h so
+  * event-time density stays constant instead of stacking 10 identical
+  * streams on the same instants.
+  *
+  * This is a measurement artifact for BENCH extrapolation only — gate
+  * correctness always runs against the driver's own testdata.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read it as raw longs
+      // and write plain BIGINT nanos back (Tables.events handles both).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val keyOff = 100000000L // > any sf0.1 orderkey
+    val evOff = 1000000000L
+    val nsShift = 37L * 3600 * 1000 * 1000 * 1000 // 37 h in ns
+
+    def scaled(name: String)(shift: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
+      val base = spark.read.parquet(s"$sfDir/$name.parquet")
+      (0 until copies).map(i => shift(base, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    scaled("lineitem")((df, i) => df.withColumn("l_orderkey", $"l_orderkey" + i * keyOff))
+    scaled("orders")((df, i) => df.withColumn("o_orderkey", $"o_orderkey" + i * keyOff))
+    scaled("events") { (df, i) =>
+      df.withColumn("event_id", $"event_id" + i * evOff)
+        .withColumn("ts", $"ts" + i * nsShift)
+    }
+    Seq("region", "nation", "customer", "supplier", "part", "documents", "embeddings")
+      .foreach { name =>
+        spark.read.parquet(s"$sfDir/$name.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
+    println(s"scaled $copies x facts from $sfDir -> $outDir")
+    spark.stop()
+  }
+}
