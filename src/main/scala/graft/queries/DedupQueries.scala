@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.dedup.{MinHashLSH, SimHash}
+import graft.dedup.{Components, MinHashLSH, SimHash}
 import graft.multimodal.Multimodal
 
 /** Gate battery for the scale-path dedup operators (MinHash-LSH, SimHash)
@@ -126,6 +126,56 @@ object DedupQueries {
       .filter(col("dist") >= 0 && col("dist") <= 2)
       .select(col("key_a"), col("key_b"), col("dist"))
       .orderBy(col("key_a"), col("key_b"))
+  }
+
+  /** Near-dup CLUSTERS: connected components over the m2 LSH candidate
+    * pairs (component = min reachable doc_id; singletons keep their own
+    * id). The oracle computes the exact transitive closure with a
+    * recursive CTE — so the iterative min-propagation's fixpoint is
+    * hash-verified against true reachability, not just spec-pinned.
+    */
+  val neardupComponents = Query(
+    "m5_neardup_components", {
+      val bands = (0 until K / RowsPerBand).map { j =>
+        val cols = (0 until RowsPerBand).map(r => s"sig_${j * RowsPerBand + r}")
+        s"SELECT doc_id, $j AS band, ${cols.zipWithIndex.map { case (c, i) => s"$c AS v$i" }.mkString(", ")} FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ") + "," +
+        s"""
+           |sig AS (
+           |  SELECT doc_id,
+           |         $sigSelect
+           |  FROM hashed GROUP BY doc_id
+           |),
+           |banded AS (
+           |  $bands
+           |),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a
+           |  JOIN banded b ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+           |  WHERE a.doc_id < b.doc_id
+           |),
+           |edges AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |),
+           |reach(v, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+           |)
+           |SELECT v AS doc_id, MIN(r) AS component
+           |FROM reach GROUP BY v
+           |ORDER BY doc_id""".stripMargin
+    }) { (spark, d) =>
+    val docs = documents(spark, d)
+    val sig = MinHashLSH.signatures(docs, "doc_id", "text", 3, K)
+    val pairs = MinHashLSH.candidatePairs(sig, "doc_id", K, RowsPerBand)
+      .select(col("id_a"), col("id_b"))
+    Components
+      .connectedComponents(docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+      .orderBy(col("doc_id"))
   }
 
   /** d1's semantics through the scale path: composite (brand, word-pos,
@@ -325,5 +375,5 @@ object DedupQueries {
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
     mediaDecode, mediaFeatures, textProfile, embeddingNearDup, fuzzyNamePairs,
-    fuzzyBlockedPairs)
+    fuzzyBlockedPairs, neardupComponents)
 }

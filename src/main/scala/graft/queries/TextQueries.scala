@@ -231,7 +231,26 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** t9 — token-window chunking (training-data prep): 32-token windows,
+    * 8-token overlap (stride 24). Generator expressions only — the gate
+    * verifies window boundaries, overlap carry, and tail-window token
+    * counts, all exact string/integer arithmetic in both engines.
+    */
+  val chunkWindows = Query(
+    "t9_chunk_windows",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |       CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+      |       array_to_string(toks[s:s+31], ' ') AS chunk_text,
+      |       CAST(LEAST(32, len(toks) - s + 1) AS BIGINT) AS n_tokens
+      |FROM t, UNNEST(generate_series(1, GREATEST(len(toks), 1), 24)) AS u(s)
+      |WHERE s <= len(toks)
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, d) =>
+    TextOps.chunk(documents(spark, d), "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
-    tfIdfTerms, curationBudget)
+    tfIdfTerms, curationBudget, chunkWindows)
 }

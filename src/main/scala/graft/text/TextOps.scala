@@ -137,6 +137,35 @@ object TextOps {
       .drop("__fp", "__canon")
   }
 
+  /** Token-window chunking for training-data prep: split each document
+    * into windows of `chunkTokens` whitespace tokens with `overlap`
+    * tokens of context carried between consecutive chunks (stride =
+    * chunkTokens − overlap). Pure generator expressions — the tokenize,
+    * window arithmetic, and re-join all stay inside whole-stage codegen
+    * (no UDF, no shuffle); output grows by ~1/(1−overlap/chunkTokens).
+    */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__start", explode(sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(step))))
+      // a trailing window fully contained in the previous one adds no
+      // new tokens — emit only windows that start within the text
+      .filter(col("__start") <= size(col("__toks")))
+      .select(
+        col(idCol),
+        expr(s"CAST((__start - 1) DIV $step AS BIGINT)").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start"), lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens), size(col("__toks")) - col("__start") + 1).cast("long").as("n_tokens"))
+  }
+
   /** Full per-document profile in one pass. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

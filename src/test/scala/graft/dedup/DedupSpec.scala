@@ -124,6 +124,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("Components: chains merge transitively; singletons keep own id; min label wins") {
+    val vertices = (0L to 7L).toDF("id")
+    // 0-1-2-3 is a chain (diameter 3, needs >1 propagation round);
+    // 5-6 a pair; 4 and 7 singletons.
+    val pairs = Seq((1L, 0L), (1L, 2L), (3L, 2L), (5L, 6L)).toDF("a", "b")
+    val got = Components.connectedComponents(vertices, "id", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("TextOps.chunk: windows, overlap carry, and tail sizes") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "solo")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps.chunk(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    // stride 3: starts 1,4,7,10
+    assert(got === Set(
+      (1L, 0L, "w1 w2 w3 w4", 4L),
+      (1L, 1L, "w4 w5 w6 w7", 4L),
+      (1L, 2L, "w7 w8 w9 w10", 4L),
+      (1L, 3L, "w10", 1L),
+      (2L, 0L, "solo", 1L)))
+  }
+
   test("FuzzyLinkage: word-blocked pairs equal brute force; cross-word edits found") {
     val parts = Seq(
       (1L, "B1", "ivory azure rose"),
