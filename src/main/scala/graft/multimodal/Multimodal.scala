@@ -58,6 +58,92 @@ object Multimodal {
     }
   }
 
+  /** Deterministic audio/video geometry, same idea as the PNG path:
+    * every header field the decoders recover is a pure function of
+    * doc_id, so SQL oracles verify the parse without touching bytes.
+    */
+  private[multimodal] def wavChannels(docId: Long): Int = (1 + docId % 2).toInt
+  private[multimodal] def wavSamples(docId: Long): Int = (500 + docId % 250).toInt
+  private[multimodal] def mp4Duration(docId: Long): Long = 60 + docId % 3000
+  private[multimodal] def mp4FreePad(docId: Long): Int = (docId % 32).toInt
+
+  /** Document corpus → real PCM WAV payloads (8 kHz, 16-bit). */
+  def fromDocumentsWav(docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val srcIdx = docs.schema.fieldIndex("source")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val wav = MediaCodec.encodeWavPcm(
+          8000, wavChannels(id), 16, wavSamples(id),
+          i => ((i * 7 + id) % 65536).toInt - 32768)
+        Row(id, "audio", wav, Row(r.getString(srcIdx), "audio/wav", wav.length.toLong))
+      }
+    }
+  }
+
+  /** Document corpus → real minimal MP4 payloads (ftyp + free + moov/
+    * mvhd; the variable-size free box forces a genuine box walk).
+    */
+  def fromDocumentsMp4(docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val srcIdx = docs.schema.fieldIndex("source")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val mp4 = MediaCodec.encodeMp4(600, mp4Duration(id), mp4FreePad(id))
+        Row(id, "video", mp4, Row(r.getString(srcIdx), "video/mp4", mp4.length.toLong))
+      }
+    }
+  }
+
+  /** Audio decode pass: RIFF walk → PCM format + exact duration. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_us", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("asset_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodec.decodeWav(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(h) =>
+            Row(r.getLong(idIdx), h.sampleRate, h.channels, h.bitsPerSample,
+              h.nSamples, h.nSamples * 1000000L / h.sampleRate)
+          case None => Row(r.getLong(idIdx), -1, -1, -1, -1L, -1L)
+        }
+      }
+    }
+  }
+
+  /** Video container decode pass: ISO-BMFF box walk → movie header. */
+  def decodeVideo(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("timescale", LongType),
+      StructField("duration_ticks", LongType),
+      StructField("n_bytes", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("asset_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        MediaCodec.decodeMp4(bytes) match {
+          case Some(h) => Row(r.getLong(idIdx), h.timescale, h.durationTicks, bytes.length.toLong)
+          case None => Row(r.getLong(idIdx), -1L, -1L, bytes.length.toLong)
+        }
+      }
+    }
+  }
+
   /** Text-payload variant (UTF-8 bytes labeled as opaque media) — feeds
     * the stub kernels' batching specs and the frame-sampling stand-in.
     */

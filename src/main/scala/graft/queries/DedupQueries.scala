@@ -128,6 +128,44 @@ object DedupQueries {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** Audio decode: real PCM WAV payloads (RIFF chunk walk on decode);
+    * every recovered field — including the exact payload byte length
+    * (44-byte canonical header + PCM data) and the micros duration —
+    * is closed-form in doc_id for the oracle.
+    */
+  val audioDecode = Query(
+    "mm3_audio_decode",
+    """SELECT doc_id AS asset_id,
+      |       CAST(8000 AS INT) AS sample_rate,
+      |       CAST(1 + doc_id % 2 AS INT) AS channels,
+      |       CAST(16 AS INT) AS bits,
+      |       CAST(500 + doc_id % 250 AS BIGINT) AS n_samples,
+      |       CAST((500 + doc_id % 250) * 125 AS BIGINT) AS duration_us,
+      |       CAST(44 + (500 + doc_id % 250) * (1 + doc_id % 2) * 2 AS BIGINT) AS n_bytes
+      |FROM documents
+      |ORDER BY asset_id""".stripMargin) { (spark, d) =>
+    val media = Multimodal.fromDocumentsWav(documents(spark, d))
+    Multimodal.decodeAudio(media)
+      .join(media.select(col("asset_id"), col("meta.n_bytes").as("n_bytes")), "asset_id")
+      .orderBy(col("asset_id"))
+  }
+
+  /** Video container decode: minimal ISO-BMFF payloads whose
+    * variable-size `free` box forces a real box walk; mvhd timescale /
+    * duration and the total byte length are closed-form in doc_id.
+    */
+  val videoDecode = Query(
+    "mm4_video_decode",
+    """SELECT doc_id AS asset_id,
+      |       CAST(600 AS BIGINT) AS timescale,
+      |       CAST(60 + doc_id % 3000 AS BIGINT) AS duration_ticks,
+      |       CAST(140 + doc_id % 32 AS BIGINT) AS n_bytes
+      |FROM documents
+      |ORDER BY asset_id""".stripMargin) { (spark, d) =>
+    Multimodal.decodeVideo(Multimodal.fromDocumentsMp4(documents(spark, d)))
+      .orderBy(col("asset_id"))
+  }
+
   /** Near-dup CLUSTERS: connected components over the m2 LSH candidate
     * pairs (component = min reachable doc_id; singletons keep their own
     * id). The oracle computes the exact transitive closure with a
@@ -374,6 +412,6 @@ object DedupQueries {
 
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
-    mediaDecode, mediaFeatures, textProfile, embeddingNearDup, fuzzyNamePairs,
-    fuzzyBlockedPairs, neardupComponents)
+    mediaDecode, mediaFeatures, audioDecode, videoDecode, textProfile,
+    embeddingNearDup, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents)
 }

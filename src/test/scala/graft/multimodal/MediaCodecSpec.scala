@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WAV verified against the JDK's independent javax.sound.sampled
+  * parser; MP4 against hand-built ISO-BMFF fixtures (the JDK has no
+  * MP4 reader).
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("encodeWavPcm: JDK AudioSystem reads back the same format") {
+    val bytes = MediaCodec.encodeWavPcm(8000, 2, 16, 750, i => i % 256)
+    assert(bytes.length === 44 + 750 * 2 * 2)
+    val fmt = javax.sound.sampled.AudioSystem
+      .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+    assert(fmt.getFormat.getSampleRate === 8000f)
+    assert(fmt.getFormat.getChannels === 2)
+    assert(fmt.getFormat.getSampleSizeInBits === 16)
+    assert(fmt.getFrameLength === 750)
+    val Some(h) = MediaCodec.decodeWav(bytes)
+    assert(h === MediaCodec.WavHeader(8000, 2, 16, 750))
+  }
+
+  test("decodeWav: walks past extra RIFF chunks; rejects junk") {
+    val base = MediaCodec.encodeWavPcm(44100, 1, 16, 10, _ => 0)
+    // splice a LIST chunk (odd-length payload → word-aligned walk)
+    // between fmt and data
+    val listChunk = "LIST".getBytes ++ Array[Byte](5, 0, 0, 0) ++
+      "INFOx".getBytes ++ Array[Byte](0)
+    val spliced = base.take(36) ++ listChunk ++ base.drop(36)
+    // fix RIFF size field
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xff).toByte; spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    spliced(6) = ((riffLen >> 16) & 0xff).toByte; spliced(7) = ((riffLen >> 24) & 0xff).toByte
+    assert(MediaCodec.decodeWav(spliced) === Some(MediaCodec.WavHeader(44100, 1, 16, 10)))
+    assert(MediaCodec.decodeWav("RIFFnotawav".getBytes) === None)
+    assert(MediaCodec.decodeWav(Array.emptyByteArray) === None)
+  }
+
+  test("encodeMp4/decodeMp4: box walk skips free box; closed-form size") {
+    for (pad <- Seq(0, 7, 31)) {
+      val bytes = MediaCodec.encodeMp4(600, 12345L, pad)
+      assert(bytes.length === 16 + 8 + pad + 8 + 108, s"pad=$pad")
+      assert(MediaCodec.decodeMp4(bytes) === Some(MediaCodec.Mp4Header(600, 12345L)))
+    }
+    assert(MediaCodec.decodeMp4("nope".getBytes) === None)
+    assert(MediaCodec.decodeMp4(MediaCodec.encodeMp4(600, 1, 0).take(30)) === None)
+  }
+
+  test("decodeMp4: mvhd version 1 (64-bit duration) parses") {
+    // Build v0 file, then hand-upgrade mvhd to v1 layout.
+    val out = new java.io.ByteArrayOutputStream()
+    def be(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    be(16); tag("ftyp"); tag("isom"); be(512)
+    be(8 + 120); tag("moov")
+    be(120); tag("mvhd")
+    out.write(1); out.write(0); out.write(0); out.write(0) // version 1
+    be(0); be(0); be(0); be(0) // 64-bit creation + modification
+    be(90000) // timescale
+    be(1); be(5) // 64-bit duration: hi = 1, lo = 5 → 2^32 + 5
+    val bytes0 = out.toByteArray // 64 bytes so far; declared sizes end at 144
+    val grown = bytes0 ++ new Array[Byte](144 - bytes0.length)
+    assert(MediaCodec.decodeMp4(grown) ===
+      Some(MediaCodec.Mp4Header(90000, (1L << 32) | 5L)))
+  }
+}
