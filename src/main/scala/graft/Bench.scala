@@ -30,7 +30,11 @@ object Bench {
     // materializes via count(). SPARK_GRAFT_BENCH_WARMUP=0 skips the
     // warm-up pass for long large-SF runs where doubling the wall clock
     // costs more than first-run JIT noise.
+    // Optional args: run only the named queries (dev loop; the driver
+    // passes no args, so its behavior is unchanged).
+    val only = args.toSet
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
       ordered.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -281,6 +281,24 @@ object Analytics {
       .drop("__rn")
   }
 
+  /** Aggregation form of [[dedupLatest]]: `max_by(row, ordering-struct)`
+    * instead of a ROW_NUMBER window. Same winner whenever the ordering
+    * is a total order (greater struct = window's DESC sort), but the
+    * physical plan is a hash aggregate with MAP-SIDE COMBINE: each task
+    * pre-reduces its duplicates before the exchange, so the shuffle
+    * carries one row per (key × task) instead of every row, and no
+    * per-partition sort runs. At 100 TB with any duplication this is
+    * strictly less data moved; the window form ships and sorts
+    * everything. `greaterWins` are plain columns (no .desc) — larger
+    * value wins, mirroring the window's descending tiebreakers.
+    */
+  def dedupLatestAgg(df: DataFrame, greaterWins: Seq[Column] = Seq.empty): DataFrame = {
+    val ord = struct(col("shifted_time") +: greaterWins: _*)
+    df.groupBy(col("receipt_number"), col("item_name"))
+      .agg(max_by(struct(df.columns.map(col): _*), ord).as("__w"))
+      .select(col("__w.*"))
+  }
+
   /** P19 — two-month windowed-dedup read over the partitioned lake:
     * partition-pruned scan of (report month, comparison month) then V1
     * (reference `monthly_report.py:21-91`).

@@ -305,15 +305,26 @@ object CoreQueries {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin) { (spark, d) =>
     import spark.implicits._
-    lineitem(spark, d)
+    // Partial aggregation pushed BELOW the fact⋈fact join (Catalyst
+    // does not push aggregates through joins): lineitem pre-reduces to
+    // one decimal revenue row per orderkey with map-side combine, so
+    // the big join carries |orders| two-column rows instead of
+    // |lineitem| wide rows — and n_orders becomes a plain COUNT (the
+    // countDistinct re-exchange disappears). Decimal sums are exact at
+    // any nesting, so the single-level oracle SQL is unchanged.
+    val revPerOrder = lineitem(spark, d)
+      .groupBy($"l_orderkey")
+      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("__rev"))
+    revPerOrder
       .join(orders(spark, d), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(customer(spark, d)), $"o_custkey" === $"c_custkey")
       .join(broadcast(nation(spark, d)), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(region(spark, d)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name")
       .agg(
-        sumDerived($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
-        countDistinct($"o_orderkey").as("n_orders"))
+        sum($"__rev").cast(org.apache.spark.sql.types.DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy($"r_name")
   }
 

@@ -154,11 +154,13 @@ object StreamingIngest {
           // Deterministic tiebreakers (same as the P19 read-side dedup):
           // two rows tying on (receipt_number, item_name, shifted_time) —
           // e.g. a correction re-sent with the same timestamp — would
-          // otherwise get an arbitrary ROW_NUMBER winner, breaking the
-          // byte-identical-replay contract across Spark versions.
-          graft.pos.Analytics.dedupLatest(
+          // otherwise get an arbitrary winner, breaking the
+          // byte-identical-replay contract across Spark versions. The
+          // agg form pre-reduces duplicates map-side before the
+          // exchange — the right shape when a batch replays old months.
+          graft.pos.Analytics.dedupLatestAgg(
             combined,
-            Seq(col("price").desc, coalesce(col("modifiers"), lit("")).desc))
+            Seq(col("price"), coalesce(col("modifiers"), lit(""))))
             .repartition(col("year"), col("month"))
             .write
             .partitionBy(graft.pos.Schemas.partitionKeys: _*)
