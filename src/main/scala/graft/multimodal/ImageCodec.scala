@@ -180,6 +180,9 @@ object ImageCodec {
     var done = false
     while (!done && i + 8 <= bytes.length) {
       val len = be32(bytes, i)
+      // declared length past the buffer (or negative via overflow) =
+      // truncated/corrupt file — fail decode, never read out of bounds
+      if (len < 0 || i + 8 + len > bytes.length) return None
       val tag = new String(bytes, i + 4, 4, "US-ASCII")
       if (tag == "IDAT") idat.write(bytes, i + 8, len)
       if (tag == "IEND") done = true
@@ -190,12 +193,15 @@ object ImageCodec {
     val rowBytes = header.width * bpp
     val raw = new Array[Byte](header.height * (rowBytes + 1))
     var got = 0
-    while (got < raw.length && !inflater.finished()) {
-      val n = inflater.inflate(raw, got, raw.length - got)
-      if (n == 0 && inflater.needsInput()) return None // truncated stream
-      got += n
-    }
-    inflater.end()
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None // corrupt deflate
+    } finally inflater.end()
     if (got < raw.length) return None
     // Unfilter in place into the output raster.
     val px = new Array[Byte](header.height * rowBytes)

@@ -83,6 +83,7 @@ object MediaCodec {
     while (off + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
       val id = tag(bytes, off)
       val len = le32(bytes, off + 4)
+      if (len < 0) return None // corrupt length — would loop or overflow
       if (id == "fmt " && off + 8 + 16 <= bytes.length)
         fmt = Some((le16(bytes, off + 10), le32(bytes, off + 12), le16(bytes, off + 22)))
       else if (id == "data") dataLen = len
@@ -127,7 +128,9 @@ object MediaCodec {
       var off = from
       while (off + 8 <= to) {
         val size = be32(bytes, off)
-        if (size < 8) return None
+        // size < 8 is malformed; size past the window would overflow
+        // Int on crafted 4 GB declarations and walk backwards
+        if (size < 8 || size > to - off) return None
         if (tag(bytes, off + 4) == target) return Some(off)
         off += size.toInt
       }
