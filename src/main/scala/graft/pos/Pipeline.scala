@@ -83,11 +83,14 @@ object Pipeline {
     Lake.writeFull(Transform.run(raw), cfg.lakeRoot)
   }
 
-  /** Entry 2 — monthly report (reference `main.py:133-134`). */
+  /** Entry 2 — monthly report (reference `main.py:133-134`): markdown
+    * plus the K10 chart PNGs next to it.
+    */
   def monthlyReport(spark: SparkSession, cfg: Config, reportMonth: String,
       comparisonMonth: String): String = {
     val md = Reports.monthly(spark, cfg.lakeRoot, reportMonth, comparisonMonth)
     writeReport(cfg, s"monthly_$reportMonth.md", md)
+    Charts.writeMonthlyCharts(spark, cfg.lakeRoot, reportMonth, cfg.reportDir.toString)
     md
   }
 
