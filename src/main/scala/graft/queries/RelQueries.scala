@@ -212,7 +212,35 @@ object RelQueries {
       .orderBy(col("event_type"))
   }
 
+  /** r7 — heavy hitters: Spark's `stat.freqItems` (Karp et al.
+    * streaming majority sketch — single pass, constant memory, the
+    * 100 TB tool for hot-key discovery before salting). The sketch
+    * admits false positives but NEVER false negatives for items with
+    * freq > support·n, so the gate emits the EXACT heavy hitters
+    * (oracled) plus an in-sketch flag the oracle asserts is 1 — same
+    * bound-check pattern as r6.
+    */
+  val heavyHitters = Query(
+    "r7_heavy_hitters",
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(1 AS BIGINT) AS in_sketch
+      |FROM events
+      |GROUP BY user_id
+      |HAVING COUNT(*) > 0.007 * (SELECT COUNT(*) FROM events)
+      |ORDER BY user_id""".stripMargin) { (spark, d) =>
+    val ev = events(spark, d)
+    val total = ev.count()
+    val sketch = ev.stat.freqItems(Array("user_id"), 0.007)
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(0.007) * lit(total.toDouble))
+      .crossJoin(broadcast(sketch))
+      .select(
+        col("user_id"), col("cnt"),
+        when(array_contains(col("user_id_freqItems"), col("user_id")), 1L)
+          .otherwise(0L).as("in_sketch"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Query] = Seq(
     sessionStats, asOfViewBeforePurchase, clickToPurchase, errorBurstPairs,
-    stratifiedSample, sketchProfile)
+    stratifiedSample, sketchProfile, heavyHitters)
 }

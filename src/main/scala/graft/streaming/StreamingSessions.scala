@@ -8,12 +8,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * live counterpart of the batch `operators.Sessionize` replay. Session
   * semantics (a session closes when the gap to the next event exceeds
   * `gapMicros`; gap exactly equal does NOT close) are identical to the
-  * batch operator for in-order data. Late data bounded by the watermark
-  * can diverge from a batch replay: an event arriving after its session
-  * was timeout-flushed starts a fresh session (batch would have extended
-  * it), and a late event older than the open session's start does not
-  * lower sessionStart (batch would merge). Both divergences are bounded
-  * by the watermark delay.
+  * batch operator for ALL data inside the watermark, including late
+  * arrivals: the span-merge fold lowers sessionStart for events older
+  * than the open session and chains earlier-still events into their own
+  * sessions, exactly as a batch replay would. The one remaining
+  * divergence is inherent to streaming: an event arriving after its
+  * session was already timeout-flushed starts a fresh session (the
+  * emitted record is immutable) — bounded by the watermark delay.
   *
   * State model: one `OpenSession` per user, keyed by the group. A
   * micro-batch's events for a user are sorted inside the function
@@ -55,21 +56,37 @@ object StreamingSessions {
   private def close(userId: Long, s: OpenSession): ClosedSession =
     ClosedSession(userId, s.sessionStart, s.lastTus, s.nEvents, s.totalCents / 100.0)
 
+  /** Merge a batch into the open session with BATCH-IDENTICAL
+    * semantics for all data inside the watermark: the open session is
+    * just a time-span aggregate, and adding events can only MERGE
+    * spans, never split one — so folding the sorted spans (each event
+    * a 1-point span, the stored session its own span) reproduces
+    * exactly what the batch Sessionize would compute. A late event
+    * older than the open session lowers sessionStart; one older than
+    * sessionStart − gap forms (or chains into) its own earlier
+    * session, closed as soon as the fold passes it.
+    */
+  private case class Span(start: Long, end: Long, n: Long, cents: Long)
+
   private def fold(userId: Long, gapMicros: Long)(
       state: Option[OpenSession],
-      events: Seq[SessionEvent]): (Seq[ClosedSession], Option[OpenSession]) =
-    events.foldLeft((Seq.empty[ClosedSession], state)) {
-      case ((closed, None), e) =>
-        (closed, Some(OpenSession(e.tus, e.tus, 1L, math.round(e.value * 100))))
-      case ((closed, Some(s)), e) if e.tus - s.lastTus > gapMicros =>
-        (closed :+ close(userId, s),
-          Some(OpenSession(e.tus, e.tus, 1L, math.round(e.value * 100))))
-      case ((closed, Some(s)), e) =>
-        (closed, Some(s.copy(
-          lastTus = math.max(s.lastTus, e.tus),
-          nEvents = s.nEvents + 1L,
-          totalCents = s.totalCents + math.round(e.value * 100))))
+      events: Seq[SessionEvent]): (Seq[ClosedSession], Option[OpenSession]) = {
+    val spans = (events.map(e => Span(e.tus, e.tus, 1L, math.round(e.value * 100))) ++
+      state.map(s => Span(s.sessionStart, s.lastTus, s.nEvents, s.totalCents)))
+      .sortBy(s => (s.start, s.end))
+    spans match {
+      case Seq() => (Seq.empty, state)
+      case head +: tail =>
+        val (closed, last) = tail.foldLeft((Seq.empty[ClosedSession], head)) {
+          case ((acc, cur), nxt) =>
+            if (nxt.start - cur.end > gapMicros) // exact-gap does NOT close
+              (acc :+ ClosedSession(userId, cur.start, cur.end, cur.n, cur.cents / 100.0), nxt)
+            else
+              (acc, Span(cur.start, math.max(cur.end, nxt.end), cur.n + nxt.n, cur.cents + nxt.cents))
+        }
+        (closed, Some(OpenSession(last.start, last.end, last.n, last.cents)))
     }
+  }
 
   /** The flatMapGroupsWithState function. Public for direct unit
     * testing of the state transitions.

@@ -33,6 +33,21 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(state.get == OpenSession(61L * M, 61L * M, 1L, 250L))
   }
 
+  test("sessionFunc: late events merge backward and chain earlier sessions (batch-identical)") {
+    // Open session spans [100m, 110m]. The batch delivers, late:
+    //  - 80m  → within gap of sessionStart → merges, LOWERS start
+    //  - 10m, 20m → their own earlier session (closed immediately)
+    val state = TestGroupState.create[OpenSession](
+      optionalState = Optional.of(OpenSession(100L * M, 110L * M, 2L, 1000L)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(0L), hasTimedOut = false)
+    val events = Iterator(
+      ev(1L, 10L * M, 1L, 1.0), ev(1L, 20L * M, 2L, 2.0), ev(1L, 80L * M, 3L, 4.0))
+    val out = StreamingSessions.sessionFunc(Gap)(1L, events, state).toSeq
+    assert(out == Seq(ClosedSession(1L, 10L * M, 20L * M, 2L, 3.0)))
+    assert(state.get == OpenSession(80L * M, 110L * M, 3L, 1400L))
+  }
+
   test("sessionFunc: timeout flushes and clears state") {
     val state = TestGroupState.create[OpenSession](
       optionalState = Optional.of(OpenSession(0L, 5L * M, 3L, 1234L)),
