@@ -57,4 +57,65 @@ object Components {
     }
     labels.select(col("v").as(idCol), col("label").as("component"))
   }
+
+  /** Large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14): alternate the two
+    * star operations on the EDGE LIST until fixpoint — O(log n) rounds
+    * on any graph, vs diameter rounds for [[connectedComponents]]'
+    * label propagation. Use this form when components can be deep
+    * (long reply chains, web graphs); both return identical labels.
+    *
+    *  - large-star(u): every neighbor v > u re-points to m =
+    *    min(N(u) ∪ u)
+    *  - small-star(u): every neighbor v ≤ u (and u itself) re-points
+    *    to the same m
+    */
+  def largeSmallStar(
+      vertices: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val bi = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = bi.groupBy(col("a"))
+        .agg(min(least(col("a"), col("b"))).as("m"))
+      val large = bi.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val afterLarge = large.filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      val bi2 = afterLarge.union(afterLarge.select(col("b").as("a"), col("a").as("b")))
+      val le = bi2.filter(col("b") <= col("a"))
+      val mins2 = le.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = le.join(mins2, "a")
+        .select(col("b").as("x"), col("m"))
+        .union(mins2.select(col("a").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("a"), col("m").as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      changed = small.exceptAll(edges).limit(1).count() > 0 ||
+        edges.exceptAll(small).limit(1).count() > 0
+      edges = small
+      iter += 1
+    }
+    // Fixpoint edges form stars (child → root). Any vertex not in the
+    // edge list is its own component.
+    val roots = edges.select(col("a").as("v"), col("b").as("label"))
+      .union(edges.select(col("b").as("v"), col("b").as("label")))
+      .groupBy(col("v")).agg(min(col("label")).as("label"))
+    vertices.select(col(idCol).cast("long").as("v"))
+      .join(roots, Seq("v"), "left")
+      .select(
+        col("v").as(idCol),
+        coalesce(col("label"), col("v")).as("component"))
+  }
 }

@@ -33,14 +33,25 @@ class DedupPropertySpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = (0 until n.toInt).map(v => v.toLong -> find(v).toLong).toMap
-      val got = Components.connectedComponents(
-        (0L until n).toDF("id"),
-        "id",
-        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b") else edges.toDF("a", "b"),
-        "a", "b")
+      val vs = (0L until n).toDF("id")
+      val es = if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b") else edges.toDF("a", "b")
+      val got = Components.connectedComponents(vs, "id", es, "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === expected)
+      // the O(log n) contraction must agree with label propagation
+      val got2 = Components.largeSmallStar(vs, "id", es, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 === expected, "largeSmallStar diverged from union-find")
     }
+  }
+
+  test("largeSmallStar: deep chain resolves (the case that costs label propagation)") {
+    val n = 200
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val got = Components.largeSmallStar(
+      (0L until n).toDF("id"), "id", chain.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got === Array(0L), "one component rooted at 0")
   }
 
   test("chunk property: stripping the overlap reassembles the token stream") {
