@@ -158,12 +158,16 @@ object CoreQueries {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin) { (spark, d) =>
     import spark.implicits._
-    val w = Window.partitionBy($"user_id", $"event_type")
-      .orderBy($"ts".desc, $"event_id".desc)
+    // max_by on the (ts, event_id) ordering struct — a total order, so
+    // the winner matches the ROW_NUMBER oracle while the plan is a
+    // map-side-combinable hash aggregate instead of a full sort
+    // (the dedupLatestAgg argument; see PLANS.md round-2 rewrites).
     events(spark, d)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", $"event_type", $"event_id", $"value")
+      .groupBy($"user_id", $"event_type")
+      .agg(max_by(
+        struct($"event_id", $"value"),
+        struct(unix_micros($"ts"), $"event_id")).as("__w"))
+      .select($"user_id", $"event_type", $"__w.event_id", $"__w.value")
       .orderBy($"user_id", $"event_type")
   }
 
