@@ -280,6 +280,10 @@ object SimQueries {
       .setItemsCol("items")
       .setMinSupport(0.02)
       .setMinConfidence(0.0)
+    // NOTE: setNumPartitions(32) was measured 3× SLOWER here (36 s vs
+    // 11.9 s median at sf1) — more partitions duplicate the conditional
+    // FP-trees; the default (input partitioning) is right for this
+    // shape.
     // fit materializes the itemsets into the model; drop the basket
     // cache so it doesn't accumulate across a full verify/bench run.
     val model = try fp.fit(baskets) finally baskets.unpersist()
