@@ -56,15 +56,15 @@ object DedupQueries {
       }.mkString("\n  UNION ALL\n  ")
       val eq = (0 until K).map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
       s"""$shinglesCte,
-         |sig AS (
+         |sig AS MATERIALIZED (
          |  SELECT doc_id,
          |         $sigSelect
          |  FROM hashed GROUP BY doc_id
          |),
-         |banded AS (
+         |banded AS MATERIALIZED (
          |  $bands
          |),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a
          |  JOIN banded b ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
@@ -180,21 +180,21 @@ object DedupQueries {
       }.mkString("\n  UNION ALL\n  ")
       "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ") + "," +
         s"""
-           |sig AS (
+           |sig AS MATERIALIZED (
            |  SELECT doc_id,
            |         $sigSelect
            |  FROM hashed GROUP BY doc_id
            |),
-           |banded AS (
+           |banded AS MATERIALIZED (
            |  $bands
            |),
-           |pairs AS (
+           |pairs AS MATERIALIZED (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM banded a
            |  JOIN banded b ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
            |  WHERE a.doc_id < b.doc_id
            |),
-           |edges AS (
+           |edges AS MATERIALIZED (
            |  SELECT id_a AS a, id_b AS b FROM pairs
            |  UNION SELECT id_b, id_a FROM pairs
            |),
@@ -282,7 +282,7 @@ object DedupQueries {
          |         CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) AS h
          |  FROM toks
          |),
-         |fps AS (
+         |fps AS MATERIALIZED (
          |  SELECT doc_id, source, CAST($fp AS BIGINT) AS simhash FROM (
          |    SELECT doc_id, source,
          |       $bitSums

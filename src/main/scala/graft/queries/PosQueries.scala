@@ -462,24 +462,24 @@ object PosQueries {
   val p15 = Query(
     "p15_market_basket",
     s"""$posCte,
-       |bk AS (SELECT DISTINCT receipt_number, item_name FROM pos),
-       |items AS (
+       |bk AS MATERIALIZED (SELECT DISTINCT receipt_number, item_name FROM pos),
+       |items AS MATERIALIZED (
        |  SELECT item_name, CAST(ROW_NUMBER() OVER (ORDER BY item_name) - 1 AS BIGINT) AS i
        |  FROM (SELECT DISTINCT item_name FROM bk)
        |),
-       |r AS (
+       |r AS MATERIALIZED (
        |  SELECT receipt_number, bit_or(1 << i) AS rmask
        |  FROM bk JOIN items USING (item_name) GROUP BY 1
        |),
-       |n AS (SELECT COUNT(*) AS n FROM r),
-       |mc AS (SELECT CAST(CEIL(0.01 * n) AS BIGINT) AS mc FROM n),
-       |masks AS (SELECT unnest(range(1, (SELECT 1 << COUNT(*) FROM items))) AS mask),
-       |sup AS (
+       |n AS MATERIALIZED (SELECT COUNT(*) AS n FROM r),
+       |mc AS MATERIALIZED (SELECT CAST(CEIL(0.01 * n) AS BIGINT) AS mc FROM n),
+       |masks AS MATERIALIZED (SELECT unnest(range(1, (SELECT 1 << COUNT(*) FROM items))) AS mask),
+       |sup AS MATERIALIZED (
        |  SELECT mask, COUNT(*) FILTER (WHERE (rmask & mask) = mask) AS freq
        |  FROM masks CROSS JOIN r GROUP BY mask
        |),
-       |freq AS (SELECT mask, freq FROM sup WHERE freq >= (SELECT mc FROM mc)),
-       |rules AS (
+       |freq AS MATERIALIZED (SELECT mask, freq FROM sup WHERE freq >= (SELECT mc FROM mc)),
+       |rules AS MATERIALIZED (
        |  SELECT x.mask AS xm, it.i AS ci, it.item_name AS consequents,
        |         x.freq AS fx, a.freq AS fa, c.freq AS fc
        |  FROM freq x

@@ -23,7 +23,7 @@ object SimQueries {
       |         generate_subscripts(embedding, 1) AS i
       |  FROM embeddings WHERE vec_id < 10
       |),
-      |b AS (
+      |b AS MATERIALIZED (
       |  SELECT vec_id AS bid,
       |         CAST(unnest(embedding) AS DOUBLE) AS v,
       |         generate_subscripts(embedding, 1) AS i
@@ -100,7 +100,7 @@ object SimQueries {
       |         generate_subscripts(embedding, 1) AS i
       |  FROM embeddings WHERE vec_id < 10
       |),
-      |b AS (
+      |b AS MATERIALIZED (
       |  SELECT vec_id AS bid, label,
       |         CAST(unnest(embedding) AS DOUBLE) AS v,
       |         generate_subscripts(embedding, 1) AS i
@@ -219,22 +219,22 @@ object SimQueries {
     */
   val basketRules = Query(
     "b1_basket_rules",
-    """WITH b AS (
+    """WITH b AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS rid, p_brand AS item
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |),
-      |n AS (SELECT COUNT(DISTINCT rid) AS n FROM b),
-      |mc AS (SELECT CAST(CEIL(0.02 * n) AS BIGINT) AS mc FROM n),
-      |f1 AS (
+      |n AS MATERIALIZED (SELECT COUNT(DISTINCT rid) AS n FROM b),
+      |mc AS MATERIALIZED (SELECT CAST(CEIL(0.02 * n) AS BIGINT) AS mc FROM n),
+      |f1 AS MATERIALIZED (
       |  SELECT item, COUNT(*) AS freq FROM b GROUP BY item
       |  HAVING COUNT(*) >= (SELECT mc FROM mc)
       |),
-      |f2 AS (
+      |f2 AS MATERIALIZED (
       |  SELECT a.item AS i1, c.item AS i2, COUNT(*) AS freq
       |  FROM b a JOIN b c ON a.rid = c.rid AND a.item < c.item
       |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT mc FROM mc)
       |),
-      |f3 AS (
+      |f3 AS MATERIALIZED (
       |  SELECT a.item AS i1, c.item AS i2, e.item AS i3, COUNT(*) AS freq
       |  FROM b a
       |  JOIN b c ON a.rid = c.rid AND a.item < c.item
