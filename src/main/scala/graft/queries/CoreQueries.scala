@@ -479,6 +479,44 @@ object CoreQueries {
       .orderBy($"window_start")
   }
 
+  /** a15's documented scale path made real: decile bucketing WITHOUT a
+    * global sort. Exact continuous percentiles (one aggregate pass)
+    * give the 9 boundaries; each row's bucket is then a broadcast
+    * comparison — fully parallel, no single-partition window. Bucket
+    * semantics are boundary-based (ties at a boundary bucket low), so
+    * counts are approximately-equal rather than NTILE's exactly-equal —
+    * the standard trade, pinned by its own oracle: DuckDB's
+    * quantile_cont uses the same (n−1)·p interpolation as Spark's
+    * percentile, so the boundaries — and therefore every bucket
+    * assignment — hash-match.
+    */
+  val decileBoundaries = Query(
+    "a15b_decile_scaled",
+    """WITH b AS (
+      |  SELECT quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      |  FROM orders
+      |)
+      |SELECT 1 + len(list_filter(qs, q -> o_totalprice > q)) AS decile,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders, b
+      |GROUP BY 1
+      |ORDER BY decile""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val o = orders(spark, d)
+    val bounds = o.agg(
+      expr("percentile(o_totalprice, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+        .as("qs"))
+    o.crossJoin(broadcast(bounds))
+      .select(
+        $"o_totalprice",
+        (lit(1) + aggregate($"qs", lit(0),
+          (acc, q) => acc + when($"o_totalprice" > q, 1).otherwise(0))).cast("long").as("decile"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
+      .orderBy($"decile")
+  }
+
   /** NTILE decile bucketing — quantile bins as a window over a total
     * order (deterministic: the ORDER BY includes the unique key).
     * Summarized per decile so the gate output is compact.
@@ -545,5 +583,5 @@ object CoreQueries {
     pivotStatus, dedupLatestEvent, pctOfGroup, priorityBucket, regexFilter,
     dowDomainFill, timeSlots, regionRevenue, unionDistinctUsers, modifierParse,
     jsonProps, saltedJoin, sqlSurface, windowedRevenue, ntileDeciles,
-    rollupRevenue)
+    decileBoundaries, rollupRevenue)
 }
