@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,7 +67,7 @@ private[sources] class RestReceiptsTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"pos-receipts(${options.get("baseUrl")})"
   override def schema(): StructType = RestReceiptsSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder = {
     def req(k: String): String = {
       val v = options.getOrDefault(k, readOptions.get(k))
@@ -113,6 +114,72 @@ private[sources] class RestScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     RestReaderFactory(baseUrl, apiKey, pageDelayMs)
+
+  /** Streaming form (S3's incremental poll as a `readStream` source):
+    * offsets are ISO-8601 watermarks over `updated_at`; each micro
+    * batch covers `(lastOffset, min(now, updatedAtMax)]`, sliced into
+    * `numSlices` executor partitions exactly like the batch path. The
+    * checkpoint persists the watermark, so a restarted query resumes
+    * where the last committed batch ended — the streaming counterpart
+    * of the pipeline's StateStore watermark commit.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RestMicroBatchStream(baseUrl, apiKey, updatedAtMin, updatedAtMax, numSlices, pageDelayMs)
+}
+
+private[sources] case class RestOffset(iso: String) extends Offset {
+  override def json(): String = s"""{"updated_at":"$iso"}"""
+}
+
+private[sources] class RestMicroBatchStream(
+    baseUrl: String,
+    apiKey: String,
+    updatedAtMin: String,
+    updatedAtMax: String,
+    numSlices: Int,
+    pageDelayMs: Long) extends MicroBatchStream {
+
+  private val offsetRe = """"updated_at"\s*:\s*"([^"]+)"""".r
+
+  override def initialOffset(): Offset = RestOffset(updatedAtMin)
+
+  /** The API exposes no change feed, so "latest" is the wall clock
+    * capped at updatedAtMax — standard for poll-based sources.
+    */
+  override def latestOffset(): Offset = {
+    val now = Instant.now().getEpochSecond
+    val cap = Instant.parse(updatedAtMax).getEpochSecond
+    RestOffset(Instant.ofEpochSecond(math.min(now, cap)).toString)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    offsetRe.findFirstMatchIn(json) match {
+      case Some(m) => RestOffset(m.group(1))
+      case None => throw new IllegalArgumentException(s"bad pos-receipts offset: $json")
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val startS = Instant.parse(start.asInstanceOf[RestOffset].iso).getEpochSecond
+    val endS = Instant.parse(end.asInstanceOf[RestOffset].iso).getEpochSecond
+    if (endS <= startS) return Array.empty
+    // (start, end]: begin 1s after the committed watermark (inclusive
+    // API bounds), same disjoint slicing as the batch scan.
+    val lo = startS + 1
+    val n = math.max(1, math.min(numSlices.toLong, math.max(1L, endS - lo))).toInt
+    val step = math.max(1L, (endS - lo) / n)
+    def iso(s: Long): String = Instant.ofEpochSecond(s).toString
+    (0 until n).map { i =>
+      val s = lo + i * step
+      val e = if (i == n - 1) endS else math.min(endS, s + step - 1)
+      RestSlice(iso(s), iso(e)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RestReaderFactory(baseUrl, apiKey, pageDelayMs)
+
+  override def commit(end: Offset): Unit = () // watermark lives in the checkpoint
+  override def stop(): Unit = ()
 }
 
 private[sources] case class RestSlice(start: String, end: String) extends InputPartition

@@ -74,14 +74,10 @@ class PipelineSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
-  test("S1-V2: DataSource V2 source slices the range, paginates per slice, equals driver path") {
-    // Range-aware stub: serves ONE receipt per page (forcing cursor
-    // pagination inside every slice), filtered by updated_at_min/max.
-    val all = Seq(
-      ("r1", "2025-07-02T10:00:00Z"), ("r2", "2025-07-08T09:00:00Z"),
-      ("r3", "2025-07-11T00:00:00Z"), // exactly on a slice boundary
-      ("r4", "2025-07-15T12:00:00Z"), ("r5", "2025-07-22T08:00:00Z"),
-      ("r6", "2025-07-30T23:00:00Z"))
+  /** Range-aware stub: serves ONE receipt per page (forcing cursor
+    * pagination inside every slice), filtered by updated_at_min/max.
+    */
+  private def startRangeStub(all: Seq[(String, String)]): (HttpServer, Int) = {
     val counter = new java.util.concurrent.atomic.AtomicInteger
     val cursors = new java.util.concurrent.ConcurrentHashMap[String, (String, String, Int)]()
     val server = HttpServer.create(new InetSocketAddress(0), 0)
@@ -111,7 +107,16 @@ class PipelineSpec extends SparkSpec {
       }
     })
     server.start()
-    val port = server.getAddress.getPort
+    (server, server.getAddress.getPort)
+  }
+
+  test("S1-V2: DataSource V2 source slices the range, paginates per slice, equals driver path") {
+    val all = Seq(
+      ("r1", "2025-07-02T10:00:00Z"), ("r2", "2025-07-08T09:00:00Z"),
+      ("r3", "2025-07-11T00:00:00Z"), // exactly on a slice boundary
+      ("r4", "2025-07-15T12:00:00Z"), ("r5", "2025-07-22T08:00:00Z"),
+      ("r6", "2025-07-30T23:00:00Z"))
+    val (server, port) = startRangeStub(all)
     try {
       val df = spark.read.format("pos-receipts")
         .option("baseUrl", s"http://localhost:$port").option("apiKey", "k")
@@ -131,6 +136,42 @@ class PipelineSpec extends SparkSpec {
       val driverNums = Receipts.fromPages(spark, driverPages)
         .select("receipt_number").collect().map(_.getString(0))
       assert(nums.sorted.toSeq === driverNums.sorted.toSeq)
+    } finally server.stop(0)
+  }
+
+  test("S3-V2: micro-batch streaming source resumes from the checkpoint watermark") {
+    val all = Seq(
+      ("r1", "2025-07-02T10:00:00Z"), ("r2", "2025-07-08T09:00:00Z"),
+      ("r3", "2025-07-15T12:00:00Z"), ("r4", "2025-07-22T08:00:00Z"))
+    val (server, port) = startRangeStub(all)
+    val dir = Files.createTempDirectory("restms")
+    val ckpt = dir.resolve("ckpt").toString
+    val sink = dir.resolve("bodies").toString
+    def run(maxIso: String): Unit = {
+      val stream = spark.readStream.format("pos-receipts")
+        .option("baseUrl", s"http://localhost:$port").option("apiKey", "k")
+        .option("updatedAtMin", "2025-07-01T00:00:00Z")
+        .option("updatedAtMax", maxIso)
+        .option("numSlices", "2").option("pageDelayMs", "0")
+        .load()
+      val q = stream.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    def receiptsInSink(): Seq[String] =
+      Receipts.fromBodies(spark.read.parquet(sink))
+        .select("receipt_number").collect().map(_.getString(0)).sorted.toSeq
+    try {
+      // Run 1: cap at July 10 → only r1, r2 are in range.
+      run("2025-07-10T00:00:00Z")
+      assert(receiptsInSink() === Seq("r1", "r2"))
+      // Run 2, same checkpoint, cap moved to July 31: the stream must
+      // resume from the committed watermark — r3/r4 arrive and r1/r2
+      // are NOT re-fetched (each appears exactly once).
+      run("2025-07-31T00:00:00Z")
+      assert(receiptsInSink() === Seq("r1", "r2", "r3", "r4"))
     } finally server.stop(0)
   }
 
