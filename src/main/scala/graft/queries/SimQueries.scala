@@ -204,6 +204,57 @@ object SimQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** Int8-quantized bucketed ANN (the memory-bound scale variant):
+    * per-vector symmetric quantization with floor(x·s + 0.5) — a
+    * formula both engines evaluate identically — then exact integer
+    * dot products and norms. The oracle recomputes the ENTIRE
+    * quantized pipeline in SQL, so the hash verifies quantization,
+    * integer accumulation, and re-normalized ranking end to end.
+    */
+  val quantizedKnn = Query(
+    "e6_quantized_knn",
+    """WITH base AS MATERIALIZED (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |),
+      |scaled AS MATERIALIZED (
+      |  SELECT vec_id, label,
+      |         127.0 / list_aggregate(list_transform(ve, y -> abs(y)), 'max') AS s, ve
+      |  FROM base
+      |),
+      |q8 AS MATERIALIZED (
+      |  SELECT vec_id, label,
+      |         list_transform(ve, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qv
+      |  FROM scaled
+      |),
+      |f AS MATERIALIZED (
+      |  SELECT vec_id, label, unnest(qv) AS v, generate_subscripts(qv, 1) AS i FROM q8
+      |),
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS bid,
+      |         SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS qq, SUM(b.v * b.v) AS bb
+      |  FROM f a JOIN f b ON a.label = b.label AND a.i = b.i
+      |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      |  GROUP BY 1, 2
+      |),
+      |ranked AS (
+      |  SELECT qid, bid,
+      |         round(CAST(dot AS DOUBLE)
+      |               / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6) AS cosine,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY round(CAST(dot AS DOUBLE)
+      |             / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6) DESC, bid) AS rank
+      |  FROM dots
+      |)
+      |SELECT qid, rank, bid, cosine FROM ranked WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val emb = embeddings(spark, d)
+    graft.similarity.Ann
+      .quantizedTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", "label", 3)
+      .orderBy($"qid", $"rank")
+  }
+
   /** A11/A12/P15 — market basket: set-valued baskets (collect_set, the
     * reference's TransactionEncoder collapses duplicates —
     * `cumulative_report.py:140-142`) → FP-Growth → association rules
@@ -298,5 +349,5 @@ object SimQueries {
       .orderBy($"lift".desc, $"antecedent", $"consequent")
   }
 
-  val all: Seq[Query] = Seq(knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn)
+  val all: Seq[Query] = Seq(knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn)
 }

@@ -68,6 +68,51 @@ object Ann {
       k)
   }
 
+  /** Int8 scalar quantization: per-vector symmetric scale
+    * (127 / max|v|), elements rounded via floor(x·s + 0.5) — the same
+    * formula every engine evaluates identically, so quantized vectors
+    * (and everything computed from them) are cross-engine exact. At
+    * 100 TB this is the memory-bound ANN play: 4× smaller vectors,
+    * integer dot products, cosine preserved to ~1e-2.
+    */
+  def quantize(df: DataFrame, vecCol: String, qCol: String = "qvec"): DataFrame = {
+    val ve = transform(col(vecCol), v => v.cast("double"))
+    df.withColumn("__s", lit(127.0) / array_max(transform(ve, v => abs(v))))
+      .withColumn(qCol, transform(ve, x => floor(x * col("__s") + 0.5).cast("long")))
+      .drop("__s")
+  }
+
+  /** Bucketed top-k over int8-quantized vectors: integer dot products
+    * and norms (exact in any execution order), cosine re-normalized in
+    * doubles, ranked on the 6-dp-rounded score with id tiebreakers —
+    * the quantized twin of [[bucketedTopK]].
+    */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucketCol: String,
+      k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String, v: String): DataFrame =
+      quantize(df, vecCol, v)
+        .select(col(idCol).as(id), col(bucketCol).as("bucket"), col(v))
+    val q = broadcast(prep(queries, "qid", "qv"))
+    val b = prep(corpus, "bid", "bv")
+    val dot = aggregate(zip_with(col("qv"), col("bv"), _ * _), lit(0L), _ + _)
+    def norm2(c: Column) = aggregate(c, lit(0L), (acc, v) => acc + v * v)
+    rank(
+      q.join(b, "bucket")
+        .filter(col("qid") =!= col("bid"))
+        .select(
+          col("qid"), col("bid"),
+          round(
+            dot.cast("double") /
+              (sqrt(norm2(col("qv")).cast("double")) * sqrt(norm2(col("bv")).cast("double"))),
+            6).as("cosine")),
+      k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a bucket: the
     * similarity-search form of near-dup detection (threshold on the
     * 6-dp-rounded cosine keeps the cut reproducible).

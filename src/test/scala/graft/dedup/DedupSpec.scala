@@ -91,6 +91,19 @@ class DedupSpec extends SparkSpec {
     assert(bucketed.map(_.getAs[Long]("bid")).toSeq === Seq(1L)) // only same-bucket
   }
 
+  test("ANN: int8 quantization preserves top-1 neighbours on the sf0.001 corpus") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 5)
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"rank" === 1).collect()
+        .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("bid")).toMap
+    val exact = top1(Ann.bucketedTopK(emb, q, "vec_id", "embedding", "label", 1))
+    val quant = top1(Ann.quantizedTopK(emb, q, "vec_id", "embedding", "label", 1))
+    assert(exact.keySet === quant.keySet)
+    val agree = exact.count { case (k, v) => quant(k) == v }
+    assert(agree >= exact.size - 1, s"quantization flipped too many top-1s: $quant vs $exact")
+  }
+
   test("ANN: centroids + assign round-trip") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.8f, 0.2f), 0),
