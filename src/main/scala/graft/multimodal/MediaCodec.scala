@@ -96,6 +96,43 @@ object MediaCodec {
     }
   }
 
+  /** Decode the PCM payload of a (44-byte-canonical or chunk-walked)
+    * WAV: locate the data chunk and read 8-bit unsigned / 16-bit or
+    * 24-bit little-endian signed samples, interleaved.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(WavHeader, Array[Int])] = {
+    val header = decodeWav(bytes).getOrElse(return None)
+    // second walk to find the data chunk offset
+    var off = 12
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && dataOff < 0) {
+      val id = tag(bytes, off)
+      val len = le32(bytes, off + 4)
+      if (len < 0) return None
+      if (id == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1)
+    }
+    if (dataOff < 0 || dataOff + dataLen > bytes.length) return None
+    val bps = header.bitsPerSample / 8
+    val n = dataLen / bps
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val base = dataOff + i * bps
+      out(i) = header.bitsPerSample match {
+        case 8 => bytes(base) & 0xff // 8-bit WAV is unsigned
+        case 16 => ((bytes(base) & 0xff) | (bytes(base + 1) << 8)).toShort.toInt
+        case 24 =>
+          val v = (bytes(base) & 0xff) | ((bytes(base + 1) & 0xff) << 8) | (bytes(base + 2) << 16)
+          v
+        case _ => return None
+      }
+      i += 1
+    }
+    Some((header, out))
+  }
+
   /** Encode a minimal ISO-BMFF file: ftyp + a `free` padding box (so
     * decoders must actually WALK boxes, not assume fixed offsets) +
     * moov{mvhd v0}. Total size: 16 + (8 + freePad) + 8 + 108.

@@ -123,6 +123,39 @@ object Multimodal {
     }
   }
 
+  /** PCM sample statistics: decode the full interleaved sample stream
+    * (16-bit LE via [[MediaCodec.decodeWavSamples]]) and reduce to
+    * exact integer stats — the audio twin of [[pixelStats]], verifying
+    * the byte-level PCM round trip, not just headers.
+    */
+  def audioStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("n_values", LongType),
+      StructField("sample_sum", LongType),
+      StructField("sample_min", IntegerType),
+      StructField("sample_max", IntegerType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("asset_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodec.decodeWavSamples(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some((_, samples)) =>
+            var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i)
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            Row(r.getLong(idIdx), samples.length.toLong, sum, mn, mx)
+          case None => Row(r.getLong(idIdx), -1L, -1L, -1, -1)
+        }
+      }
+    }
+  }
+
   /** Video container decode pass: ISO-BMFF box walk → movie header. */
   def decodeVideo(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(

