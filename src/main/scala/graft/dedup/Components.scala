@@ -55,6 +55,15 @@ object Components {
       labels = stepped.select(col("v"), col("label"))
       iter += 1
     }
+    // Unconverged labels are WRONG labels (a component deeper than
+    // maxIter hops still carries split ids) — fail loudly rather than
+    // hand back plausible-looking cluster ids.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing): the graph has components deeper than " +
+          s"$maxIter hops — raise maxIter or use Components.largeSmallStar " +
+          "(O(log n) rounds on any graph)")
     labels.select(col("v").as(idCol), col("label").as("component"))
   }
 
@@ -82,6 +91,20 @@ object Components {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    // Fixpoint test: the round output equals the round input. Both are
+    // DISTINCT edge sets, so (count, XOR of 64-bit row hashes) is a set
+    // checksum — one aggregation job per round, carried across rounds,
+    // vs the two full exceptAll comparison jobs this replaces. XOR (not
+    // sum) because it is order-independent AND cannot overflow under
+    // ANSI arithmetic. The label-propagation property test still proves
+    // end-to-end equality.
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = stats(edges)
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
@@ -102,11 +125,16 @@ object Components {
         .select(col("x").as("a"), col("m").as("b"))
         .distinct()
         .localCheckpoint(true)
-      changed = small.exceptAll(edges).limit(1).count() > 0 ||
-        edges.exceptAll(small).limit(1).count() > 0
+      val cur = stats(small)
+      changed = cur != prev
+      prev = cur
       edges = small
       iter += 1
     }
+    if (changed)
+      throw new IllegalStateException(
+        s"largeSmallStar did not reach a fixpoint in $maxIter rounds — " +
+          "raise maxIter (rounds needed grow with log of the largest component)")
     // Fixpoint edges form stars (child → root). Any vertex not in the
     // edge list is its own component.
     val roots = edges.select(col("a").as("v"), col("b").as("label"))

@@ -98,10 +98,16 @@ object MinHashLSH {
     */
   def candidatePairs(sigIn: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
-    // The signature relation is referenced three times below (band
-    // explode + both sides of the pair join); without a cache the whole
-    // shingle→hash→min aggregation would run three times.
-    val sig = sigIn.cache()
+    // The signature relation is referenced four times below (both sides
+    // of the band join + both sides of the signature re-join). No cache:
+    // all four references share one identical aggregation subtree, so
+    // exchange reuse materializes the shingle→hash→min shuffle ONCE and
+    // the other three references read the same shuffle files
+    // (ReusedExchange in the physical plan — spec-asserted). A .cache()
+    // here had no owner to unpersist it: the result is lazy, so a
+    // try/finally would drop the cache before the caller materializes,
+    // and leaving it leaked one pinned signature table per call.
+    val sig = sigIn
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { bIdx =>
       struct(

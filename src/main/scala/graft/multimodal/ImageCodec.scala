@@ -181,17 +181,28 @@ object ImageCodec {
     while (!done && i + 8 <= bytes.length) {
       val len = be32(bytes, i)
       // declared length past the buffer (or negative via overflow) =
-      // truncated/corrupt file — fail decode, never read out of bounds
-      if (len < 0 || i + 8 + len > bytes.length) return None
+      // truncated/corrupt file — fail decode, never read out of bounds.
+      // Bounds math in Long: for len near Int.MaxValue, i + 8 + len
+      // wraps negative in Int and the check would falsely pass.
+      if (len < 0 || i.toLong + 8 + len > bytes.length) return None
       val tag = new String(bytes, i + 4, 4, "US-ASCII")
       if (tag == "IDAT") idat.write(bytes, i + 8, len)
       if (tag == "IEND") done = true
       i += 12 + len // len + tag + data + crc
     }
+    // Raster size from the (untrusted) IHDR, in Long: a crafted
+    // width/height must not overflow to a negative array size or force
+    // a multi-GB allocation. Deflate expands at most 1032:1, so a
+    // declared raster beyond that bound cannot be backed by the IDAT
+    // stream we actually hold — corrupt, not decodable.
+    if (header.width <= 0 || header.height <= 0) return None
+    val rowBytesL = header.width.toLong * bpp
+    val rawLenL = header.height * (rowBytesL + 1)
+    if (rawLenL > Int.MaxValue || rawLenL > idat.size().toLong * 1032 + 64) return None
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
-    val rowBytes = header.width * bpp
-    val raw = new Array[Byte](header.height * (rowBytes + 1))
+    val rowBytes = rowBytesL.toInt
+    val raw = new Array[Byte](rawLenL.toInt)
     var got = 0
     try {
       while (got < raw.length && !inflater.finished()) {

@@ -77,17 +77,21 @@ object MediaCodec {
     */
   def decodeWav(bytes: Array[Byte]): Option[WavHeader] = {
     if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
-    var off = 12
+    // Walk offset in Long: a declared chunk len near Int.MaxValue would
+    // wrap an Int offset negative and the next tag() read would throw
+    // instead of returning None (never-throw decoder contract).
+    var off = 12L
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var dataLen = -1
     while (off + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
-      val id = tag(bytes, off)
-      val len = le32(bytes, off + 4)
+      val o = off.toInt
+      val id = tag(bytes, o)
+      val len = le32(bytes, o + 4)
       if (len < 0) return None // corrupt length — would loop or overflow
       if (id == "fmt " && off + 8 + 16 <= bytes.length)
-        fmt = Some((le16(bytes, off + 10), le32(bytes, off + 12), le16(bytes, off + 22)))
+        fmt = Some((le16(bytes, o + 10), le32(bytes, o + 12), le16(bytes, o + 22)))
       else if (id == "data") dataLen = len
-      off += 8 + len + (len & 1) // chunks are word-aligned
+      off += 8L + len + (len & 1) // chunks are word-aligned
     }
     fmt match {
       case Some((ch, rate, bits)) if dataLen >= 0 && ch > 0 && bits >= 8 =>
@@ -102,18 +106,21 @@ object MediaCodec {
     */
   def decodeWavSamples(bytes: Array[Byte]): Option[(WavHeader, Array[Int])] = {
     val header = decodeWav(bytes).getOrElse(return None)
-    // second walk to find the data chunk offset
-    var off = 12
+    // second walk to find the data chunk offset (Long offsets — see
+    // decodeWav; a crafted 44-byte header must not pass the bounds
+    // check via Int wraparound and then attempt a multi-GB allocation)
+    var off = 12L
     var dataOff = -1
     var dataLen = -1
     while (off + 8 <= bytes.length && dataOff < 0) {
-      val id = tag(bytes, off)
-      val len = le32(bytes, off + 4)
+      val o = off.toInt
+      val id = tag(bytes, o)
+      val len = le32(bytes, o + 4)
       if (len < 0) return None
-      if (id == "data") { dataOff = off + 8; dataLen = len }
-      off += 8 + len + (len & 1)
+      if (id == "data") { dataOff = o + 8; dataLen = len }
+      off += 8L + len + (len & 1)
     }
-    if (dataOff < 0 || dataOff + dataLen > bytes.length) return None
+    if (dataOff < 0 || dataOff.toLong + dataLen > bytes.length) return None
     val bps = header.bitsPerSample / 8
     val n = dataLen / bps
     val out = new Array[Int](n)

@@ -45,7 +45,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier(CosineSimilarity.name),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.name),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        // Arity-check before indexing: a 0/1-arg SQL call must surface
+        // as a clean analysis error, not NoSuchElementException.
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> s"`${CosineSimilarity.name}`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
   }
 }
 

@@ -35,10 +35,15 @@ import java.time.Instant
   *     .load()
   * }}}
   *
-  * Slice boundaries are second-aligned: slice i covers
-  * `[start + i·step, start + (i+1)·step − 1s]` (final slice ends at
+  * Slice boundaries are millisecond-aligned: slice i covers
+  * `[start + i·step, start + (i+1)·step − 1ms]` (final slice ends at
   * `updatedAtMax`), matching the API's inclusive-bounds contract so a
-  * receipt lands in exactly one slice. Politeness: the per-page delay
+  * receipt lands in exactly one slice. Millisecond precision matters:
+  * the reference API emits `updated_at` at ms precision
+  * (`reference/etl/extract.py` isoformat(timespec="milliseconds")), so
+  * second-aligned slices would leave a 1-second gap between adjacent
+  * slices into which a receipt at e.g. `T00:00:00.500Z` silently
+  * disappears. Politeness: the per-page delay
   * applies per slice; `numSlices` multiplies concurrent load on the
   * upstream, so size it against the API's rate limit, not the cluster.
   * The debug `receiptCap` is deliberately driver-path-only.
@@ -99,17 +104,10 @@ private[sources] class RestScan(
     s"pos-receipts [$updatedAtMin, $updatedAtMax] x $numSlices slices"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val startS = Instant.parse(updatedAtMin).getEpochSecond
-    val endS = Instant.parse(updatedAtMax).getEpochSecond
-    require(endS >= startS, s"updatedAtMax $updatedAtMax before updatedAtMin $updatedAtMin")
-    val n = math.max(1, math.min(numSlices.toLong, math.max(1L, endS - startS))).toInt
-    val step = math.max(1L, (endS - startS) / n)
-    def iso(s: Long): String = Instant.ofEpochSecond(s).toString
-    (0 until n).map { i =>
-      val s = startS + i * step
-      val e = if (i == n - 1) endS else math.min(endS, s + step - 1)
-      RestSlice(iso(s), iso(e)): InputPartition
-    }.toArray
+    val startMs = Instant.parse(updatedAtMin).toEpochMilli
+    val endMs = Instant.parse(updatedAtMax).toEpochMilli
+    require(endMs >= startMs, s"updatedAtMax $updatedAtMax before updatedAtMin $updatedAtMin")
+    RestScan.slices(startMs, endMs, numSlices)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -125,6 +123,26 @@ private[sources] class RestScan(
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new RestMicroBatchStream(baseUrl, apiKey, updatedAtMin, updatedAtMax, numSlices, pageDelayMs)
+}
+
+private[sources] object RestScan {
+  /** Disjoint millisecond-precision cover of `[startMs, endMs]`:
+    * slice i is `[startMs + i·step, startMs + (i+1)·step − 1 ms]`, the
+    * final slice absorbs the remainder up to `endMs`. Adjacent slices
+    * share no instant and leave no gap, so with the API's inclusive
+    * [min, max] contract every ms-precision `updated_at` is fetched by
+    * exactly one slice.
+    */
+  def slices(startMs: Long, endMs: Long, numSlices: Int): Array[InputPartition] = {
+    val n = math.max(1L, math.min(numSlices.toLong, math.max(1L, endMs - startMs))).toInt
+    val step = math.max(1L, (endMs - startMs) / n)
+    def iso(ms: Long): String = Instant.ofEpochMilli(ms).toString
+    (0 until n).map { i =>
+      val s = startMs + i * step
+      val e = if (i == n - 1) endMs else math.min(endMs, s + step - 1)
+      RestSlice(iso(s), iso(e)): InputPartition
+    }.toArray
+  }
 }
 
 private[sources] case class RestOffset(iso: String) extends Offset {
@@ -159,20 +177,13 @@ private[sources] class RestMicroBatchStream(
     }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val startS = Instant.parse(start.asInstanceOf[RestOffset].iso).getEpochSecond
-    val endS = Instant.parse(end.asInstanceOf[RestOffset].iso).getEpochSecond
-    if (endS <= startS) return Array.empty
-    // (start, end]: begin 1s after the committed watermark (inclusive
-    // API bounds), same disjoint slicing as the batch scan.
-    val lo = startS + 1
-    val n = math.max(1, math.min(numSlices.toLong, math.max(1L, endS - lo))).toInt
-    val step = math.max(1L, (endS - lo) / n)
-    def iso(s: Long): String = Instant.ofEpochSecond(s).toString
-    (0 until n).map { i =>
-      val s = lo + i * step
-      val e = if (i == n - 1) endS else math.min(endS, s + step - 1)
-      RestSlice(iso(s), iso(e)): InputPartition
-    }.toArray
+    val startMs = Instant.parse(start.asInstanceOf[RestOffset].iso).toEpochMilli
+    val endMs = Instant.parse(end.asInstanceOf[RestOffset].iso).toEpochMilli
+    if (endMs <= startMs) return Array.empty
+    // (start, end]: begin 1 ms after the committed watermark (inclusive
+    // API bounds), same disjoint ms-precision slicing as the batch scan
+    // — a receipt updated within the watermark's second is still seen.
+    RestScan.slices(startMs + 1, endMs, numSlices)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -37,6 +37,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup bucketed
   }
 
+  test("LSH candidatePairs: leaves no cached RDDs; signature aggregation computed once via exchange reuse") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // Force shuffle joins (the at-scale shape; 4 local rows would
+    // broadcast) so the signature aggregation's exchange is reusable.
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sig = MinHashLSH.signatures(docs, "doc_id", "text", 3, 16)
+      val pairs = MinHashLSH.candidatePairs(sig, "doc_id", 16, 4)
+      assert(pairs.collect().length > 0)
+      // The old sig.cache() pinned one signature table per call, forever.
+      assert(spark.sparkContext.getPersistentRDDs.keySet === before)
+      // And dropping the cache must not mean recomputing the shingle →
+      // hash → min aggregation four times: the four identical subtrees
+      // share one exchange.
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"signature exchange not reused:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+  }
+
   test("MinHash accuracy: signature estimate tracks true Jaccard within statistical error") {
     import org.apache.spark.sql.functions._
     // Build doc pairs with known overlap: base 40 tokens, variants
@@ -147,6 +168,25 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(
       0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
       4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("Components: non-convergence fails loudly instead of returning wrong labels") {
+    // A 6-deep chain cannot converge in 2 label-propagation rounds; the
+    // old behavior silently returned split component ids.
+    val vertices = (0L to 6L).toDF("id")
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Components.connectedComponents(vertices, "id", chain, "a", "b", maxIter = 2)
+    }
+    assert(ex.getMessage.contains("largeSmallStar")) // points at the deep-graph path
+    val ex2 = intercept[IllegalStateException] {
+      Components.largeSmallStar(vertices, "id", chain, "a", "b", maxIter = 1)
+    }
+    assert(ex2.getMessage.contains("fixpoint"))
+    // And the same graph converges fine with the default budget.
+    val ok = Components.connectedComponents(vertices, "id", chain, "a", "b")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(ok.toSeq === Seq(0L))
   }
 
   test("TextOps.chunk: windows, overlap carry, and tail sizes") {

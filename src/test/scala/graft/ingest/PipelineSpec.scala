@@ -90,8 +90,12 @@ class PipelineSpec extends SparkSpec {
         case Some(c) => cursors.get(c)
         case None => (params("updated_at_min"), params("updated_at_max"), 0)
       }
-      val inRange = all.filter { case (_, ts) => ts >= mn && ts <= mx }
-        .sortBy(_._2)(Ordering[String].reverse)
+      // Compare as instants, not strings: the source emits ms-precision
+      // slice bounds and real APIs compare timestamps, where "…00Z" and
+      // "…00.000Z" are equal but lexicographically differ.
+      def t(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli
+      val inRange = all.filter { case (_, ts) => t(ts) >= t(mn) && t(ts) <= t(mx) }
+        .sortBy(p => t(p._2))(Ordering[Long].reverse)
       val page = inRange.slice(off, off + 1)
       if (page.isEmpty) respond(ex, 200, """{"receipts":[]}""")
       else {
@@ -136,6 +140,31 @@ class PipelineSpec extends SparkSpec {
       val driverNums = Receipts.fromPages(spark, driverPages)
         .select("receipt_number").collect().map(_.getString(0))
       assert(nums.sorted.toSeq === driverNums.sorted.toSeq)
+    } finally server.stop(0)
+  }
+
+  test("S1-V2: ms-precision receipts on slice boundaries are fetched exactly once") {
+    // With [07-01T00:00:00, 07-21T00:00:00] and 2 slices, second-aligned
+    // slicing put the boundary at [… 07-10T23:59:59] / [07-11T00:00:00 …]:
+    // a receipt at 23:59:59.500Z fell into the 1-second gap and was
+    // fetched by NO slice. ms-precision half-open boundaries close it.
+    val all = Seq(
+      ("r1", "2025-07-02T10:00:00.250Z"),
+      ("r2", "2025-07-10T23:59:59.500Z"), // inside the old inter-slice gap
+      ("r3", "2025-07-11T00:00:00.000Z"), // exactly on the new slice start
+      ("r4", "2025-07-20T23:59:59.999Z"))
+    val (server, port) = startRangeStub(all)
+    try {
+      val df = spark.read.format("pos-receipts")
+        .option("baseUrl", s"http://localhost:$port").option("apiKey", "k")
+        .option("updatedAtMin", "2025-07-01T00:00:00Z")
+        .option("updatedAtMax", "2025-07-21T00:00:00Z")
+        .option("numSlices", "2").option("pageDelayMs", "0")
+        .load()
+      val nums = Receipts.fromBodies(df)
+        .select("receipt_number").collect().map(_.getString(0))
+      assert(nums.sorted.toSeq === Seq("r1", "r2", "r3", "r4"))
+      assert(nums.length === nums.distinct.length) // no slice overlap either
     } finally server.stop(0)
   }
 

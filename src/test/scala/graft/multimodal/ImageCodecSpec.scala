@@ -87,6 +87,39 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.decodeHeader(jpeg.take(12)) === None)
   }
 
+  test("decodePng: chunk length near Int.MaxValue returns None, never throws") {
+    // A declared IDAT len of 0x7FFFFFF0 made the Int bounds check
+    // (i + 8 + len > length) wrap negative and falsely pass, then the
+    // chunk read threw IndexOutOfBounds — killing the executor task on
+    // a single corrupt asset. Bounds math must run in Long.
+    val good = ImageCodec.encodeGrayPng(4, 3, gradient(4, 3))
+    val crafted = good.take(33) ++ // sig + full IHDR chunk
+      Array[Byte](0x7f, 0xff.toByte, 0xff.toByte, 0xf0.toByte) ++ // len = 0x7FFFFFF0
+      "IDAT".getBytes("US-ASCII")
+    assert(ImageCodec.decodePng(crafted) === None)
+    assert(ImageCodec.decodeHeader(crafted).isDefined) // header-only path still fine
+  }
+
+  test("decodePng: crafted giant/negative IHDR dims return None, never allocate") {
+    def patchDims(w: Int, h: Int): Array[Byte] = {
+      val b = ImageCodec.encodeGrayPng(4, 3, gradient(4, 3)).clone()
+      def put32(off: Int, v: Int): Unit = {
+        b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+        b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+      }
+      put32(16, w); put32(20, h)
+      b
+    }
+    // 40000x40000 gray = 1.6 GB raster from a 100-byte file: the IDAT
+    // stream can't back it (deflate expands ≤1032:1) — reject, don't OOM.
+    assert(ImageCodec.decodePng(patchDims(40000, 40000)) === None)
+    // Negative dims via the IHDR sign bit: previously a negative array size.
+    assert(ImageCodec.decodePng(patchDims(0x80000001, 3)) === None)
+    assert(ImageCodec.decodePng(patchDims(4, 0x80000001)) === None)
+    // Overflow of height*(rowBytes+1) in Int while both dims look positive.
+    assert(ImageCodec.decodePng(patchDims(0x7fffffff, 0x7fffffff)) === None)
+  }
+
   test("ImageIO-written JPEG: real-world header parse") {
     val img = new java.awt.image.BufferedImage(33, 15, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val out = new java.io.ByteArrayOutputStream()

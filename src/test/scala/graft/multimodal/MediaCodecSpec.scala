@@ -49,6 +49,23 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(got8.toSeq === (0 until 50).map(_ % 256))
   }
 
+  test("decodeWav/decodeWavSamples: chunk length near Int.MaxValue returns None, never throws") {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val base = MediaCodec.encodeWavPcm(8000, 1, 8, 4, i => i)
+    // Replace the data chunk with a LIST whose declared len = 0x7FFFFFF8:
+    // the old Int walk wrapped the offset negative and the next tag()
+    // read threw StringIndexOutOfBounds.
+    val hugeList = base.take(36) ++ "LIST".getBytes("US-ASCII") ++ le32(0x7ffffff8)
+    assert(MediaCodec.decodeWav(hugeList) === None) // no data chunk found, no throw
+    // Keep a real fmt+data but declare data len = 0x7FFFFFF0 with no
+    // payload: dataOff + dataLen used to wrap past the bounds check and
+    // attempt an 8 GB sample-array allocation from a 44-byte file.
+    val hugeData = base.take(36) ++ "data".getBytes("US-ASCII") ++ le32(0x7ffffff0)
+    assert(MediaCodec.decodeWavSamples(hugeData) === None)
+  }
+
   test("encodeMp4/decodeMp4: box walk skips free box; closed-form size") {
     for (pad <- Seq(0, 7, 31)) {
       val bytes = MediaCodec.encodeMp4(600, 12345L, pad)

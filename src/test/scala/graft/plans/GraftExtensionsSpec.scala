@@ -81,6 +81,16 @@ class GraftExtensionsSpec extends SparkSpec {
         })
       assert(rewritten, "extension rule did not fire in the new session")
       assert(df.count() === 1)
+      // Wrong arity surfaces as a clean AnalysisException at analysis
+      // time, not NoSuchElementException from the builder.
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT cosine_similarity(array(1.0F))").collect()
+      }
+      assert(ex.getMessage.contains("cosine_similarity"))
+      val ex0 = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT cosine_similarity()").collect()
+      }
+      assert(ex0.getMessage.contains("2"))
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       old.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
