@@ -434,9 +434,44 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** e4 under adversarial skew: labels 0–4 collapse into ONE bucket
+    * holding ~50% of the corpus. The naive bucket self-join would put
+    * that bucket's entire quadratic pair workload on a single reducer;
+    * the triangle sub-blocking in [[graft.similarity.Ann.nearDupPairs]]
+    * spreads it over S(S+1)/2 join keys with identical output — which
+    * is exactly what this gate's unchanged all-pairs oracle proves.
+    */
+  val embeddingNearDupSkew = Query(
+    "e4b_neardup_skewed",
+    """WITH flat AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         CASE WHEN label < 5 THEN 0 ELSE label END AS bucket,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |),
+      |dots AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS aa, SUM(b.v * b.v) AS bb
+      |  FROM flat a
+      |  JOIN flat b ON a.bucket = b.bucket AND a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
+      |FROM dots
+      |WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, d) =>
+    graft.similarity.Ann
+      .nearDupPairs(
+        embeddings(spark, d)
+          .withColumn("skew_bucket", when(col("label") < 5, 0).otherwise(col("label"))),
+        "vec_id", "embedding", "skew_bucket", 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
     mediaDecode, mediaFeatures, audioDecode, audioSamples, videoDecode,
-    textProfile, embeddingNearDup, fuzzyNamePairs, fuzzyBlockedPairs,
-    neardupComponents)
+    textProfile, embeddingNearDup, embeddingNearDupSkew, fuzzyNamePairs,
+    fuzzyBlockedPairs, neardupComponents)
 }

@@ -116,18 +116,49 @@ object Ann {
   /** Embedding-cosine near-duplicate pairs within a bucket: the
     * similarity-search form of near-dup detection (threshold on the
     * 6-dp-rounded cosine keeps the cut reproducible).
+    *
+    * Skew-safe triangle decomposition: a naive `join(b, "bucket")`
+    * lands a B-row hot bucket's entire B²/2 pair workload on ONE
+    * reducer — the quadratic straggler that kills the job at 100 TB.
+    * Instead each row gets a deterministic sub-block `hash(id) mod S`,
+    * and the self-join key becomes `(bucket, blockA, blockB)` with
+    * blockA ≤ blockB: a row in block p enters the join once per
+    * unordered block pair it can touch (as the left side for partners
+    * ≥ p, as the right side for partners ≤ p), so every unordered row
+    * pair meets on exactly one of the S(S+1)/2 keys. The hot bucket's
+    * work spreads across those keys — max per-task pair count drops
+    * from B²/2 to (B/S)² — while the OUTPUT is bit-identical to the
+    * all-pairs semantics (the oracle doesn't change; only the shuffle
+    * layout does). Replication cost: each row is shipped S+1 times —
+    * the standard triangle-join trade (Okcan & Riedewald, SIGMOD '11
+    * theta-join partitioning).
     */
   def nearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       bucketCol: String,
-      threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(bucketCol).as("bucket"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(bucketCol).as("bucket"), col(vecCol).as("vb"))
-    a.join(b, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      threshold: Double,
+      subBlocks: Int = 8): DataFrame = {
+    require(subBlocks >= 1, "subBlocks must be >= 1")
+    val blk = pmod(xxhash64(col(idCol)), lit(subBlocks.toLong)).cast("int")
+    val left = corpus
+      .select(col(idCol).as("id_a"), col(bucketCol).as("bucket"), col(vecCol).as("va"),
+        blk.as("ba"))
+      .withColumn("bb", explode(sequence(col("ba"), lit(subBlocks - 1))))
+    val right = corpus
+      .select(col(idCol).as("id_b"), col(bucketCol).as("bucket"), col(vecCol).as("vb"),
+        blk.as("bb"))
+      .withColumn("ba", explode(sequence(lit(0), col("bb"))))
+    left.join(right, Seq("bucket", "ba", "bb"))
+      // diagonal keys pair a block with itself: keep each pair once
+      .filter(col("ba") =!= col("bb") || col("id_a") < col("id_b"))
+      .select(
+        // cosine is symmetric, so the pair can be emitted id-ordered
+        // regardless of which block side each row arrived on
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
