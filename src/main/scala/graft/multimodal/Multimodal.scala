@@ -66,6 +66,11 @@ object Multimodal {
   private[multimodal] def wavSamples(docId: Long): Int = (500 + docId % 250).toInt
   private[multimodal] def mp4Duration(docId: Long): Long = 60 + docId % 3000
   private[multimodal] def mp4FreePad(docId: Long): Int = (docId % 32).toInt
+  private[multimodal] def mp4SampleCount(docId: Long): Int = (5 + docId % 12).toInt
+  private[multimodal] def mp4SampleDelta(docId: Long): Long = 100 + docId % 24
+  private[multimodal] def mp4SampleSize(docId: Long)(i: Int): Int =
+    (100 + (docId + 7L * i) % 50).toInt
+  private[multimodal] val mp4SamplesPerChunk = 2
 
   /** Document corpus → real PCM WAV payloads (8 kHz, 16-bit). */
   def fromDocumentsWav(docs: DataFrame): DataFrame = {
@@ -83,8 +88,11 @@ object Multimodal {
     }
   }
 
-  /** Document corpus → real minimal MP4 payloads (ftyp + free + moov/
-    * mvhd; the variable-size free box forces a genuine box walk).
+  /** Document corpus → real MP4 payloads with a full sample table
+    * (ftyp + free + moov{mvhd, trak/mdia/minf/stbl}; the variable-size
+    * free box forces a genuine box walk, and the stts/stsc/stsz/stco
+    * tables make the payload demuxable — [[videoSamples]] consumes
+    * them). All geometry is closed-form in doc_id for the oracles.
     */
   def fromDocumentsMp4(docs: DataFrame): DataFrame = {
     implicit val enc = Encoders.row(mediaSchema)
@@ -93,7 +101,10 @@ object Multimodal {
     docs.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
-        val mp4 = MediaCodec.encodeMp4(600, mp4Duration(id), mp4FreePad(id))
+        val mp4 = MediaCodec.encodeMp4Track(
+          600, mp4Duration(id), mp4FreePad(id),
+          (0 until mp4SampleCount(id)).map(mp4SampleSize(id)),
+          mp4SamplesPerChunk, mp4SampleDelta(id))
         Row(id, "video", mp4, Row(r.getString(srcIdx), "video/mp4", mp4.length.toLong))
       }
     }
@@ -283,6 +294,66 @@ object Multimodal {
         // once; the stub maps per element but preserves the batch shape.
         batch.map { r =>
           Row(r.getLong(idIdx), featureStub(r.getAs[Array[Byte]](contentIdx), dim).toSeq)
+        }
+      }
+    }
+  }
+
+  /** Video demux pass: walk moov → trak → mdia → minf → stbl and join
+    * the stts/stsc/stsz/stco sample tables into one row per media
+    * sample — size, owning chunk, exact byte offset, decoding
+    * timestamp. This replaces the round-2 stride-sampling stand-in with
+    * the real ISO-BMFF demux structure (no codec needed: sample
+    * positions are container metadata). Undecodable payloads yield a
+    * single sentinel row.
+    */
+  def videoSamples(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("sample_idx", IntegerType),
+      StructField("sample_bytes", LongType),
+      StructField("chunk_idx", IntegerType),
+      StructField("file_offset", LongType),
+      StructField("dts_ticks", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("asset_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        MediaCodec.decodeMp4Samples(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(samples) =>
+            samples.iterator.map(s => Row(id, s.idx, s.size, s.chunk, s.offset, s.dts))
+          case None => Iterator.single(Row(id, -1, -1L, -1, -1L, -1L))
+        }
+      }
+    }
+  }
+
+  /** Model-inference pass over an [[InferenceKernel]]: one kernel call
+    * per mini-batch (the accelerator round-trip shape), one output row
+    * per (asset, logit index). Undecodable payloads yield a single
+    * sentinel row (out_idx −1) instead of killing the batch. With
+    * [[IntMlpKernel]] this is a REAL forward pass — decode → fold →
+    * dense → ReLU → dense — whose integer logits the mm6 oracle
+    * hash-verifies end to end.
+    */
+  def inferLogits(media: DataFrame, kernel: InferenceKernel, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("out_idx", IntegerType),
+      StructField("logit", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("asset_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val ids = batch.map(_.getLong(idIdx))
+        val out = kernel.infer(batch.map(_.getAs[Array[Byte]](contentIdx)).toIndexedSeq)
+        ids.iterator.zip(out.iterator).flatMap {
+          case (id, Some(logits)) =>
+            logits.iterator.zipWithIndex.map { case (v, o) => Row(id, o, v) }
+          case (id, None) => Iterator.single(Row(id, -1, -1L))
         }
       }
     }

@@ -180,10 +180,14 @@ object DedupQueries {
     */
   val videoDecode = Query(
     "mm4_video_decode",
+    // n_bytes closed form: 260 fixed box overhead + free pad + 4 bytes
+    // per stsz entry + 4 per stco chunk (n = 5 + id%12 samples, 2 per
+    // chunk) — the payload now carries a full demuxable sample table.
     """SELECT doc_id AS asset_id,
       |       CAST(600 AS BIGINT) AS timescale,
       |       CAST(60 + doc_id % 3000 AS BIGINT) AS duration_ticks,
-      |       CAST(140 + doc_id % 32 AS BIGINT) AS n_bytes
+      |       CAST(260 + doc_id % 32 + 4 * (5 + doc_id % 12)
+      |            + 4 * ((5 + doc_id % 12 + 1) // 2) AS BIGINT) AS n_bytes
       |FROM documents
       |ORDER BY asset_id""".stripMargin) { (spark, d) =>
     Multimodal.decodeVideo(Multimodal.fromDocumentsMp4(documents(spark, d)))
@@ -434,6 +438,84 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Real video demux, hash-verified: the MP4 payloads carry genuine
+    * stts/stsc/stsz/stco sample tables (ISO-BMFF §8.5–8.7) and
+    * [[graft.multimodal.Multimodal.videoSamples]] walks
+    * moov→trak→mdia→minf→stbl and joins them into per-sample rows.
+    * The oracle recomputes every sample's size, chunk, byte offset and
+    * decoding timestamp from the closed-form geometry — so the gate
+    * verifies the whole demux path (box walk + table join + in-chunk
+    * offset accumulation), not just headers.
+    */
+  val videoSampleDemux = Query(
+    "mm7_video_samples",
+    """WITH geo AS (
+      |  SELECT doc_id,
+      |         CAST(5 + doc_id % 12 AS INT) AS n,
+      |         100 + doc_id % 24 AS delta
+      |  FROM documents
+      |),
+      |samples AS (
+      |  SELECT doc_id, i,
+      |         100 + (doc_id + 7 * i) % 50 AS sz,
+      |         i // 2 AS chunk, delta
+      |  FROM geo, UNNEST(range(0, n)) AS ui(i)
+      |)
+      |SELECT doc_id AS asset_id,
+      |       CAST(i AS INT) AS sample_idx,
+      |       CAST(sz AS BIGINT) AS sample_bytes,
+      |       CAST(chunk AS INT) AS chunk_idx,
+      |       CAST(1000 + 4096 * chunk
+      |            + CASE WHEN i % 2 = 1 THEN 100 + (doc_id + 7 * (i - 1)) % 50
+      |              ELSE 0 END AS BIGINT) AS file_offset,
+      |       CAST(i * delta AS BIGINT) AS dts_ticks
+      |FROM samples
+      |ORDER BY asset_id, sample_idx""".stripMargin) { (spark, d) =>
+    Multimodal.videoSamples(Multimodal.fromDocumentsMp4(documents(spark, d)))
+      .orderBy(col("asset_id"), col("sample_idx"))
+  }
+
+  /** Real model inference, hash-verified: [[graft.multimodal.IntMlpKernel]]
+    * decodes each PNG raster (inflate + unfilter), folds it into 16
+    * integer sums and runs a 2-layer integer-weight MLP (dense → ReLU →
+    * dense). The oracle replays the identical forward pass in SQL from
+    * the closed-form pixel function — weights, activation and logits
+    * exactly — so the gate proves decode → preprocess → model forward
+    * end to end, not just plumbing (integer weights are the e6 trick:
+    * bit-exact in any engine).
+    */
+  val mediaInference = Query(
+    "mm6_model_inference",
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 24 AS INT) AS width,
+      |         CAST(8 + (doc_id * 3) % 24 AS INT) AS height
+      |  FROM documents
+      |),
+      |folded AS (
+      |  SELECT doc_id, (y * width + x) % 16 AS j,
+      |         SUM((x + y + doc_id) % 256) AS xj
+      |  FROM dims, UNNEST(range(0, width)) AS ux(x), UNNEST(range(0, height)) AS uy(y)
+      |  GROUP BY 1, 2
+      |),
+      |hidden AS (
+      |  SELECT doc_id, k, GREATEST(SUM(((k * 31 + j * 17) % 13 - 6) * xj), 0) AS a
+      |  FROM folded, UNNEST(range(0, 8)) AS uk(k)
+      |  GROUP BY 1, 2
+      |),
+      |logits AS (
+      |  SELECT doc_id, o, SUM(((o * 7 + k * 5) % 11 - 5) * a) AS logit
+      |  FROM hidden, UNNEST(range(0, 4)) AS uo(o)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id AS asset_id, CAST(o AS INT) AS out_idx, CAST(logit AS BIGINT) AS logit
+      |FROM logits
+      |ORDER BY asset_id, out_idx""".stripMargin) { (spark, d) =>
+    Multimodal.inferLogits(
+      Multimodal.fromDocuments(documents(spark, d)), graft.multimodal.IntMlpKernel)
+      .orderBy(col("asset_id"), col("out_idx"))
+  }
+
   /** e4 under adversarial skew: labels 0–4 collapse into ONE bucket
     * holding ~50% of the corpus. The naive bucket self-join would put
     * that bucket's entire quadratic pair workload on a single reducer;
@@ -472,6 +554,6 @@ object DedupQueries {
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
     mediaDecode, mediaFeatures, audioDecode, audioSamples, videoDecode,
-    textProfile, embeddingNearDup, embeddingNearDupSkew, fuzzyNamePairs,
-    fuzzyBlockedPairs, neardupComponents)
+    videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
+    embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents)
 }

@@ -267,6 +267,39 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 3L)), "pair with edits in two different words must survive blocking")
   }
 
+  test("InferenceKernel: real MLP forward matches a hand-computed reference; batch size never changes results") {
+    import graft.multimodal.{IntMlpKernel, StubKernel}
+    val media = Multimodal.fromDocuments(docs.select($"doc_id", $"text", $"source"))
+    def run(bs: Int) =
+      Multimodal.inferLogits(media, IntMlpKernel, batchSize = bs)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    // Batch-boundary behavior: per-row, odd tail, one giant batch —
+    // identical logits (the kernel must not leak state across batches).
+    val perRow = run(1)
+    assert(perRow === run(3) && perRow === run(1000))
+    assert(perRow.length === docs.count() * IntMlpKernel.outDim)
+    // Independent reference: replay the forward pass in plain Scala
+    // from the closed-form pixel function for asset 0.
+    val (w, h) = (8, 8) // doc_id 0
+    val x = new Array[Long](IntMlpKernel.inDim)
+    for (y <- 0 until h; xx <- 0 until w) x((y * w + xx) % IntMlpKernel.inDim) += (xx + y) % 256
+    // weight formulas restated independently of the kernel source
+    def w1(k: Int, j: Int): Long = (k * 31 + j * 17) % 13 - 6
+    def w2(o: Int, k: Int): Long = (o * 7 + k * 5) % 11 - 5
+    val a = (0 until IntMlpKernel.hidden).map(k =>
+      math.max((0 until IntMlpKernel.inDim).map(j => w1(k, j) * x(j)).sum, 0L))
+    val expected = (0 until IntMlpKernel.outDim).map(o =>
+      (0 until IntMlpKernel.hidden).map(k => w2(o, k) * a(k)).sum)
+    assert(perRow.filter(_._1 == 0L).map(_._3) === expected)
+    // A corrupt payload yields one sentinel row, not a dead batch.
+    val corrupt = Multimodal.fromText(docs.select($"doc_id", $"text", $"source"))
+    val sentinel = Multimodal.inferLogits(corrupt, IntMlpKernel).collect()
+    assert(sentinel.forall(r => r.getInt(1) === -1 && r.getLong(2) === -1L))
+    // The stub double still honors the same contract shape.
+    val stubbed = Multimodal.inferLogits(corrupt, StubKernel).collect()
+    assert(stubbed.length === docs.count() * StubKernel.outDim)
+  }
+
   test("Multimodal stubs: features have fixed dim; frames sample by stride") {
     val media = Multimodal.fromText(docs.select($"doc_id", $"text", $"source"))
     val feats = Multimodal.extractFeatures(media, dim = 8, batchSize = 2).collect()

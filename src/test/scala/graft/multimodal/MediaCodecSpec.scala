@@ -76,6 +76,56 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeMp4(MediaCodec.encodeMp4(600, 1, 0).take(30)) === None)
   }
 
+  test("encodeMp4Track/decodeMp4Samples: per-sample sizes, chunks, offsets, timestamps") {
+    val sizes = Seq(100, 120, 90, 200, 150) // 5 samples, 2 per chunk → 3 chunks
+    val bytes = MediaCodec.encodeMp4Track(600, 5000, freePad = 7, sizes,
+      samplesPerChunk = 2, sampleDelta = 40)
+    // closed-form total: 260 + pad + 4n + 4*ceil(n/2)
+    assert(bytes.length === 260 + 7 + 4 * 5 + 4 * 3)
+    // the mvhd header parse must still work with a trak sibling present
+    assert(MediaCodec.decodeMp4(bytes) === Some(MediaCodec.Mp4Header(600, 5000)))
+    val Some(samples) = MediaCodec.decodeMp4Samples(bytes)
+    assert(samples.map(_.size) === sizes.map(_.toLong))
+    assert(samples.map(_.chunk) === Seq(0, 0, 1, 1, 2))
+    // in-chunk offsets accumulate; chunks sit at 1000 + 4096*c
+    assert(samples.map(_.offset) === Seq(1000L, 1100L, 5096L, 5186L, 9192L))
+    assert(samples.map(_.dts) === Seq(0L, 40L, 80L, 120L, 160L))
+  }
+
+  test("decodeMp4Samples: multi-run stts honored; corruption → None") {
+    // Hand-patch the single-run stts into two runs: 2 samples @ delta 10,
+    // then 3 @ delta 100 (sizes table unchanged).
+    val sizes = Seq(10, 20, 30, 40, 50)
+    val base = MediaCodec.encodeMp4Track(600, 5000, 0, sizes, 2, 10)
+    // locate stts by tag scan (single occurrence in our encoding)
+    val stts = (0 until base.length - 4)
+      .find(i => new String(base, i, 4, "US-ASCII") == "stts").get - 4
+    def put32(b: Array[Byte], off: Int, v: Long): Unit = {
+      b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+      b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+    }
+    // grow stts from 1 entry (24 bytes) to 2 entries (32 bytes)
+    val patched = base.take(stts) ++ new Array[Byte](32) ++ base.drop(stts + 24)
+    put32(patched, stts, 32); patched(stts + 4) = 's'; patched(stts + 5) = 't'
+    patched(stts + 6) = 't'; patched(stts + 7) = 's'
+    put32(patched, stts + 8, 0); put32(patched, stts + 12, 2) // version, 2 entries
+    put32(patched, stts + 16, 2); put32(patched, stts + 20, 10)
+    put32(patched, stts + 24, 3); put32(patched, stts + 28, 100)
+    // fix enclosing box sizes (stbl, minf, mdia, trak, moov all grew by 8)
+    for (tag <- Seq("stbl", "minf", "mdia", "trak", "moov")) {
+      val at = (0 until patched.length - 4)
+        .find(i => new String(patched, i, 4, "US-ASCII") == tag).get - 4
+      val old = ((patched(at) & 0xff) << 24) | ((patched(at + 1) & 0xff) << 16) |
+        ((patched(at + 2) & 0xff) << 8) | (patched(at + 3) & 0xff)
+      put32(patched, at, old + 8L)
+    }
+    val Some(samples) = MediaCodec.decodeMp4Samples(patched)
+    assert(samples.map(_.dts) === Seq(0L, 10L, 20L, 120L, 220L))
+    // truncating the file mid-table must fail clean, not throw
+    assert(MediaCodec.decodeMp4Samples(base.take(base.length - 6)) === None)
+    assert(MediaCodec.decodeMp4Samples("garbage".getBytes) === None)
+  }
+
   test("decodeMp4: mvhd version 1 (64-bit duration) parses") {
     // Build v0 file, then hand-upgrade mvhd to v1 layout.
     val out = new java.io.ByteArrayOutputStream()
