@@ -105,4 +105,27 @@ object Pipeline {
     Files.createDirectories(cfg.reportDir)
     Files.writeString(cfg.reportDir.resolve(name), content)
   }
+
+  /** Entry 4 — K9 delivery (reference `reporting/utils.py:10-50` PDF
+    * conversion + `:52-96` email): render the markdown report to PDF
+    * 1.4, persist it next to the markdown, and mail it as a MIME
+    * attachment over SMTP. Returns the server's DATA acceptance reply;
+    * failures throw — like the watermark commit, delivery state only
+    * advances on success.
+    */
+  def emailReport(
+      cfg: Config,
+      md: String,
+      pdfName: String,
+      fileTag: String,
+      frequency: String,
+      smtp: graft.reporting.Emailer.SmtpConfig,
+      from: String,
+      to: String): String = {
+    val pdf = graft.reporting.PdfRenderer.render(md)
+    Files.createDirectories(cfg.reportDir)
+    Files.write(cfg.reportDir.resolve(pdfName), pdf)
+    graft.reporting.Emailer.send(
+      smtp, graft.reporting.Emailer.reportMessage(from, to, fileTag, frequency, pdfName, pdf))
+  }
 }

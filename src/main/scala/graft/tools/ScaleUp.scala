@@ -46,12 +46,38 @@ object ScaleUp {
       df.withColumn("event_id", $"event_id" + i * evOff)
         .withColumn("ts", $"ts" + i * nsShift)
     }
-    Seq("region", "nation", "customer", "supplier", "part", "documents", "embeddings")
+    // Optional 4th arg "corpora": also scale documents/embeddings
+    // ×copies. Each document copy i suffixes every TOKEN with "·i", so
+    // copies share no shingles — the corpus becomes `copies` disjoint
+    // sub-corpora and the near-dup/LSH/fuzzy structure grows exactly
+    // linearly (shifted-id verbatim copies would instead make every doc
+    // an exact dup of its 9 clones and blow the pair count up
+    // quadratically in copies — a different, unrealistic stress).
+    // Embedding copies shift vec_id and label, keeping values — bucket
+    // populations stay constant, bucket count grows.
+    val scaleCorpora = args.length > 3 && args(3) == "corpora"
+    if (scaleCorpora) {
+      val docOff = 10000000L
+      scaled("documents") { (df, i) =>
+        val tagged =
+          if (i == 0) df.withColumn("text", col("text"))
+          else df.withColumn(
+            "text",
+            array_join(transform(split($"text", " "), t => concat(t, lit("·" + i))), " "))
+        tagged.withColumn("doc_id", $"doc_id" + i * docOff)
+      }
+      scaled("embeddings") { (df, i) =>
+        df.withColumn("vec_id", $"vec_id" + i * docOff)
+          .withColumn("label", $"label" + i * 100)
+      }
+    }
+    (Seq("region", "nation", "customer", "supplier", "part") ++
+      (if (scaleCorpora) Seq.empty else Seq("documents", "embeddings")))
       .foreach { name =>
         spark.read.parquet(s"$sfDir/$name.parquet")
           .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       }
-    println(s"scaled $copies x facts from $sfDir -> $outDir")
+    println(s"scaled $copies x facts${if (scaleCorpora) "+corpora" else ""} from $sfDir -> $outDir")
     spark.stop()
   }
 }
