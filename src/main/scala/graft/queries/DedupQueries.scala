@@ -331,6 +331,54 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** 56-bit SimHash near-pairs — the saturation-safe fingerprint the
+    * sf10c scale stress motivated: at 500k docs the 28-bit m4 result
+    * set went quadratic (hamming ≤ 10 admits ~9% of unrelated pairs in
+    * a 28-bit space); at 56 bits the random-pass rate is ~1e-6 and the
+    * pair set tracks true near-dups. Oracle replays the two-prefix md5
+    * hash and the full 56-bit majority vote.
+    */
+  val simhashWidePairs = Query(
+    "m6_simhash_wide", {
+      val bitSums = (0 until SimHash.WideBits)
+        .map { i =>
+          val (src, sh) = if (i < SimHash.Bits) ("h", i) else ("hh", i - SimHash.Bits)
+          s"SUM(CASE WHEN ($src >> $sh) & 1 = 1 THEN 1 ELSE -1 END) AS bit_$i"
+        }
+        .mkString(",\n       ")
+      val fp = (0 until SimHash.WideBits)
+        .map(i => s"CASE WHEN bit_$i > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+         |),
+         |hashed AS (
+         |  SELECT doc_id, source,
+         |         CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) AS h,
+         |         CAST(concat('0x', substr(md5(tok), 8, 7)) AS BIGINT) AS hh
+         |  FROM toks
+         |),
+         |fps AS MATERIALIZED (
+         |  SELECT doc_id, source, CAST($fp AS BIGINT) AS simhash FROM (
+         |    SELECT doc_id, source,
+         |       $bitSums
+         |    FROM hashed GROUP BY doc_id, source
+         |  )
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fps a JOIN fps b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (spark, d) =>
+    val docs = documents(spark, d)
+    val fps = SimHash.fingerprintsWide(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    SimHash.nearPairs(fps, "doc_id", "source", maxDistance = 10)
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Multimodal decode: REAL PNG payloads (encoded per-partition, 8-bit
     * grayscale, dims a pure function of doc_id) parsed back via magic
     * bytes + IHDR. The oracle predicts the header fields — and the exact
@@ -553,7 +601,7 @@ object DedupQueries {
 
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
-    mediaDecode, mediaFeatures, audioDecode, audioSamples, videoDecode,
-    videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
+    simhashWidePairs, mediaDecode, mediaFeatures, audioDecode, audioSamples,
+    videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
     embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents)
 }

@@ -250,7 +250,90 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Repetition / diversity quality signals: type–token ratio, top-token
+    * dominance, duplicate-bigram ratio — the boilerplate/degenerate-text
+    * axis of corpus filtering. Pass flag gated on integer arithmetic so
+    * the cut is exact in both engines.
+    */
+  val repetitionProfile = Query(
+    "t10_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+      |         list_max(list_transform(list_distinct(t),
+      |                  x -> len(list_filter(t, y -> y = x)))) AS topc
+      |  FROM toks
+      |),
+      |bigrams AS (
+      |  SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS ndb
+      |  FROM (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+      |        FROM toks, UNNEST(range(1, len(t))) AS u(i))
+      |  GROUP BY doc_id
+      |)
+      |SELECT b.doc_id,
+      |       CAST(n AS BIGINT) AS n_tokens,
+      |       CAST(nd AS BIGINT) AS n_distinct,
+      |       round(CAST(nd AS DOUBLE) / n, 6) AS distinct_ratio,
+      |       CAST(topc AS BIGINT) AS top_token_count,
+      |       round(CAST(nb - ndb AS DOUBLE) / nb, 6) AS dup_bigram_ratio,
+      |       CAST(CASE WHEN nd * 10 >= n * 3 AND topc * 5 <= n
+      |            THEN 1 ELSE 0 END AS BIGINT) AS passes_repetition
+      |FROM base b JOIN bigrams USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    graft.text.TextOps.repetitionProfile(documents(spark, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing over a corpus seeded with deterministic synthetic
+    * PII (the raw word-soup corpus has none): per-type match counts and
+    * the fully redacted text, hash-compared — so match boundaries, not
+    * just counts, are verified cross-engine. Patterns avoid lookaround
+    * so Java and RE2 regex semantics agree.
+    */
+  val piiScrub = Query(
+    "t11_pii_scrub", {
+      val Seq(email, phone, ssn, ipv4) = graft.text.TextOps.piiPatterns.map(_._2)
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@example' || (doc_id % 7) || '.com' ||
+         |         ' call 555-' || (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000) ||
+         |         ' ssn ' || (100 + doc_id % 900) || '-' || (10 + doc_id % 90) || '-' ||
+         |         (1000 + doc_id % 9000) ||
+         |         ' ip 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) AS text
+         |  FROM documents
+         |),
+         |scrubbed AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+         |         CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+         |         CAST(len(regexp_extract_all(text, '$ssn')) AS BIGINT) AS n_ssn,
+         |         CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4,
+         |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |           text, '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g'),
+         |           '$ssn', '[SSN]', 'g'), '$ipv4', '[IPV4]', 'g') AS scrubbed
+         |  FROM seeded
+         |)
+         |SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4, scrubbed,
+         |       CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
+         |FROM scrubbed
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, d) =>
+    import org.apache.spark.sql.functions.{concat, lit}
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val seeded = documents(spark, d).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), s(col("doc_id")), lit("@example"), s(col("doc_id") % 7), lit(".com"),
+        lit(" call 555-"), s(col("doc_id") % 900 + 100), lit("-"), s(col("doc_id") % 9000 + 1000),
+        lit(" ssn "), s(col("doc_id") % 900 + 100), lit("-"), s(col("doc_id") % 90 + 10), lit("-"),
+        s(col("doc_id") % 9000 + 1000),
+        lit(" ip 10.0."), s(col("doc_id") % 256), lit("."), s(col("doc_id") * 3 % 256)).as("text"))
+    graft.text.TextOps.scrubPii(seeded, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
-    tfIdfTerms, curationBudget, chunkWindows)
+    tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub)
 }

@@ -59,6 +59,66 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und"),
     "fr" -> Seq("le", "la", "de", "et"))
 
+  /** Repetition / diversity signals — the quality axis that catches
+    * degenerate generations and boilerplate (low type–token ratio,
+    * one token dominating, repeated bigrams). All pure array
+    * expressions: per-row O(distinct·n) worst case, no shuffle, no UDF.
+    * Integer comparisons gate the pass flag so the cut is exact in any
+    * engine (no double-threshold edge cases).
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    // highest single-token frequency, computed without a shuffle:
+    // for each distinct token, count its occurrences in the array
+    val topCount = array_max(
+      transform(array_distinct(toks), t => size(filter(toks, x => x === t)))).cast("long")
+    val bigrams = transform(
+      sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val nBigram = size(bigrams).cast("long")
+    val nDistinctBigram = size(array_distinct(bigrams)).cast("long")
+    docs.select(
+      col(idCol),
+      n.as("n_tokens"),
+      nDistinct.as("n_distinct"),
+      round(nDistinct.cast("double") / n, 6).as("distinct_ratio"),
+      topCount.as("top_token_count"),
+      round((nBigram - nDistinctBigram).cast("double") / nBigram, 6).as("dup_bigram_ratio"),
+      // integer-exact gate: distinct/n ≥ 0.3 AND top/n ≤ 0.2
+      when(nDistinct * 10 >= n * 3 && topCount * 5 <= n, 1L).otherwise(0L)
+        .as("passes_repetition"))
+  }
+
+  /** PII patterns for corpus scrubbing (email, NANP phone, US SSN,
+    * IPv4) — conservative regexes expressible identically in Java and
+    * RE2-style engines (no lookaround), so the scrub is verifiable
+    * cross-engine.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Scrub PII from a text column: per-type match counts plus the
+    * redacted text (each match → `[TYPE]`). Patterns apply in
+    * [[piiPatterns]] order — SSN before phone does not matter (shapes
+    * are disjoint) but the order is fixed so results are deterministic.
+    * Pure regexp column expressions; at 100 TB this is a narrow map.
+    */
+  def scrubPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long").as(s"n_$name")
+    }
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+    docs.select(col(idCol) +: counts :+ scrubbed.as("scrubbed") :+
+      length(scrubbed).cast("long").as("scrubbed_len"): _*)
+  }
+
   /** Order-SENSITIVE document fingerprint: positional weighted checksum
     * `Σ (i+1)·h(tok_i) mod P` over 28-bit md5-derived token hashes —
     * exact int64 arithmetic (max term ≈ 10^5·2^28 ≪ 2^63), so two

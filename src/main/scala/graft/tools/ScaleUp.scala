@@ -70,9 +70,28 @@ object ScaleUp {
         df.withColumn("vec_id", $"vec_id" + i * docOff)
           .withColumn("label", $"label" + i * 100)
       }
+      // part: same brands (so d1's brand block grows quadratically —
+      // the documented baseline's failure mode), every name TOKEN
+      // suffixed per copy. The tag repeats the copy number 3× so ANY
+      // two copy tags differ by ≥3 edits: even a 1-word name is >
+      // levenshtein threshold 2 from its clones, the RESULT pair set
+      // grows exactly linearly, and d2's word blocks stay copy-local.
+      // (A single-char tag left 2-word names within distance 2 of their
+      // clones — quadratic clone-pair growth AND a d1/d2 divergence at
+      // the pigeonhole boundary, since blocking only guarantees recall
+      // for names with > threshold words.)
+      scaled("part") { (df, i) =>
+        val named =
+          if (i == 0) df
+          else df.withColumn(
+            "p_name",
+            array_join(
+              transform(split($"p_name", " "), t => concat(t, lit("·" + i.toString * 3))), " "))
+        named.withColumn("p_partkey", $"p_partkey" + i * docOff)
+      }
     }
-    (Seq("region", "nation", "customer", "supplier", "part") ++
-      (if (scaleCorpora) Seq.empty else Seq("documents", "embeddings")))
+    (Seq("region", "nation", "customer", "supplier") ++
+      (if (scaleCorpora) Seq.empty else Seq("part", "documents", "embeddings")))
       .foreach { name =>
         spark.read.parquet(s"$sfDir/$name.parquet")
           .write.mode("overwrite").parquet(s"$outDir/$name.parquet")

@@ -1,0 +1,65 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Closed-form fixtures for the round-3 text operators (repetition
+  * signals, PII scrub) — the corpus-level behavior is gate-verified
+  * (t10/t11); these pin the operator edge cases.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("repetitionProfile: ratios and integer-exact pass gate") {
+    val docs = Seq(
+      (1L, "a a a b"),            // dominated by one token
+      (2L, "w x y z w x y z"),    // diverse tokens, repeated bigrams
+      (3L, "p q r s t u v w x p") // near-unique
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_tokens") === 4 && d1.getAs[Long]("n_distinct") === 2)
+    assert(d1.getAs[Long]("top_token_count") === 3)
+    // bigrams: "a a","a a","a b" → 1 of 3 duplicated
+    assert(d1.getAs[Double]("dup_bigram_ratio") === 0.333333)
+    // distinct ok (2*10 >= 4*3) but top-token dominance fails (3*5 > 4)
+    assert(d1.getAs[Long]("passes_repetition") === 0)
+
+    val d2 = got(2L)
+    assert(d2.getAs[Long]("n_distinct") === 4 && d2.getAs[Long]("top_token_count") === 2)
+    // 7 bigrams, 4 distinct ("w x","x y","y z","z w")
+    assert(d2.getAs[Double]("dup_bigram_ratio") === 0.428571)
+    // top token holds 2/8 = 25% > the 20% dominance bound → fails
+    assert(d2.getAs[Long]("passes_repetition") === 0)
+
+    val d3 = got(3L)
+    assert(d3.getAs[Long]("n_distinct") === 9)
+    assert(d3.getAs[Double]("dup_bigram_ratio") === 0.0)
+    assert(d3.getAs[Long]("passes_repetition") === 1)
+  }
+
+  test("scrubPii: each type redacted; digit runs without boundaries don't false-match") {
+    val docs = Seq(
+      (1L, "mail bob.smith+tag@corp.example.org now"),
+      (2L, "call 555-123-4567 or ssn 123-45-6789"),
+      (3L, "host 192.168.1.255 up"),
+      // near-misses: 4-3-4 digits is not a NANP phone; no-@ not an email
+      (4L, "code 1234-567-8901 and name at example.com")
+    ).toDF("doc_id", "text")
+    val got = TextOps.scrubPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(got(1L).getAs[Long]("n_email") === 1)
+    assert(got(1L).getAs[String]("scrubbed") === "mail [EMAIL] now")
+    assert(got(2L).getAs[Long]("n_phone") === 1 && got(2L).getAs[Long]("n_ssn") === 1)
+    assert(got(2L).getAs[String]("scrubbed") === "call [PHONE] or ssn [SSN]")
+    assert(got(3L).getAs[Long]("n_ipv4") === 1)
+    assert(got(3L).getAs[String]("scrubbed") === "host [IPV4] up")
+    val d4 = got(4L)
+    assert(d4.getAs[Long]("n_phone") === 0 && d4.getAs[Long]("n_email") === 0)
+    assert(d4.getAs[String]("scrubbed") === "code 1234-567-8901 and name at example.com")
+    assert(d4.getAs[Long]("scrubbed_len") === d4.getAs[String]("scrubbed").length)
+  }
+}
