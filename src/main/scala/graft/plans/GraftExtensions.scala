@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         CosineSimilarity(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.TopKCount.name),
+      new ExpressionInfo(
+        classOf[graft.functions.TopKCount].getName, graft.functions.TopKCount.name),
+      graft.functions.TopKCount.fromExprs _))
   }
 }
 

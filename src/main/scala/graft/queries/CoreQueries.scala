@@ -578,10 +578,48 @@ object CoreQueries {
       .orderBy($"status", $"priority")
   }
 
+  /** Native one-pass top-k aggregate vs the two-shuffle groupBy+window
+    * idiom: `top_k_count(p_brand, 5)` per linestatus. The oracle IS the
+    * two-shuffle form (count + ROW_NUMBER), proving the single
+    * `ObjectHashAggregate` pass — partial hash-count maps combined
+    * map-side — returns the identical ranking under the same
+    * (count desc, value asc) total order.
+    */
+  val topKNative = Query(
+    "a17_topk_native",
+    """WITH counts AS (
+      |  SELECT l_linestatus, p_brand, COUNT(*) AS cnt
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2
+      |),
+      |ranked AS (
+      |  SELECT l_linestatus, p_brand AS brand, cnt,
+      |         ROW_NUMBER() OVER (PARTITION BY l_linestatus
+      |                            ORDER BY cnt DESC, p_brand) AS rank
+      |  FROM counts
+      |)
+      |SELECT l_linestatus, CAST(rank AS BIGINT) AS rank, brand, cnt
+      |FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY l_linestatus, rank""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    lineitem(spark, d)
+      .join(broadcast(part(spark, d)), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_linestatus")
+      .agg(graft.functions.TopKCount.column(spark, $"p_brand", 5).as("top"))
+      .select($"l_linestatus", posexplode($"top").as(Seq("pos", "s")))
+      .select(
+        $"l_linestatus",
+        ($"pos" + 1).cast("long").as("rank"),
+        $"s.value".as("brand"),
+        $"s.cnt".as("cnt"))
+      .orderBy($"l_linestatus", $"rank")
+  }
+
   val all: Seq[Query] = Seq(
     topParts, segmentOrders, pricingSummary, globalKpis, avgMonthlyRevenue,
     pivotStatus, dedupLatestEvent, pctOfGroup, priorityBucket, regexFilter,
     dowDomainFill, timeSlots, regionRevenue, unionDistinctUsers, modifierParse,
     jsonProps, saltedJoin, sqlSurface, windowedRevenue, ntileDeciles,
-    decileBoundaries, rollupRevenue)
+    decileBoundaries, rollupRevenue, topKNative)
 }
