@@ -16,20 +16,28 @@ import scala.collection.mutable
   * (count desc, value asc).
   *
   * The built-in way to express this is groupBy(g, v).count() followed
-  * by a ROW_NUMBER window over g — TWO shuffles, the second over every
-  * distinct (g, v) with a per-group sort. This aggregate does it in one
-  * `ObjectHashAggregate` pass: partial hash-count maps are built
-  * map-side, merged on the reduce side (so the exchange carries one
-  * buffer per (partition, group), not per raw row), and the top-k cut
-  * happens once at eval. The exact-count contract means buffers hold
-  * the full per-group value domain — right when the domain is bounded
-  * (brands, categories, languages); for unbounded domains use the
-  * sketch-based `freqItems`/`r7` path instead.
+  * by a ROW_NUMBER window over g — two aggregation stages. This is ONE
+  * `ObjectHashAggregate` pass: partial hash-count maps built map-side,
+  * merged reduce-side, top-k cut at eval. The exact-count contract
+  * means buffers hold the full per-group value domain — right when the
+  * domain is bounded (brands, categories, languages); for unbounded
+  * domains use the sketch-based `freqItems`/`r7` path instead.
+  *
+  * WHEN TO USE — measured, not assumed (`tools/TopKBench`): in BATCH
+  * the two-stage form is mildly FASTER (0.7–0.9× here at sf1–sf10)
+  * because the first codegen'd HashAggregate outruns this interpreted
+  * update loop and the second shuffle only carries distinct (g, v)
+  * rows. Use `top_k_count` where the window idiom cannot go at all:
+  *  - STREAMING aggregations — Structured Streaming rejects an
+  *    aggregation chained on an aggregation (count → rank), but a
+  *    single aggregate call is a plain stateful streaming agg
+  *    (spec-covered: per-event-time-window top-k);
+  *  - alongside other aggregates in ONE groupBy (no second plan);
+  *  - rollup/cube/pivot cells, where a post-window is unwieldy.
   *
   * Preference-order case (b) from the build brief: a whole-aggregation
-  * semantics Spark only expresses as a multi-shuffle plan, packaged as
-  * a `TypedImperativeAggregate` and injected into SQL via
-  * [[graft.plans.GraftExtensions]].
+  * semantics packaged as a `TypedImperativeAggregate` and injected into
+  * SQL via [[graft.plans.GraftExtensions]].
   */
 case class TopKCount(
     child: Expression,

@@ -60,6 +60,47 @@ class TopKCountSpec extends SparkSpec {
     assert(ex.getMessage.contains("top_k_count"))
   }
 
+  test("streaming: top-k per event-time window works where the window-rank idiom cannot") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{window => twindow}
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Timestamp, String)]
+    def ts(m: Int) = Timestamp.valueOf(f"2025-07-01 10:$m%02d:00")
+    events.addData(
+      (ts(5), "burger"), (ts(10), "burger"), (ts(15), "fries"),
+      (ts(40), "soda"), (ts(45), "soda"), (ts(50), "burger"),
+      (ts(62), "fries"), (ts(70), "fries"), (ts(71), "soda"))
+    val stream = events.toDF().toDF("t", "item").withWatermark("t", "10 minutes")
+    // a single aggregate call is a legal stateful streaming aggregation
+    val q = stream.groupBy(twindow($"t", "1 hour"))
+      .agg(TopKCount.column(spark, $"item", 2).as("top"))
+      .writeStream.format("memory").queryName("topk").outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.sql("SELECT window.start AS s, top FROM topk ORDER BY s")
+      .collect()
+      .map(r => r.getTimestamp(0).toString ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1))))
+    assert(out.length === 2)
+    // 10:00 window: burger 3, soda 2 (fries 1 cut); 11:00: fries 2, soda 1
+    assert(out(0)._2 === Seq(("burger", 3L), ("soda", 2L)))
+    assert(out(1)._2 === Seq(("fries", 2L), ("soda", 1L)))
+    // ...and the built-in idiom (count then rank) is REJECTED on streams:
+    // chained aggregations are unsupported, which is the reason this
+    // aggregate exists despite the batch form being faster (TopKBench).
+    val counts = stream.groupBy(twindow($"t", "1 hour"), $"item").count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window").orderBy($"count".desc)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      counts.withColumn("r", org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"r" <= 2)
+        .writeStream.format("memory").queryName("topk_window")
+        .outputMode("complete").start()
+    }
+    assert(ex.getMessage.toLowerCase.contains("not supported") ||
+      ex.getMessage.toLowerCase.contains("unsupported"))
+  }
+
   test("buffer serialization round-trips exactly") {
     val agg = TopKCount(org.apache.spark.sql.catalyst.expressions.Literal("x"), 3)
     val buf = agg.createAggregationBuffer()
