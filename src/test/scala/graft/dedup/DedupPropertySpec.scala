@@ -45,6 +45,67 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("triangle sub-blocking property: every subBlocks value equals naive all-pairs") {
+    // Random bucketed vectors (skewed: bucket 0 oversampled) — the
+    // triangle decomposition must be invariant in S for BOTH users
+    // (embedding near-dup and SimHash pairs).
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (n, seed)
+    forAllSamples(gen, n = 5) { case (n, seed) =>
+      val rows = (0L until n).map { i =>
+        val bucket = if ((seed + i) % 3 != 0) 0 else 1 + ((i + seed) % 4).toInt
+        val vec = Array.tabulate(6)(j => (((i * 13 + j * 7 + seed) % 19).toFloat - 9f) / 19f)
+        (i, vec, bucket)
+      }
+      val df = rows.toDF("vec_id", "embedding", "bucket")
+      def pairs(s: Int) = graft.similarity.Ann
+        .nearDupPairs(df, "vec_id", "embedding", "bucket", 0.2, subBlocks = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val naive = pairs(1)
+      Seq(2, 3, 8, 16).foreach(s => assert(pairs(s) === naive, s"subBlocks=$s diverged"))
+
+      val fpRows = (0L until n).map { i =>
+        val blk = if ((seed + i) % 3 != 0) "hot" else s"b${(i + seed) % 4}"
+        (i, blk, (seed * 31 + i * 7919) % (1L << 28))
+      }
+      val fps = fpRows.toDF("doc_id", "blk", "simhash")
+      def sp(s: Int) = SimHash.nearPairs(fps, "doc_id", "blk", maxDistance = 12, subBlocks = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      val spNaive = sp(1)
+      Seq(2, 8).foreach(s => assert(sp(s) === spNaive, s"SimHash subBlocks=$s diverged"))
+    }
+  }
+
+  test("top_k_count property: equals a reference top-k on random data at any partitioning") {
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      groups <- Gen.choose(1, 5)
+      domain <- Gen.choose(1, 20)
+      parts <- Gen.oneOf(1, 3, 16)
+      k <- Gen.choose(1, 6)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (n, groups, domain, parts, k, seed)
+    forAllSamples(gen, n = 6) { case (n, groups, domain, parts, k, seed) =>
+      val rows = (0 until n).map { i =>
+        (s"g${(i * 31 + seed) % groups}", s"v${(i * i + seed) % domain}")
+      }
+      val got = rows.toDF("g", "v").repartition(parts)
+        .groupBy($"g")
+        .agg(graft.functions.TopKCount.column(spark, $"v", k).as("top"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getString(0), s.getLong(1))))
+        .toMap
+      val expected = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.groupBy(_._2).map { case (v, xs) => (v, xs.size.toLong) }
+          .toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
+      }
+      assert(got === expected, s"n=$n groups=$groups domain=$domain parts=$parts k=$k")
+    }
+  }
+
   test("largeSmallStar: deep chain resolves (the case that costs label propagation)") {
     val n = 200
     val chain = (0L until n - 1).map(i => (i, i + 1))

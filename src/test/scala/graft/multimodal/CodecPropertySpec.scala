@@ -57,25 +57,53 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 stbl property: random sample tables round-trip sizes, chunks, offsets, timestamps") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      spc <- Gen.choose(1, 7)
+      delta <- Gen.choose(1L, 5000L)
+      pad <- Gen.choose(0, 40)
+      sizeSeed <- Gen.choose(0, 1 << 20)
+    } yield (n, spc, delta, pad, sizeSeed)
+    forAllSamples(gen) { case (n, spc, delta, pad, sizeSeed) =>
+      val sizes = (0 until n).map(i => 1 + ((sizeSeed + i * 31) % 500))
+      val bytes = MediaCodec.encodeMp4Track(600, 999, pad, sizes, spc, delta)
+      val Some(samples) = MediaCodec.decodeMp4Samples(bytes)
+      assert(samples.length === n)
+      assert(samples.map(_.size) === sizes.map(_.toLong))
+      // independent reconstruction of chunk / offset / dts
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val chunk = i / spc
+        val within = (chunk * spc until i).map(sizes(_).toLong).sum
+        assert(s.chunk === chunk, s"chunk of sample $i")
+        assert(s.offset === 1000L + 4096L * chunk + within, s"offset of sample $i")
+        assert(s.dts === i * delta, s"dts of sample $i")
+      }
+      // the mvhd parse must coexist with the trak
+      assert(MediaCodec.decodeMp4(bytes) === Some(MediaCodec.Mp4Header(600, 999)))
+    }
+  }
+
   test("fuzz safety: random bytes never throw from any decoder") {
+    def all(bytes: Array[Byte]): Unit = {
+      ImageCodec.decodeHeader(bytes); ImageCodec.decodePng(bytes)
+      MediaCodec.decodeWav(bytes); MediaCodec.decodeWavSamples(bytes)
+      MediaCodec.decodeMp4(bytes); MediaCodec.decodeMp4Samples(bytes)
+    }
     val rnd = new scala.util.Random(99)
     (1 to 300).foreach { _ =>
-      val bytes = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
-      ImageCodec.decodeHeader(bytes); ImageCodec.decodePng(bytes)
-      MediaCodec.decodeWav(bytes); MediaCodec.decodeMp4(bytes)
+      all(Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
     }
     // Structured corruption: valid prefixes with truncated/flipped tails.
     val png = ImageCodec.encodeGrayPng(9, 7, (x, y) => x + y)
     val wav = MediaCodec.encodeWavPcm(8000, 1, 16, 50, _ => 0)
     val mp4 = MediaCodec.encodeMp4(600, 100, 5)
-    Seq(png, wav, mp4).foreach { good =>
-      (0 until good.length by 7).foreach { cut =>
-        val t = good.take(cut)
-        ImageCodec.decodePng(t); MediaCodec.decodeWav(t); MediaCodec.decodeMp4(t)
-      }
+    val mp4t = MediaCodec.encodeMp4Track(600, 100, 5, Seq(10, 20, 30), 2, 40)
+    Seq(png, wav, mp4, mp4t).foreach { good =>
+      (0 until good.length by 7).foreach(cut => all(good.take(cut)))
       (0 until good.length by 11).foreach { flip =>
         val m = good.clone(); m(flip) = (m(flip) ^ 0x55).toByte
-        ImageCodec.decodePng(m); MediaCodec.decodeWav(m); MediaCodec.decodeMp4(m)
+        all(m)
       }
     }
     succeed
