@@ -349,5 +349,58 @@ object SimQueries {
       .orderBy($"lift".desc, $"antecedent", $"consequent")
   }
 
-  val all: Seq[Query] = Seq(knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn)
+  /** Full IVF build: 2 Lloyd iterations from the label init, centroids
+    * 6-dp-quantized between rounds so both engines run bit-identical
+    * iterations (the oracle replays centroid → score → argmax → repeat
+    * in SQL). Completes the IVF story: e2 is one reduce step, e5 the
+    * search path, e7 the build loop.
+    */
+  val ivfBuild = Query(
+    "e7_ivf_build",
+    """WITH flat AS MATERIALIZED (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |),
+      |a0 AS (SELECT vec_id, label AS list FROM embeddings),
+      |c1 AS (
+      |  SELECT a0.list, f.i, round(AVG(f.v), 6) AS c
+      |  FROM flat f JOIN a0 ON f.vec_id = a0.vec_id
+      |  GROUP BY 1, 2
+      |),
+      |s1 AS MATERIALIZED (
+      |  SELECT f.vec_id, c.list,
+      |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+      |  FROM flat f JOIN c1 c ON f.i = c.i
+      |  GROUP BY 1, 2
+      |),
+      |a1 AS (
+      |  SELECT vec_id, list FROM (
+      |    SELECT vec_id, list,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list) AS r
+      |    FROM s1) WHERE r = 1
+      |),
+      |c2 AS (
+      |  SELECT a1.list, f.i, round(AVG(f.v), 6) AS c
+      |  FROM flat f JOIN a1 ON f.vec_id = a1.vec_id
+      |  GROUP BY 1, 2
+      |),
+      |s2 AS MATERIALIZED (
+      |  SELECT f.vec_id, c.list,
+      |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+      |  FROM flat f JOIN c2 c ON f.i = c.i
+      |  GROUP BY 1, 2
+      |)
+      |SELECT vec_id, CAST(list AS INT) AS list, cos AS cosine FROM (
+      |  SELECT vec_id, list, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list) AS r
+      |  FROM s2) WHERE r = 1
+      |ORDER BY vec_id""".stripMargin) { (spark, d) =>
+    graft.similarity.Ann
+      .kmeansIterate(embeddings(spark, d), "vec_id", "embedding", "label", 2)
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[Query] = Seq(
+    knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild)
 }

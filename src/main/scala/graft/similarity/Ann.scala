@@ -213,6 +213,49 @@ object Ann {
       k)
   }
 
+  /** Full IVF build loop: Lloyd k-means iterations under cosine —
+    * `iters` rounds of (centroids of current lists → reassign every
+    * vector to its nearest centroid). Init comes from any existing
+    * bucket column (coarse labels, an LSH bucket, a hash). Returns the
+    * final (id, list, cosine) assignment; feed it to [[ivfTopK]] as the
+    * list column.
+    *
+    * Engine-exact by construction: centroids are quantized to 6
+    * decimals BETWEEN rounds, so both engines enter every iteration
+    * with bit-identical inputs and float-summation order can never
+    * drift an assignment — the same determinism trick as the int8
+    * quantization in [[quantize]], applied to the iteration boundary.
+    *
+    * Scale shape per round: one shuffle for the centroid reduce
+    * (map-side partial column sums), centroid table broadcast (numLists
+    * rows), assignment is a narrow map + per-id window on a bounded
+    * candidate set — no joins between big relations.
+    */
+  def kmeansIterate(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      initBucketCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    var assigned = corpus.select(
+      col(idCol), col(vecCol).as("__vec"), col(initBucketCol).as("list"),
+      lit(null).cast("double").as("cosine"))
+    (1 to iters).foreach { _ =>
+      val cents = centroids(
+        assigned.select(col(idCol), col("__vec").as(vecCol), col("list")), "list", vecCol)
+        .select(col("list"), transform(col("centroid"), x => round(x, 6)).as("centroid"))
+      val scored = assigned.select(col(idCol), col("__vec"))
+        .crossJoin(broadcast(cents))
+        .select(col(idCol), col("__vec"), col("list"),
+          round(cosine(col("__vec"), col("centroid")), 6).as("cosine"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cosine").desc, col("list"))
+      assigned = scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col(idCol), col("__vec"), col("list"), col("cosine"))
+    }
+    assigned.select(col(idCol), col("list"), col("cosine"))
+  }
+
   /** Assign each vector to its nearest centroid (by cosine) — the other
     * half of an IVF build / k-means iteration.
     */

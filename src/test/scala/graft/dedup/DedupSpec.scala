@@ -157,6 +157,27 @@ class DedupSpec extends SparkSpec {
       s"max per-key work $maxKeyWork not a meaningful spread of ${hotB * (hotB - 1) / 2}")
   }
 
+  test("kmeansIterate: recovers separable clusters from a 75%-correct init; stable at convergence") {
+    val rows = (0L until 40L).map { i =>
+      val truth = (i % 2).toInt
+      val base = if (truth == 0) Array(1.0f, 0.05f) else Array(0.05f, 1.0f)
+      val vec = base.zipWithIndex.map { case (b, j) => b + 0.01f * ((i + j) % 3) }
+      // every 4th vector starts in the WRONG list
+      val init = if (i % 4 == 3) 1 - truth else truth
+      (i, vec, init)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    def assignments(iters: Int) =
+      Ann.kmeansIterate(df, "vec_id", "embedding", "label", iters)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = assignments(2)
+    rows.foreach { case (i, _, _) =>
+      assert(got(i) === (i % 2).toInt, s"vector $i not recovered to its true cluster")
+    }
+    // converged: a third iteration changes nothing
+    assert(assignments(3) === got)
+  }
+
   test("ANN: centroids + assign round-trip") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.8f, 0.2f), 0),
