@@ -333,7 +333,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget sequence packing over the t9 chunk stream: shard by
+    * doc_id mod 4 (per-shard windows — no global sort), concat-then-
+    * split at 512 tokens. Integer-exact layout: every chunk's bin and
+    * in-bin token offset hash-verified.
+    */
+  val sequencePacking = Query(
+    "t12_sequence_packing",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+      |         CAST(LEAST(32, len(toks) - s + 1) AS BIGINT) AS n_tokens
+      |  FROM t, UNNEST(generate_series(1, GREATEST(len(toks), 1), 24)) AS u(s)
+      |  WHERE s <= len(toks)
+      |),
+      |packed AS (
+      |  SELECT doc_id, chunk_idx, doc_id % 4 AS shard, n_tokens,
+      |         COALESCE(SUM(n_tokens) OVER (
+      |           PARTITION BY doc_id % 4 ORDER BY doc_id, chunk_idx
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM chunks
+      |)
+      |SELECT doc_id, chunk_idx, CAST(shard AS BIGINT) AS shard,
+      |       CAST(prior // 512 AS BIGINT) AS bin,
+      |       CAST(prior % 512 AS BIGINT) AS bin_offset,
+      |       n_tokens
+      |FROM packed
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, d) =>
+    val chunks = graft.text.TextOps
+      .chunk(documents(spark, d), "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .withColumn("shard", col("doc_id") % 4)
+    graft.text.TextOps
+      .packChunks(chunks, "doc_id", "chunk_idx", "n_tokens", "shard", budget = 512)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
-    tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub)
+    tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
+    sequencePacking)
 }

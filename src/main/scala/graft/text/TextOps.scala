@@ -59,6 +59,42 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und"),
     "fr" -> Seq("le", "la", "de", "et"))
 
+  /** Token-budget sequence packing — the batching step between chunked
+    * documents and pretraining sequences: concatenate chunks in a
+    * stable global order and split at `budget` tokens, so each chunk
+    * lands in bin `floor(priorTokens / budget)` at offset
+    * `priorTokens mod budget` (concat-then-split semantics; a chunk may
+    * straddle its bin boundary and is accounted to the bin where it
+    * starts).
+    *
+    * Scale: the running sum is windowed PER SHARD, not globally — a
+    * global ORDER BY window is a single-partition sort, the classic
+    * 1000-executor killer; sharding (e.g. `doc_id mod n`) packs shards
+    * independently and in parallel, which is how real pipelines shard
+    * their training files anyway. Integer arithmetic end-to-end (DIV /
+    * mod), so the layout is bit-exact in any engine.
+    */
+  def packChunks(
+      chunks: DataFrame,
+      docCol: String,
+      idxCol: String,
+      tokensCol: String,
+      shardCol: String,
+      budget: Int): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(col(docCol), col(idxCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("__prior", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .select(
+        col(docCol), col(idxCol), col(shardCol),
+        expr(s"__prior DIV $budget").as("bin"),
+        (col("__prior") % budget).as("bin_offset"),
+        col(tokensCol))
+  }
+
   /** Repetition / diversity signals — the quality axis that catches
     * degenerate generations and boilerplate (low type–token ratio,
     * one token dominating, repeated bigrams). All pure array

@@ -40,6 +40,24 @@ class TextOpsSpec extends SparkSpec {
     assert(d3.getAs[Long]("passes_repetition") === 1)
   }
 
+  test("packChunks: concat-then-split layout; shards pack independently") {
+    val chunks = Seq(
+      // shard 0: tokens 300 + 300 + 100 → bins 0, 0(+300), 1(+88)... with budget 512:
+      // priors 0, 300, 600 → bins 0, 0, 1; offsets 0, 300, 88
+      (1L, 0L, 300L, 0), (1L, 1L, 300L, 0), (2L, 0L, 100L, 0),
+      // shard 1 restarts at zero regardless of shard 0's fill
+      (3L, 0L, 500L, 1), (3L, 1L, 20L, 1)
+    ).toDF("doc_id", "chunk_idx", "n_tokens", "shard")
+    val got = TextOps.packChunks(chunks, "doc_id", "chunk_idx", "n_tokens", "shard", 512)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got((1L, 0L)) === (0L, 0L))
+    assert(got((1L, 1L)) === (0L, 300L))
+    assert(got((2L, 0L)) === (1L, 88L)) // 600 DIV 512 = 1, 600 mod 512 = 88
+    assert(got((3L, 0L)) === (0L, 0L)) // shard 1 has its own counter
+    assert(got((3L, 1L)) === (0L, 500L))
+  }
+
   test("scrubPii: each type redacted; digit runs without boundaries don't false-match") {
     val docs = Seq(
       (1L, "mail bob.smith+tag@corp.example.org now"),
