@@ -1,0 +1,151 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the memory-bound ANN tier below IVF
+  * ([[Ann.ivfTopK]]) and int8 scalar quantization ([[Ann.quantizedTopK]]):
+  * each vector is split into `m` sub-vectors, each sub-vector is replaced
+  * by the id of its nearest codeword from a per-subspace codebook of `k`
+  * entries, and search scores a query against the m·k codewords once
+  * (the asymmetric-distance lookup table), then any corpus vector by
+  * summing m table entries. Storage per vector drops from 4·d bytes to
+  * m codes; per-candidate scoring drops from O(d) to O(m).
+  *
+  * Everything here is EXACT INTEGER arithmetic so results are
+  * bit-identical in any engine and under any partitioning:
+  *   - vectors enter through [[Ann.quantize]] (int8, cross-engine exact);
+  *   - codewords are stored in micro-units: `(SUM(component)·10^6) div
+  *     count` — integer division, no float averaging;
+  *   - distances are squared L2 in micro-units: `Σ (v·10^6 − c)²`, max
+  *     `m·dsub·(254·10^6)² ≈ 4·10^18 < 2^63`, summed associatively over
+  *     integers so execution order cannot drift an argmin.
+  *
+  * Scale shape: the codebook is m·k rows (tiny, broadcast everywhere);
+  * training is one map-side-combinable reduce per iteration; encoding is
+  * a narrow map over the corpus; ADC search shuffles only the final
+  * (query, candidate) partial sums — m rows each, map-side combined.
+  */
+object Pq {
+
+  /** Micro-unit scale for integer codewords. */
+  val Micro = 1000000L
+
+  /** Deterministic md5-derived init code, reproducible in any SQL
+    * engine: `conv(md5('pq:' || id || ':' || sub)[0,7], 16, 10) mod k`.
+    */
+  private def initCode(id: Column, sub: Column, k: Int): Column =
+    conv(substring(md5(concat(lit("pq:"), id.cast("string"), lit(":"), sub.cast("string"))),
+      1, 7), 16, 10).cast("long") % k
+
+  /** Explode int8-quantized vectors into (id, sub, svec) sub-vector rows.
+    * `dim` must be statically known (slice bounds are plan constants) and
+    * divisible by `m`.
+    */
+  def subvectors(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    Ann.quantize(corpus, vecCol, "__qv")
+      .select(col(idCol), col("__qv"))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(
+        col(idCol), col("sub").cast("long").as("sub"),
+        slice(col("__qv"), col("sub") * dsub + 1, lit(dsub)).as("svec"))
+  }
+
+  /** Squared L2 distance between a sub-vector (int8 counts) and a
+    * codeword (micro-units) — exact int64.
+    */
+  private def dist2(svec: Column, cent: Column): Column =
+    aggregate(
+      zip_with(svec, cent, (v, c) => (v * Micro - c) * (v * Micro - c)),
+      lit(0L), _ + _)
+
+  /** One codebook refinement: per-(sub, code) integer-micro-unit
+    * centroids of the current assignment. Returns (sub, code, centroid)
+    * with centroid an int64 micro-unit array.
+    */
+  def codebook(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      // +127·count offset keeps the numerator non-negative so integral
+      // division is identical across engines (DuckDB // floors, Spark
+      // DIV truncates toward zero — they agree only for ≥ 0)
+      .agg(expr(s"((SUM(v) + 127 * COUNT(*)) * $Micro) DIV COUNT(*) - ${127 * Micro}").as("c"))
+      .groupBy(col("sub"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("sub"), col("code"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+
+  /** Train per-subspace codebooks and encode the corpus: md5-bucket init,
+    * `iters` Lloyd rounds (codebook from assignment → reassign each
+    * sub-vector to its nearest codeword, ties broken by code id).
+    * Returns (codes, codebook): codes = (id, sub, code, dist), codebook =
+    * (sub, code, centroid) consistent with the final assignment.
+    */
+  def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, "need at least one iteration")
+    val sv = subvectors(corpus, idCol, vecCol, dim, m)
+    var assigned = sv.withColumn("code", initCode(col(idCol), col("sub"), k))
+      .withColumn("dist", lit(null).cast("long"))
+    var cents: DataFrame = null
+    (1 to iters).foreach { _ =>
+      cents = codebook(assigned)
+      val w = Window.partitionBy(col(idCol), col("sub"))
+        .orderBy(col("dist"), col("code"))
+      assigned = assigned.drop("code", "dist")
+        // per-subspace join against k codewords — broadcast, narrow
+        .join(broadcast(cents), Seq("sub"))
+        .withColumn("dist", dist2(col("svec"), col("centroid")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col(idCol), col("sub"), col("svec"), col("code"), col("dist"))
+    }
+    (assigned.select(col(idCol), col("sub"), col("code"), col("dist")), cents)
+  }
+
+  /** ADC top-k: score each query sub-vector against every codeword once
+    * (the lookup table — |queries|·m·k rows, broadcast), then rank
+    * corpus vectors by the sum of their m table entries. Ascending
+    * distance, id tiebreaker; exact int64 end-to-end.
+    */
+  def adcTopK(
+      codes: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int): DataFrame = {
+    val lut = subvectors(queries, idCol, vecCol, dim, m)
+      .withColumnRenamed(idCol, "qid")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"), dist2(col("svec"), col("centroid")).as("qd"))
+    val scored = codes
+      .select(col(idCol).as("bid"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("qid") =!= col("bid"))
+      .groupBy(col("qid"), col("bid"))
+      .agg(sum(col("qd")).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("bid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("bid"), col("adist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

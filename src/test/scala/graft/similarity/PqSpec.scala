@@ -1,0 +1,66 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization: hand-checked integer codebooks/distances, ADC
+  * recall against exact quantized L2, and partition invariance (the
+  * integer arithmetic makes every value order-independent).
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Pq: k=1 codebook and distances match hand-computed integers") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val (codes, cents) = Pq.train(vecs, "vec_id", "embedding", dim = 4, m = 2, k = 1, iters = 1)
+    // qv rows are [127,0,0,127] and [0,127,127,0]; every (sub,pos) cell
+    // averages {127,0}: c = ((127 + 254)·10^6) div 2 − 127·10^6 = 63.5e6
+    val cRows = cents.collect()
+    assert(cRows.length === 2)
+    assert(cRows.forall(_.getAs[Seq[Long]]("centroid") == Seq(63500000L, 63500000L)))
+    // dist per sub = (127e6 − 63.5e6)² + (0 − 63.5e6)² = 2·(63.5e6)²
+    val want = 2L * 63500000L * 63500000L
+    assert(codes.collect().forall(_.getAs[Long]("dist") === want))
+    val adc = Pq.adcTopK(codes, cents, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", dim = 4, m = 2, k = 1).collect()
+    assert(adc.length === 1)
+    assert(adc.head.getAs[Long]("bid") === 1L)
+    assert(adc.head.getAs[Long]("adist") === 2 * want)
+  }
+
+  test("Pq: ADC top-5 usually contains the exact quantized-L2 top-1 (sf0.001)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 5)
+    // exact integer L2 over the same int8 vectors PQ starts from
+    val qv = Ann.quantize(emb, "embedding", "qv").select($"vec_id", $"qv")
+    val exact = qv.as("a").join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .where($"a.vec_id" < 5)
+      .select($"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
+        aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+          .as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"d2", $"bid")
+    val exactTop1 = exact.withColumn("r", row_number().over(w)).filter($"r" === 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("bid")).toMap
+    val (codes, cents) = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 1)
+    val adc5 = Pq.adcTopK(codes, cents, q, "vec_id", "embedding", dim = 64, m = 4, k = 5)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("bid")).toSet).toMap
+    val hits = exactTop1.count { case (qid, bid) => adc5(qid).contains(bid) }
+    assert(hits >= 3, s"ADC recall too low: $hits/5 exact top-1s in ADC top-5")
+  }
+
+  test("Pq: results are invariant under repartitioning") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val (codes, cents) = Pq.train(df, "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 1)
+      Pq.adcTopK(codes, cents, df.filter($"vec_id" % 50 === 0),
+        "vec_id", "embedding", dim = 64, m = 4, k = 5)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(run(emb) === run(emb.repartition(7)))
+  }
+}
