@@ -60,10 +60,37 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
+    // Full-precision, full-name artifact → file. The printed line is size-
+    // constrained (see below), so the complete record lives here; committed
+    // per-round as BENCH_sf01_r{N}.json / BENCH_sf1_r{N}.json.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","iters":$iters}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    // Printed line: the harness that collects this keeps only the LAST 2000
+    // characters of stdout (plus sbt's trailing "[success] Total time" line),
+    // so 86 full query names × full-precision doubles (~3 KB) gets truncated
+    // and fails to parse. Compress to the gate-ID prefix (unique except the
+    // two p16 gates, which keep their full names) and centisecond precision:
+    // ~1.2 KB, well inside the window. Legend: short key = full name up to
+    // the first '_'; bench_full.json has the uncompressed map.
+    val prefix = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    val collisions = prefix.values.groupBy(identity).collect {
+      case (p, g) if g.size > 1 => p
+    }.toSet
+    val qs = results.map { case (k, v) =>
+      val key = if (collisions(prefix(k))) k else prefix(k)
+      "\"" + key + "\":" + f"$v%.2f"
+    }.mkString("{", ",", "}")
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val line =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfShort","iters":$iters}"""
+    println(line)
     spark.stop()
   }
 }
