@@ -262,6 +262,55 @@ object Multimodal {
     }
   }
 
+  /** Resize pass: nearest-neighbor downsample of each decoded raster to
+    * a fixed (targetW × targetH) thumbnail — the standard pre-model
+    * normalization step (every vision pipeline resizes before batching).
+    * Source pixel for target (tx, ty) is (tx·w div targetW,
+    * ty·h div targetH) — pure integer arithmetic, so the positional
+    * checksum Σ (ty·targetW+tx+1)·pixel pins EVERY output pixel's value
+    * and position for the SQL oracle, through the full
+    * decode→inflate→unfilter→resample path. Batched per-partition like
+    * the other kernels; undecodable payloads yield sentinel -1 rows.
+    */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType),
+      StructField("out_sum", LongType),
+      StructField("out_pos_sum", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("asset_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        ImageCodec.decodePng(bytes) match {
+          case Some((h, px)) =>
+            var sum = 0L; var posSum = 0L
+            var ty = 0
+            while (ty < targetH) {
+              val sy = ty * h.height / targetH
+              var tx = 0
+              while (tx < targetW) {
+                val sx = tx * h.width / targetW
+                val v = px(sy * h.width + sx) & 0xff
+                sum += v
+                posSum += (ty.toLong * targetW + tx + 1) * v
+                tx += 1
+              }
+              ty += 1
+            }
+            Row(r.getLong(idIdx), h.width, h.height, targetW, targetH, sum, posSum)
+          case None =>
+            Row(r.getLong(idIdx), -1, -1, targetW, targetH, -1L, -1L)
+        }
+      }
+    }
+  }
+
   /** STUB feature extraction: fixed-dim float vector folded from the
     * bytes (stands in for a CNN embedding; batch shape is the real
     * contract).

@@ -616,10 +616,100 @@ object CoreQueries {
       .orderBy($"l_linestatus", $"rank")
   }
 
+  /** l1 — Z-order (Morton) layout key: interleave the bits of the two
+    * range-queried dimensions so one sort order co-locates rows close in
+    * BOTH — the lakehouse OPTIMIZE ZORDER primitive. The gate pins the
+    * interleave expression bit-for-bit (the oracle SQL is GENERATED from
+    * the same bit table — [[graft.functions.ZOrder]]); ZOrderSpec
+    * demonstrates the layout payoff (2-D box predicates prune z-band
+    * partitions a single-column sort cannot).
+    */
+  val zorderKey = Query(
+    "l1_zorder_key", {
+      val z = graft.functions.ZOrder
+        .zValueSqlDuck("(l_partkey % 1024)", "(l_suppkey % 1024)", 10)
+      s"""SELECT CAST(($z >> 12) AS BIGINT) AS z_band,
+         |       COUNT(*) AS n,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM lineitem
+         |GROUP BY 1
+         |ORDER BY z_band""".stripMargin
+    }) { (spark, d) =>
+    import spark.implicits._
+    val z = graft.functions.ZOrder.zValue($"l_partkey" % 1024, $"l_suppkey" % 1024, 10)
+    lineitem(spark, d)
+      .withColumn("z_band", shiftright(z, 12).cast("long"))
+      .groupBy($"z_band")
+      .agg(count(lit(1)).as("n"), sumMoney($"l_extendedprice").as("total"))
+      .orderBy($"z_band")
+  }
+
+  /** l2 — bucketed co-located join: both sides pre-hashed into aligned
+    * buckets on the join key at WRITE time (one file per bucket, sorted),
+    * so the join itself runs with no Exchange and no Sort — the pay-the-
+    * shuffle-once layout for repeated fact⋈dim joins. Broadcast is
+    * disabled in a child session so the bucketed SortMergeJoin is what
+    * actually executes (BucketingSpec asserts the exchange-free plan);
+    * the oracle is the plain join — bucketing must be semantics-free.
+    */
+  val bucketedJoin = Query(
+    "l2_bucketed_join",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, d) =>
+    import graft.operators.Bucketing
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", -1L)
+    val suf = Bucketing.suffix(d)
+    val ot = Bucketing.ensureBucketed(s2, s"orders_bk_$suf", orders(s2, d), "o_custkey", 16)
+    val ct = Bucketing.ensureBucketed(s2, s"customer_bk_$suf", customer(s2, d), "c_custkey", 16)
+    import s2.implicits._
+    s2.table(ot).join(s2.table(ct), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** x2 — bloom-filter semi-join reduction: Catalyst's InjectRuntimeFilter
+    * builds a bloom filter from the selective dim side and pushes a
+    * `might_contain` probe below the fact side's shuffle, so non-matching
+    * fact rows drop BEFORE the exchange — at 100 TB that is the
+    * difference between shuffling the whole fact table and shuffling the
+    * ~20% that survives the semi-join. Enabled via a child session
+    * (thresholds sized for local data; on a cluster the defaults fire);
+    * the filter is a pure reduction — false positives are re-checked by
+    * the join — so the oracle is the plain join SQL.
+    */
+  val bloomSemiJoin = Query(
+    "x2_bloom_semijoin",
+    """SELECT l_linestatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1
+      |ORDER BY l_linestatus""".stripMargin) { (spark, d) =>
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", -1L)
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", true)
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", 0L)
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    import s2.implicits._
+    lineitem(s2, d)
+      .join(
+        orders(s2, d).filter($"o_orderpriority" === "1-URGENT"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("n"), sumMoney($"l_extendedprice").as("total"))
+      .orderBy($"l_linestatus")
+  }
+
   val all: Seq[Query] = Seq(
     topParts, segmentOrders, pricingSummary, globalKpis, avgMonthlyRevenue,
     pivotStatus, dedupLatestEvent, pctOfGroup, priorityBucket, regexFilter,
     dowDomainFill, timeSlots, regionRevenue, unionDistinctUsers, modifierParse,
     jsonProps, saltedJoin, sqlSurface, windowedRevenue, ntileDeciles,
-    decileBoundaries, rollupRevenue, topKNative)
+    decileBoundaries, rollupRevenue, topKNative, zorderKey, bucketedJoin,
+    bloomSemiJoin)
 }

@@ -599,9 +599,43 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** mm8 — nearest-neighbor image resize, hash-verified through the full
+    * decode→inflate→unfilter→resample path: each PNG raster downsamples
+    * to an 8×8 thumbnail (source pixel = tx·w div 8, ty·h div 8 — pure
+    * integer picks), and the positional checksum Σ (pos+1)·pixel pins
+    * every output pixel's value AND position. The oracle replays the
+    * gradient raster and the same integer resampling arithmetic
+    * closed-form, so a one-pixel drift anywhere breaks the hash.
+    */
+  val imageResize = Query(
+    "mm8_image_resize",
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 24 AS INT) AS width,
+      |         CAST(8 + (doc_id * 3) % 24 AS INT) AS height
+      |  FROM documents
+      |),
+      |px AS (
+      |  SELECT doc_id, width, height, tx, ty,
+      |         ((tx * width) // 8 + (ty * height) // 8 + doc_id) % 256 AS v
+      |  FROM dims, UNNEST(range(0, 8)) AS ux(tx), UNNEST(range(0, 8)) AS uy(ty)
+      |)
+      |SELECT doc_id AS asset_id, width, height,
+      |       CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+      |       CAST(SUM(v) AS BIGINT) AS out_sum,
+      |       CAST(SUM((ty * 8 + tx + 1) * v) AS BIGINT) AS out_pos_sum
+      |FROM px
+      |GROUP BY doc_id, width, height
+      |ORDER BY asset_id""".stripMargin) { (spark, d) =>
+    Multimodal
+      .resizeImages(Multimodal.fromDocuments(documents(spark, d)), 8, 8)
+      .orderBy(col("asset_id"))
+  }
+
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
     simhashWidePairs, mediaDecode, mediaFeatures, audioDecode, audioSamples,
     videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
-    embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents)
+    embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents,
+    imageResize)
 }

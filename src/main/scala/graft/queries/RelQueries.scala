@@ -240,7 +240,43 @@ object RelQueries {
       .orderBy(col("user_id"))
   }
 
+  /** cdc1 — SCD2 history via a genuine INCREMENTAL merge: the log is
+    * split at its midpoint instant, the base half builds a history, and
+    * [[graft.operators.Scd2.applyChanges]] folds the delta half in —
+    * closing open versions and stacking continued version numbers. The
+    * oracle recomputes the WHOLE history from the full log in one
+    * window pass, so the hash proves merge-then-append ≡ full-recompute
+    * (the exact correctness contract of a warehouse MERGE load); the
+    * cutoff never appears in the oracle.
+    */
+  val scd2Merge = Query(
+    "cdc1_scd2_merge",
+    s"""$eventsUs
+       |SELECT user_id, value,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS BIGINT) AS version,
+       |       tus AS valid_from,
+       |       lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS valid_to
+       |FROM e
+       |ORDER BY user_id, version""".stripMargin) { (spark, d) =>
+    import graft.operators.Scd2
+    val e = events(spark, d).select(
+      col("event_id"), col("user_id"), col("value"),
+      unix_micros(col("ts")).as("tus"))
+    // Deterministic time split: (min+max) div 2 of the log's instants,
+    // attached via a broadcast scalar so the plan stays action-free.
+    val cut = e.agg(expr("(min(tus) + max(tus)) div 2").as("__cut"))
+    val ec = e.crossJoin(broadcast(cut))
+    val base = ec.filter(col("tus") <= col("__cut")).drop("__cut")
+    val delta = ec.filter(col("tus") > col("__cut")).drop("__cut")
+    Scd2
+      .applyChanges(
+        Scd2.fromLog(base, "user_id", "tus", "event_id", Seq("value")),
+        delta, "user_id", "tus", "event_id", Seq("value"))
+      .select("user_id", "value", "version", "valid_from", "valid_to")
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val all: Seq[Query] = Seq(
     sessionStats, asOfViewBeforePurchase, clickToPurchase, errorBurstPairs,
-    stratifiedSample, sketchProfile, heavyHitters)
+    stratifiedSample, sketchProfile, heavyHitters, scd2Merge)
 }

@@ -368,8 +368,35 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Rabin–Karp content-defined chunk boundaries: roll an 8-char
+    * polynomial hash across each document and cut where hash ≡ 0
+    * (mod 64). The oracle replays the identical polynomial (the SQL is
+    * GENERATED from the same power table — [[TextOps.rhWindowSql]]), so
+    * the hash pins every window hash and every boundary position.
+    * Insert-shift robustness is what makes this the dedup-grade
+    * chunking: a one-char edit moves at most the chunks adjacent to it.
+    */
+  val rollingFingerprint = Query(
+    "t13_rolling_chunks", {
+      // BIGINT cast: ord() is INT32 and INT32·31^5 overflows
+      val h = TextOps.rhWindowSql("i", p => s"CAST(ord(substr(text, $p, 1)) AS BIGINT)")
+      val n7 = s"greatest(length(text) - ${TextOps.rhWindow - 1}, 0)"
+      val positions = s"range(1, $n7 + 1)"
+      val boundaries = s"list_filter($positions, i -> $h % ${TextOps.rhDiv} = 0)"
+      s"""SELECT doc_id,
+         |       CAST($n7 AS BIGINT) AS n_windows,
+         |       CAST(len($boundaries) AS BIGINT) AS n_boundaries,
+         |       CAST(COALESCE(list_sum($boundaries), 0) AS BIGINT) AS boundary_sum,
+         |       CAST(COALESCE(list_sum(list_transform($positions, i -> $h)), 0) AS BIGINT) AS hash_sum
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, d) =>
+    TextOps.rollingHashBoundaries(documents(spark, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
-    sequencePacking)
+    sequencePacking, rollingFingerprint)
 }

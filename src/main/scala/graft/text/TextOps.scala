@@ -262,6 +262,58 @@ object TextOps {
         least(lit(chunkTokens), size(col("__toks")) - col("__start") + 1).cast("long").as("n_tokens"))
   }
 
+  /** Rabin–Karp rolling-hash chunking (content-defined chunking, the
+    * dedup-friendly alternative to fixed windows: insertions shift fixed
+    * chunk grids but leave most content-defined boundaries in place).
+    * Every `rhWindow`-char window is hashed with the polynomial
+    * Σ c_j·B^(W−1−j) mod M; positions whose hash ≡ 0 (mod `rhDiv`) are
+    * chunk boundaries (expected chunk length ≈ rhDiv chars).
+    *
+    * The whole computation is Catalyst higher-order functions over a
+    * position sequence — codegen'd, narrow, zero shuffle — and the
+    * arithmetic is exact int64 (max window sum ≈ 127·31^7·8 ≈ 2.8e13),
+    * so any SQL engine replays it bit-for-bit; [[rhWindowSql]] emits the
+    * identical polynomial in an engine's own dialect for the oracle.
+    */
+  val rhWindow = 8
+  val rhBase = 31L
+  val rhMod = 1000003L
+  val rhDiv = 64L
+  val rhPowers: IndexedSeq[Long] =
+    (0 until rhWindow).scanLeft(1L)((p, _) => p * rhBase).init.toIndexedSeq
+
+  /** The window-hash polynomial at 1-based position `pos`, as SQL text.
+    * `chr` renders an engine's char-code-at-position call (Spark:
+    * `ascii(substr(text, p, 1))`, DuckDB: `ord(substr(text, p, 1))`).
+    */
+  def rhWindowSql(pos: String, chr: String => String): String =
+    "(" + (0 until rhWindow)
+      .map(j => s"${chr(s"$pos + $j")} * ${rhPowers(rhWindow - 1 - j)}")
+      .mkString(" + ") + s") % $rhMod"
+
+  /** Per-document boundary profile: window count, boundary count and the
+    * positional checksum of the boundary set (order-sensitive — a moved
+    * boundary changes the sum), plus the raw hash-stream sum that pins
+    * every window hash, not just the boundary subset.
+    */
+  def rollingHashBoundaries(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // cast: ascii() is int32 and int32·31^5 overflows (ANSI mode throws)
+    val chr = (p: String) => s"cast(ascii(substr($textCol, $p, 1)) as bigint)"
+    val h = rhWindowSql("i", chr)
+    val n7 = s"greatest(length($textCol) - ${rhWindow - 1}, 0)"
+    // sequence(1, 0) counts DOWN in Spark — guard the empty case.
+    val positions = s"if($n7 < 1, array(), sequence(1, $n7))"
+    val boundaries = s"filter($positions, i -> $h % $rhDiv = 0)"
+    docs.select(
+      col(idCol),
+      expr(n7).cast("long").as("n_windows"),
+      expr(s"size($boundaries)").cast("long").as("n_boundaries"),
+      expr(s"aggregate($boundaries, cast(0 as bigint), (a, i) -> a + i)")
+        .as("boundary_sum"),
+      expr(s"aggregate($positions, cast(0 as bigint), (a, i) -> a + $h)")
+        .as("hash_sum"))
+  }
+
   /** Full per-document profile in one pass. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketed-join contracts: the bucketed tables join with NO exchange
+  * and NO sort (the pay-the-shuffle-once layout), and the result is
+  * identical to the plain join.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed sorted tables join without Exchange or Sort; same result as plain join") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", -1L)
+    import s2.implicits._
+    val left = s2.range(1000).select(
+      (col("id") % 100).as("k"), col("id").as("lv"))
+    val right = s2.range(100).select(
+      col("id").as("k"), (col("id") * 10).as("rv"))
+    val lt = Bucketing.ensureBucketed(s2, "bspec_left", left, "k", 8)
+    val rt = Bucketing.ensureBucketed(s2, "bspec_right", right, "k", 8)
+    val joined = s2.table(lt).join(s2.table(rt), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // The win: NO Exchange on either side — both scans read pre-bucketed
+    // files (a per-partition Sort remains; Spark 4 does not trust bucket
+    // sort metadata across files, and that sort is shuffle-free and
+    // bounded by the bucket, so it is not the scale cost).
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+    val expected = left.join(right, "k")
+      .select(sum($"lv" + $"rv")).as[Long].head()
+    val got = joined.select(sum($"lv" + $"rv")).as[Long].head()
+    assert(got == expected)
+    // idempotent: a second ensure call does not rewrite
+    assert(Bucketing.ensureBucketed(s2, "bspec_left", left, "k", 8) == "bspec_left")
+  }
+}
