@@ -401,80 +401,102 @@ object SimQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** e8 — product quantization end-to-end: int8 vectors split into 4
-    * sub-vectors of 16 dims, one Lloyd round over md5-initialized 8-code
-    * per-subspace codebooks (integer micro-unit centroids), then ADC
-    * top-5 — score each query against the 32 codewords once, score every
-    * candidate by summing its 4 table entries. Storage per vector: 4
-    * codes instead of 256 bytes — the memory tier below e6's int8.
-    * Exact int64 arithmetic end-to-end (no float sums anywhere), so
-    * codebooks, codes, and ranks are bit-identical in any engine; the
-    * +127·count offset in the centroid division keeps floor and
-    * truncating integer division equal (see Pq.codebook).
+  /** DuckDB replay of [[graft.similarity.Pq]] training + ADC search, the
+    * iteration chain generated from the same (dim, m, k, iters) the Spark
+    * side runs: NTILE init over lexicographically-sorted sub-vectors,
+    * then per Lloyd round a codebook CTE (integer micro-unit centroids,
+    * +127·count offset so DuckDB `//` floor and Spark `DIV` truncation
+    * agree), a full distance table, and an argmin reassignment. The last
+    * round's distance table doubles as the ADC lookup table for the
+    * query set, exactly as `Pq.adcTopK` reuses the final codebook.
     */
-  val pqTopK = Query(
-    "e8_pq_topk",
-    """WITH base AS MATERIALIZED (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-      |  FROM embeddings
-      |),
-      |scaled AS MATERIALIZED (
-      |  SELECT vec_id,
-      |         127.0 / list_aggregate(list_transform(ve, y -> abs(y)), 'max') AS s, ve
-      |  FROM base
-      |),
-      |q8 AS MATERIALIZED (
-      |  SELECT vec_id, list_transform(ve, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qv
-      |  FROM scaled
-      |),
-      |f AS MATERIALIZED (
-      |  SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, (i - 1) % 16 AS pos, qv[i] AS v
-      |  FROM q8, UNNEST(generate_series(1, 64)) AS u(i)
-      |),
-      |init AS (
-      |  SELECT DISTINCT vec_id, sub,
-      |         CAST(concat('0x', substr(md5('pq:' || vec_id || ':' || sub), 1, 7)) AS BIGINT) % 8 AS code
-      |  FROM f
-      |),
-      |cb AS MATERIALIZED (
-      |  SELECT f.sub, init.code, f.pos,
-      |         ((SUM(f.v) + 127 * COUNT(*)) * 1000000) // COUNT(*) - 127000000 AS c
-      |  FROM f JOIN init ON f.vec_id = init.vec_id AND f.sub = init.sub
-      |  GROUP BY 1, 2, 3
-      |),
-      |dists AS MATERIALIZED (
-      |  SELECT f.vec_id, f.sub, cb.code,
-      |         SUM((f.v * 1000000 - cb.c) * (f.v * 1000000 - cb.c)) AS dist
-      |  FROM f JOIN cb ON f.sub = cb.sub AND f.pos = cb.pos
-      |  GROUP BY 1, 2, 3
-      |),
-      |codes AS MATERIALIZED (
-      |  SELECT vec_id, sub, code FROM (
-      |    SELECT vec_id, sub, code,
-      |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS r
-      |    FROM dists) WHERE r = 1
-      |),
-      |lut AS (
-      |  SELECT vec_id AS qid, sub, code, dist AS qd FROM dists WHERE vec_id % 50 = 0
-      |),
-      |adc AS (
-      |  SELECT lut.qid, codes.vec_id AS bid, CAST(SUM(lut.qd) AS BIGINT) AS adist
-      |  FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
-      |  WHERE lut.qid <> codes.vec_id
-      |  GROUP BY 1, 2
-      |)
-      |SELECT qid, rank, bid, adist FROM (
-      |  SELECT qid, bid, adist,
-      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, bid) AS rank
-      |  FROM adc) WHERE rank <= 5
-      |ORDER BY qid, rank""".stripMargin) { (spark, d) =>
+  private def pqOracleSql(dim: Int, m: Int, k: Int, iters: Int, qMod: Int, topK: Int): String = {
+    val dsub = dim / m
+    val iterCtes = (1 to iters).map { i =>
+      s"""cb$i AS MATERIALIZED (
+         |  SELECT f.sub, a.code, f.pos,
+         |         ((SUM(f.v) + 127 * COUNT(*)) * 1000000) // COUNT(*) - 127000000 AS c
+         |  FROM f JOIN assign${i - 1} a ON f.vec_id = a.vec_id AND f.sub = a.sub
+         |  GROUP BY 1, 2, 3
+         |),
+         |dists$i AS MATERIALIZED (
+         |  SELECT f.vec_id, f.sub, cb$i.code,
+         |         SUM((f.v * 1000000 - cb$i.c) * (f.v * 1000000 - cb$i.c)) AS dist
+         |  FROM f JOIN cb$i ON f.sub = cb$i.sub AND f.pos = cb$i.pos
+         |  GROUP BY 1, 2, 3
+         |),
+         |assign$i AS MATERIALIZED (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS r
+         |    FROM dists$i) WHERE r = 1
+         |),""".stripMargin
+    }.mkString("\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |),
+       |scaled AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         127.0 / list_aggregate(list_transform(ve, y -> abs(y)), 'max') AS s, ve
+       |  FROM base
+       |),
+       |q8 AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(ve, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qv
+       |  FROM scaled
+       |),
+       |f AS MATERIALIZED (
+       |  SELECT vec_id, CAST((i - 1) // $dsub AS BIGINT) AS sub, (i - 1) % $dsub AS pos, qv[i] AS v
+       |  FROM q8, UNNEST(generate_series(1, $dim)) AS u(i)
+       |),
+       |sv AS MATERIALIZED (
+       |  SELECT vec_id, CAST(s.sub AS BIGINT) AS sub,
+       |         list_slice(qv, s.sub * $dsub + 1, s.sub * $dsub + $dsub) AS svec
+       |  FROM q8, UNNEST(generate_series(0, ${m - 1})) AS s(sub)
+       |),
+       |assign0 AS MATERIALIZED (
+       |  SELECT vec_id, sub,
+       |         CAST(NTILE($k) OVER (PARTITION BY sub ORDER BY svec, vec_id) - 1 AS BIGINT) AS code
+       |  FROM sv
+       |),
+       |$iterCtes
+       |lut AS (
+       |  SELECT vec_id AS qid, sub, code, dist AS qd FROM dists$iters WHERE vec_id % $qMod = 0
+       |),
+       |adc AS (
+       |  SELECT lut.qid, a.vec_id AS bid, CAST(SUM(lut.qd) AS BIGINT) AS adist
+       |  FROM assign$iters a JOIN lut ON a.sub = lut.sub AND a.code = lut.code
+       |  WHERE lut.qid <> a.vec_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid, rank, bid, adist FROM (
+       |  SELECT qid, bid, adist,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, bid) AS rank
+       |  FROM adc) WHERE rank <= $topK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** e8 — product quantization end-to-end: int8 vectors split into 32
+    * sub-vectors of 2 dims, two Lloyd rounds over NTILE-initialized
+    * 16-code per-subspace codebooks (integer micro-unit centroids), then
+    * ADC top-5 — score each query against the 512 codewords once, score
+    * every candidate by summing its 32 table entries. Storage per
+    * vector: 32 codes instead of 256 bytes — the memory tier below e6's
+    * int8 — and this config measures ≥85% top-1-in-top-5 recall on the
+    * synthetic embeddings (PqSpec pins the quality bar; this gate pins
+    * cross-engine exactness). Exact int64 arithmetic end-to-end (no
+    * float sums anywhere), so codebooks, codes, and ranks are
+    * bit-identical in any engine.
+    */
+  val pqTopK = Query("e8_pq_topk",
+    pqOracleSql(dim = 64, m = 32, k = 16, iters = 2, qMod = 100, topK = 5)) { (spark, d) =>
     import spark.implicits._
     val emb = embeddings(spark, d)
     val (codes, cents) = graft.similarity.Pq
-      .train(emb, "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 1)
+      .train(emb, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 2)
     graft.similarity.Pq
-      .adcTopK(codes, cents, emb.filter($"vec_id" % 50 === 0),
-        "vec_id", "embedding", dim = 64, m = 4, k = 5)
+      .adcTopK(codes, cents, emb.filter($"vec_id" % 100 === 0),
+        "vec_id", "embedding", dim = 64, m = 32, k = 5)
       .orderBy($"qid", $"rank")
   }
 

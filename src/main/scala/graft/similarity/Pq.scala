@@ -32,12 +32,19 @@ object Pq {
   /** Micro-unit scale for integer codewords. */
   val Micro = 1000000L
 
-  /** Deterministic md5-derived init code, reproducible in any SQL
-    * engine: `conv(md5('pq:' || id || ':' || sub)[0,7], 16, 10) mod k`.
+  /** Deterministic structure-aware init: per subspace, sort sub-vectors
+    * lexicographically (id tiebreaker) and NTILE them into k balanced
+    * buckets. Unlike a hash-random assignment — whose one-step centroids
+    * all collapse toward the subspace mean — the sort groups vectors that
+    * share leading components, so the seed codebooks already separate
+    * along the first dimensions and Lloyd refinement has signal to work
+    * with. Reproducible in any SQL engine: `NTILE(k) OVER (PARTITION BY
+    * sub ORDER BY svec, id) - 1` (lists compare lexicographically in
+    * both Spark and DuckDB).
     */
-  private def initCode(id: Column, sub: Column, k: Int): Column =
-    conv(substring(md5(concat(lit("pq:"), id.cast("string"), lit(":"), sub.cast("string"))),
-      1, 7), 16, 10).cast("long") % k
+  private def initCode(id: Column, k: Int): Column =
+    (ntile(k).over(Window.partitionBy(col("sub")).orderBy(col("svec"), id)) - 1)
+      .cast("long")
 
   /** Explode int8-quantized vectors into (id, sub, svec) sub-vector rows.
     * `dim` must be statically known (slice bounds are plan constants) and
@@ -83,9 +90,13 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("sub"), col("code"), transform(col("pc"), x => x.getField("c")).as("centroid"))
 
-  /** Train per-subspace codebooks and encode the corpus: md5-bucket init,
-    * `iters` Lloyd rounds (codebook from assignment → reassign each
-    * sub-vector to its nearest codeword, ties broken by code id).
+  /** Train per-subspace codebooks and encode the corpus: sorted-NTILE
+    * init (see [[initCode]]), `iters` Lloyd rounds (codebook from
+    * assignment → reassign each sub-vector to its nearest codeword, ties
+    * broken by code id). The init's per-subspace sort is a global sort of
+    * the training corpus (m parallel window sorts) — at 100 TB train the
+    * codebook on a bounded sample (standard PQ practice) and encode the
+    * full corpus with the trained codebook; encoding is a narrow map.
     * Returns (codes, codebook): codes = (id, sub, code, dist), codebook =
     * (sub, code, centroid) consistent with the final assignment.
     */
@@ -99,7 +110,7 @@ object Pq {
       iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, "need at least one iteration")
     val sv = subvectors(corpus, idCol, vecCol, dim, m)
-    var assigned = sv.withColumn("code", initCode(col(idCol), col("sub"), k))
+    var assigned = sv.withColumn("code", initCode(col(idCol), k))
       .withColumn("dist", lit(null).cast("long"))
     var cents: DataFrame = null
     (1 to iters).foreach { _ =>

@@ -31,13 +31,13 @@ class PqSpec extends SparkSpec {
     assert(adc.head.getAs[Long]("adist") === 2 * want)
   }
 
-  test("Pq: ADC top-5 usually contains the exact quantized-L2 top-1 (sf0.001)") {
+  test("Pq: ADC top-5 contains the exact quantized-L2 top-1 for >=14/20 queries (sf0.001)") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val q = emb.filter($"vec_id" < 5)
+    val q = emb.filter($"vec_id" < 20)
     // exact integer L2 over the same int8 vectors PQ starts from
     val qv = Ann.quantize(emb, "embedding", "qv").select($"vec_id", $"qv")
     val exact = qv.as("a").join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
-      .where($"a.vec_id" < 5)
+      .where($"a.vec_id" < 20)
       .select($"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
         aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
           .as("d2"))
@@ -45,20 +45,23 @@ class PqSpec extends SparkSpec {
       .partitionBy($"qid").orderBy($"d2", $"bid")
     val exactTop1 = exact.withColumn("r", row_number().over(w)).filter($"r" === 1)
       .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("bid")).toMap
-    val (codes, cents) = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 1)
-    val adc5 = Pq.adcTopK(codes, cents, q, "vec_id", "embedding", dim = 64, m = 4, k = 5)
+    // gate config (e8): m=32, k=16, iters=2 — measured 17/20 on this
+    // data; everything is deterministic integers so the value is exact,
+    // the bar leaves margin for testdata regeneration only
+    val (codes, cents) = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 2)
+    val adc5 = Pq.adcTopK(codes, cents, q, "vec_id", "embedding", dim = 64, m = 32, k = 5)
       .collect().groupBy(_.getAs[Long]("qid"))
       .view.mapValues(_.map(_.getAs[Long]("bid")).toSet).toMap
     val hits = exactTop1.count { case (qid, bid) => adc5(qid).contains(bid) }
-    assert(hits >= 3, s"ADC recall too low: $hits/5 exact top-1s in ADC top-5")
+    assert(hits >= 14, s"ADC recall too low: $hits/20 exact top-1s in ADC top-5")
   }
 
   test("Pq: results are invariant under repartitioning") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def run(df: org.apache.spark.sql.DataFrame) = {
-      val (codes, cents) = Pq.train(df, "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 1)
+      val (codes, cents) = Pq.train(df, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 2)
       Pq.adcTopK(codes, cents, df.filter($"vec_id" % 50 === 0),
-        "vec_id", "embedding", dim = 64, m = 4, k = 5)
+        "vec_id", "embedding", dim = 64, m = 32, k = 5)
         .collect().map(_.toSeq).toSeq
     }
     assert(run(emb) === run(emb.repartition(7)))
