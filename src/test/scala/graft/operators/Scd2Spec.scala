@@ -52,4 +52,51 @@ class Scd2Spec extends SparkSpec {
       assert(merged == full, s"cutoff $cut")
     }
   }
+
+  test("applyChanges: out-of-order delta fails loudly instead of stacking bad versions") {
+    // base: key 1 at t=10 and t=30 (open version starts at 30);
+    // delta: key 1 at t=20 — older than the open version.
+    val base = log.filter($"k" === 1L && $"tus" =!= 20L)
+    val delta = Seq((1L, 20L, 110L, 7.0)).toDF("k", "tus", "event_id", "value")
+    val ex = intercept[Exception] {
+      Scd2.applyChanges(
+        Scd2.fromLog(base, "k", "tus", "event_id", Seq("value")),
+        delta, "k", "tus", "event_id", Seq("value")).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("out-of-order delta"), s"unexpected error: $ex")
+  }
+
+  test("applyChangesAnyOrder: interleaved delta == full recompute, untouched keys pass through") {
+    // delta interleaves inside key 1's recorded history and adds a new
+    // key 4; keys 2 and 3 are untouched and must pass through as-is.
+    val delta = Seq(
+      (1L, 15L, 110L, 1.5), (1L, 25L, 111L, 2.5),
+      (4L, 1L, 112L, 8.0)
+    ).toDF("k", "tus", "event_id", "value")
+    val full = Scd2.fromLog(log.unionByName(delta), "k", "tus", "event_id", Seq("value"))
+      .select("k", "version", "value", "valid_from", "valid_to")
+      .as[(Long, Long, Double, Long, Option[Long])].collect().toSet
+    val merged = Scd2.applyChangesAnyOrder(
+      Scd2.fromLog(log, "k", "tus", "event_id", Seq("value")),
+      delta, "k", "tus", "event_id", Seq("value"))
+      .select("k", "version", "value", "valid_from", "valid_to")
+      .as[(Long, Long, Double, Long, Option[Long])].collect().toSet
+    assert(merged == full)
+  }
+
+  test("applyChangesAnyOrder: in-order deltas agree with applyChanges") {
+    for (cut <- Seq(5L, 20L, 39L)) {
+      val base = log.filter(col("tus") <= cut)
+      val delta = log.filter(col("tus") > cut)
+      val hist = Scd2.fromLog(base, "k", "tus", "event_id", Seq("value"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("k", "version", "value", "valid_from", "valid_to")
+        .as[(Long, Long, Double, Long, Option[Long])].collect().toSet
+      assert(
+        rows(Scd2.applyChangesAnyOrder(hist, delta, "k", "tus", "event_id", Seq("value"))) ==
+          rows(Scd2.applyChanges(hist, delta, "k", "tus", "event_id", Seq("value"))),
+        s"cutoff $cut")
+    }
+  }
 }
