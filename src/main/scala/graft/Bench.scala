@@ -53,12 +53,18 @@ object Bench {
     // regression on p11); medians make run-to-run comparison meaningful.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+      def timeOnce(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+      }
+      var times = (1 to iters).toVector.map(_ => timeOnce())
+      // Sub-second gates are where shared-host noise distorts the most
+      // (one 0.5 s GC pause reads as a 2-3× phantom regression): widen
+      // those to median-of-5 — the extra runs are cheap by construction.
+      if (iters < 5 && times.sorted(Ordering.Double.TotalOrdering)(times.length / 2) < 1.0)
+        times = times ++ (times.length until 5).map(_ => timeOnce())
+      name -> times.sorted(Ordering.Double.TotalOrdering)(times.length / 2)
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full-precision, full-name artifact → file. The printed line is size-
@@ -83,13 +89,18 @@ object Bench {
     val collisions = prefix.values.groupBy(identity).collect {
       case (p, g) if g.size > 1 => p
     }.toSet
+    // Locale-pinned formatting: f"" interpolators use the default JVM
+    // locale, and a comma decimal separator (de_DE, tr_TR) would make
+    // the printed line invalid JSON.
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) =>
       val key = if (collisions(prefix(k))) k else prefix(k)
-      "\"" + key + "\":" + f"$v%.2f"
+      "\"" + key + "\":" + fmt2(v)
     }.mkString("{", ",", "}")
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val line =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfShort","iters":$iters}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","iters":$iters}"""
     println(line)
     spark.stop()
   }
