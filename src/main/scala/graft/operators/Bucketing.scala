@@ -47,8 +47,24 @@ object Bucketing {
   }
 
   /** Stable per-dataset table-name suffix (bucketed tables for sf0.01
-    * and sf0.001 coexist in one catalog).
+    * and sf0.001 coexist in one catalog). Content-aware: digests the
+    * full path PLUS the dir's file listing (name, length, mtime), so a
+    * dataset regenerated in place gets a fresh table instead of silently
+    * reusing stale buckets, and two paths can never collide the way
+    * String.hashCode could. Superseded tables linger in the warehouse
+    * until the session ends — disk for correctness.
     */
-  def suffix(dir: String): String =
-    (dir.hashCode.toLong & 0xffffffffL).toString
+  def suffix(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      if (fs.exists(p))
+        fs.listStatus(p)
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString(",")
+      else ""
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$entries".getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
 }

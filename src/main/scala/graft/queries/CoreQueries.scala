@@ -662,7 +662,7 @@ object CoreQueries {
     import graft.operators.Bucketing
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", -1L)
-    val suf = Bucketing.suffix(d)
+    val suf = Bucketing.suffix(s2, d)
     val ot = Bucketing.ensureBucketed(s2, s"orders_bk_$suf", orders(s2, d), "o_custkey", 16)
     val ct = Bucketing.ensureBucketed(s2, s"customer_bk_$suf", customer(s2, d), "c_custkey", 16)
     import s2.implicits._
