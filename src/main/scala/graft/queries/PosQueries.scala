@@ -420,8 +420,7 @@ object PosQueries {
     Analytics.monthlyKpiComparison(posify(spark, d))
   }
 
-  val p19 = Query(
-    "p19_dedup_read",
+  private val dedupReadOracle =
     s"""$posCte,
        |deduped AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY receipt_number, item_name
@@ -434,19 +433,45 @@ object PosQueries {
        |       SUM(price) AS total_price
        |FROM deduped WHERE rn = 1
        |GROUP BY 1
-       |ORDER BY month""".stripMargin) { (spark, d) =>
+       |ORDER BY month""".stripMargin
+
+  /** The monthly rollup over the deduplicated lake — shared by the
+    * shuffled (p19) and bucketed (p20) variants.
+    */
+  private def dedupMonthly(pos: DataFrame): DataFrame =
+    Analytics.dedupLatestAgg(
+      pos, Seq(col("price"), coalesce(col("modifiers"), lit(""))))
+      .groupBy(date_format(col("shifted_time"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total_price"))
+      .orderBy(col("month"))
+
+  val p19 = Query("p19_dedup_read", dedupReadOracle) { (spark, d) =>
     // The reference's dedup is tie-arbitrary (SURVEY §7.4.4); the gate
     // query pins ties with explicit deterministic tiebreakers. The agg
     // form (max_by, map-side combinable) replaces the ROW_NUMBER
     // window: winners are identical under this total order
     // (DedupBench asserts it; 1.9× faster at sf1), so the ROW_NUMBER
     // oracle SQL is unchanged.
-    Analytics.dedupLatestAgg(
-      posify(spark, d),
-      Seq(col("price"), coalesce(col("modifiers"), lit(""))))
-      .groupBy(date_format(col("shifted_time"), "yyyy-MM").as("month"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total_price"))
-      .orderBy(col("month"))
+    dedupMonthly(posify(spark, d))
+  }
+
+  /** p20 — the same dedup read over a lake BUCKETED by receipt_number:
+    * the layout change that deletes p19's big shuffle. The curated rows
+    * are written once into hash buckets on the dedup key, so the
+    * (receipt_number, item_name) aggregate finds every key's rows
+    * already co-located — no Exchange on the fact side; only the tiny
+    * monthly rollup still shuffles (BucketingSpec asserts the plan).
+    * Oracle SQL is identical to p19's: bucketing must be semantics-free.
+    * Bench note: like l2, the FIRST run of this gate writes the bucketed
+    * table (a filesystem side effect absorbed by warm-up); steady-state
+    * runs only read it.
+    */
+  val p20 = Query("p20_dedup_bucketed", dedupReadOracle) { (spark, d) =>
+    import graft.operators.Bucketing
+    val pt = Bucketing.ensureBucketed(
+      spark, s"pos_bk_${Bucketing.suffix(spark, d)}", posify(spark, d),
+      "receipt_number", 16)
+    dedupMonthly(spark.table(pt))
   }
 
   /** P15 — FP-Growth rules hash-verified against a brute-force Apriori
@@ -579,5 +604,5 @@ object PosQueries {
 
   val all: Seq[Query] = Seq(
     p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14,
-    p15, p16, p16b, p17, p18, p19)
+    p15, p16, p16b, p17, p18, p19, p20)
 }

@@ -36,4 +36,30 @@ class BucketingSpec extends SparkSpec {
     // idempotent: a second ensure call does not rewrite
     assert(Bucketing.ensureBucketed(s2, "bspec_left", left, "k", 8) == "bspec_left")
   }
+
+  test("bucketed dedup aggregate runs with no Exchange on the fact side (p20 shape)") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    // Multi-version facts: 3 rows per (receipt, item), newest wins.
+    val facts = s2.range(3000).select(
+      (col("id") % 500).cast("string").as("receipt_number"),
+      ((col("id") / 500) % 2).cast("string").as("item_name"),
+      col("id").as("shifted_time"),
+      (col("id") * 2).as("price"))
+    val ft = Bucketing.ensureBucketed(s2, "bspec_facts", facts, "receipt_number", 8)
+    // The p19/p20 dedup: group on (receipt_number, item_name) — bucketing
+    // on receipt_number alone co-locates every group, so the aggregate
+    // needs no Exchange; only the downstream rollup (not built here) would.
+    val dedup = s2.table(ft)
+      .groupBy($"receipt_number", $"item_name")
+      .agg(max_by(struct($"shifted_time", $"price"), $"shifted_time").as("w"))
+    val plan = dedup.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed dedup still shuffles:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+    // Semantics-free: same winners as the shuffled aggregate on the raw df.
+    val expected = facts.groupBy($"receipt_number", $"item_name")
+      .agg(max_by($"price", $"shifted_time").as("p"))
+      .select(sum($"p")).as[Long].head()
+    assert(dedup.select(sum($"w.price")).as[Long].head() == expected)
+  }
 }
