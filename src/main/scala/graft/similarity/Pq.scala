@@ -115,15 +115,35 @@ object Pq {
     var cents: DataFrame = null
     (1 to iters).foreach { _ =>
       cents = codebook(assigned)
-      val w = Window.partitionBy(col(idCol), col("sub"))
-        .orderBy(col("dist"), col("code"))
-      assigned = assigned.drop("code", "dist")
-        // per-subspace join against k codewords — broadcast, narrow
-        .join(broadcast(cents), Seq("sub"))
-        .withColumn("dist", dist2(col("svec"), col("centroid")))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col(idCol), col("sub"), col("svec"), col("code"), col("dist"))
+      // Collect the codebook to the driver (m·k·dsub int64s — the MODEL,
+      // the same thing spark.ml KMeans collects per round) and bake it
+      // into the plan as a literal, so each reassignment is a pure
+      // narrow map: argmin over k codewords per row, ZERO shuffle. The
+      // earlier shape (broadcast join + row_number window) sorted the
+      // whole corpus assignment once per Lloyd round — the actual
+      // scale bottleneck. array_min over (dist, code) structs keeps the
+      // exact tie-break (lowest code wins) of the SQL oracle's
+      // ROW_NUMBER ... ORDER BY dist, code.
+      val cbRows = cents.collect()
+      val cbLocal: IndexedSeq[IndexedSeq[Seq[Long]]] = {
+        val byKey = cbRows.map { r =>
+          (r.getAs[Long]("sub"), r.getAs[Long]("code")) ->
+            r.getSeq[Long](r.fieldIndex("centroid")).toVector
+        }.toMap
+        IndexedSeq.tabulate(m)(sub =>
+          IndexedSeq.tabulate(k)(code =>
+            byKey.getOrElse((sub.toLong, code.toLong), Seq.empty[Long])))
+      }
+      val cbForSub = element_at(typedLit(cbLocal), (col("sub") + 1).cast("int"))
+      val best = array_min(transform(cbForSub, (c, i) =>
+        struct(
+          // empty cluster → no codeword → unreachable distance
+          when(size(c) === 0, lit(Long.MaxValue))
+            .otherwise(dist2(col("svec"), c)).as("d"),
+          i.cast("long").as("idx"))))
+      assigned = sv
+        .withColumn("code", best.getField("idx"))
+        .withColumn("dist", best.getField("d"))
     }
     (assigned.select(col(idCol), col("sub"), col("code"), col("dist")), cents)
   }

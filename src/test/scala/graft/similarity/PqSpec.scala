@@ -45,10 +45,11 @@ class PqSpec extends SparkSpec {
       .partitionBy($"qid").orderBy($"d2", $"bid")
     val exactTop1 = exact.withColumn("r", row_number().over(w)).filter($"r" === 1)
       .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("bid")).toMap
-    // gate config (e8): m=32, k=16, iters=2 — measured 17/20 on this
-    // data; everything is deterministic integers so the value is exact,
-    // the bar leaves margin for testdata regeneration only
-    val (codes, cents) = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 2)
+    // gate config (e8/e9): m=32, k=16, iters=4 — measured 19/20 on this
+    // data (18/20 at sf0.01 and sf0.1); everything is deterministic
+    // integers so the value is exact, the bar leaves margin for testdata
+    // regeneration only
+    val (codes, cents) = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 4)
     val adc5 = Pq.adcTopK(codes, cents, q, "vec_id", "embedding", dim = 64, m = 32, k = 5)
       .collect().groupBy(_.getAs[Long]("qid"))
       .view.mapValues(_.map(_.getAs[Long]("bid")).toSet).toMap
@@ -59,7 +60,7 @@ class PqSpec extends SparkSpec {
   test("Pq: results are invariant under repartitioning") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def run(df: org.apache.spark.sql.DataFrame) = {
-      val (codes, cents) = Pq.train(df, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 2)
+      val (codes, cents) = Pq.train(df, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 4)
       Pq.adcTopK(codes, cents, df.filter($"vec_id" % 50 === 0),
         "vec_id", "embedding", dim = 64, m = 32, k = 5)
         .collect().map(_.toSeq).toSeq
