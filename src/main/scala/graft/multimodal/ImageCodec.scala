@@ -245,4 +245,269 @@ object ImageCodec {
     }
     Some((header, px))
   }
+
+  // --------------------------------------------------------------- JPEG
+  //
+  // Grayscale baseline JPEG, DC-only profile (ITU T.81): every 8×8 block
+  // is a constant value, so the forward DCT has a single DC coefficient
+  // (8·(v−128), AC all zero) and with quantizer 8 the round trip is EXACT
+  // integer arithmetic — pixel in == pixel out, which is what lets a SQL
+  // oracle predict decoded rasters closed-form. The decoder still runs
+  // the full real pipeline: marker walk, DQT, canonical-Huffman DHT
+  // build, SOF0, SOS entropy decode with byte unstuffing, DC-diff EXTEND,
+  // dequantization and level shift. Payloads whose scan carries nonzero
+  // AC coefficients are outside the profile and return None (the
+  // documented sentinel contract — general IDCT is out of scope).
+
+  /** MSB-first bit writer with JPEG byte stuffing (0xFF → 0xFF 0x00). */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(value: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((value >>> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { put((1 << (8 - n)) - 1, 8 - n) }
+  }
+
+  /** Encode a grayscale DC-only baseline JPEG: one constant value per
+    * 8×8 block (`blockVal(bx, by)` ∈ 0..255), dimensions any positive
+    * multiple of 8. Custom minimal-but-legal Huffman tables: 12 DC
+    * categories at 4 bits each, a 1-bit AC table holding only EOB.
+    */
+  def encodeGrayJpegDc(width: Int, height: Int, blockVal: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      s"DC-only profile needs multiple-of-8 dims, got ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def w16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xdb); w16(67); out.write(0x00) // DQT table 0, 8-bit
+    (0 until 64).foreach(_ => out.write(8))
+    m(0xc0); w16(11); out.write(8); w16(height); w16(width) // SOF0
+    out.write(1); out.write(1); out.write(0x11); out.write(0) // 1 comp, 1:1, q0
+    m(0xc4); w16(31); out.write(0x00) // DHT DC class 0 id 0
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcBits.foreach(out.write)
+    (0 until 12).foreach(out.write) // category s → canonical code s (4 bits)
+    m(0xc4); w16(20); out.write(0x10) // DHT AC class 1 id 0
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acBits.foreach(out.write)
+    out.write(0x00) // single symbol: EOB, canonical code "0"
+    m(0xda); w16(8); out.write(1); out.write(1); out.write(0x00) // SOS
+    out.write(0); out.write(63); out.write(0) // Ss, Se, AhAl
+    val bw = new BitWriter(out)
+    var pred = 0
+    var by = 0
+    while (by < height / 8) {
+      var bx = 0
+      while (bx < width / 8) {
+        val coef = blockVal(bx, by) - 128 // quantized DC: 8·(v−128) / q0=8
+        val diff = coef - pred
+        pred = coef
+        val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        bw.put(s, 4) // DC category (code == symbol by table construction)
+        if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        bw.put(0, 1) // EOB: no AC coefficients
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Canonical Huffman decode tables per ITU T.81 Annex C/F: per code
+    * length, the first code value and the offset into `vals`.
+    */
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var p = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) == 0) maxCode(l) = -1
+        else {
+          valPtr(l) = p
+          minCode(l) = code
+          code += bits(l - 1)
+          p += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def symbol(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with byte
+    * unstuffing; any marker (0xFF followed by non-zero) ends the data.
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    /** -1 = ran out of entropy data. */
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length) return -1
+        val v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length || b(pos) != 0) return -1 // marker, not data
+          pos += 1 // skip stuffed 0x00
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def bits(count: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < count) {
+        val bt = bit()
+        if (bt < 0) return -1
+        v = (v << 1) | bt
+        i += 1
+      }
+      v
+    }
+    def huff(h: Huff): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        val bt = bit()
+        if (bt < 0) return -1
+        code = (code << 1) | bt
+        len += 1
+        if (h.maxCode(len) >= 0 && code <= h.maxCode(len) && code >= h.minCode(len))
+          return h.symbol(len, code)
+      }
+      -1
+    }
+  }
+
+  /** Decode a grayscale DC-only baseline JPEG (the [[encodeGrayJpegDc]]
+    * profile): returns the header and the row-major 8-bit raster, or
+    * None for anything outside the profile — progressive/multi-component
+    * scans, nonzero AC coefficients, 16-bit quantizers, truncated or
+    * corrupt streams. Never throws.
+    */
+  def decodeJpegGrayDc(bytes: Array[Byte]): Option[(ImageHeader, Array[Byte])] = {
+    if (sniff(bytes) != "jpeg") return None
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var width = 0; var height = 0; var qId = 0
+    var i = 2
+    while (i + 4 <= bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None
+      val marker = bytes(i + 1) & 0xff
+      val len = be16(bytes, i + 2)
+      if (len < 2 || i.toLong + 2 + len > bytes.length) return None
+      val seg = i + 4
+      val segEnd = i + 2 + len
+      marker match {
+        case 0xdb => // DQT: one or more tables
+          var p = seg
+          while (p < segEnd) {
+            val pq = (bytes(p) & 0xff) >> 4
+            val tq = bytes(p) & 0x0f
+            if (pq != 0 || tq > 3 || p + 65 > segEnd) return None
+            quant(tq) = (1 to 64).map(j => bytes(p + j) & 0xff).toArray
+            p += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          var p = seg
+          while (p + 17 <= segEnd) {
+            val tc = (bytes(p) & 0xff) >> 4
+            val th = bytes(p) & 0x0f
+            val tabBits = (1 to 16).map(j => bytes(p + j) & 0xff).toArray
+            val nv = tabBits.sum
+            if (th > 3 || p + 17 + nv > segEnd) return None
+            val vals = (0 until nv).map(j => bytes(p + 17 + j) & 0xff).toArray
+            val h = new Huff(tabBits, vals)
+            if (tc == 0) dcTables(th) = h
+            else if (tc == 1) acTables(th) = h
+            else return None
+            p += 17 + nv
+          }
+        case 0xc0 => // SOF0 baseline
+          if (len < 11 || (bytes(seg) & 0xff) != 8) return None
+          height = be16(bytes, seg + 1)
+          width = be16(bytes, seg + 3)
+          if ((bytes(seg + 5) & 0xff) != 1) return None // grayscale only
+          if ((bytes(seg + 7) & 0xff) != 0x11) return None // 1:1 sampling
+          qId = bytes(seg + 8) & 0x0f
+        case mk if mk >= 0xc1 && mk <= 0xcf && mk != 0xc4 && mk != 0xc8 =>
+          return None // progressive / extended / arithmetic: out of profile
+        case 0xda => // SOS: entropy-coded data follows
+          if (width <= 0 || height <= 0 || quant(qId) == null) return None
+          if ((bytes(seg) & 0xff) != 1) return None
+          val td = (bytes(seg + 2) & 0xff) >> 4
+          val ta = bytes(seg + 2) & 0x0f
+          val dcH = dcTables(td); val acH = acTables(ta)
+          if (dcH == null || acH == null) return None
+          val q0 = quant(qId)(0)
+          val bw = (width + 7) / 8; val bh = (height + 7) / 8
+          val px = new Array[Byte](width * height)
+          val br = new BitReader(bytes, segEnd)
+          var dc = 0
+          var blk = 0
+          while (blk < bw * bh) {
+            val s = br.huff(dcH)
+            if (s < 0 || s > 11) return None
+            if (s > 0) {
+              val v = br.bits(s)
+              if (v < 0) return None
+              dc += (if (v < (1 << (s - 1))) v - (1 << s) + 1 else v) // EXTEND
+            }
+            // AC scan: EOB and ZRL keep the block constant; any nonzero
+            // AC coefficient leaves the DC-only profile.
+            var k = 1
+            var eob = false
+            while (!eob && k <= 63) {
+              val rs = br.huff(acH)
+              if (rs < 0) return None
+              if (rs == 0x00) eob = true
+              else if (rs == 0xf0) k += 16
+              else return None // nonzero AC: out of profile
+            }
+            // dequantize + 1-D DC inverse + level shift, exact integers
+            val value = (((dc * q0) + 4) >> 3) + 128
+            val v8 = (if (value < 0) 0 else if (value > 255) 255 else value).toByte
+            val bx = blk % bw; val byy = blk / bw
+            var y = byy * 8
+            while (y < math.min(byy * 8 + 8, height)) {
+              var x = bx * 8
+              while (x < math.min(bx * 8 + 8, width)) {
+                px(y * width + x) = v8
+                x += 1
+              }
+              y += 1
+            }
+            blk += 1
+          }
+          return Some((ImageHeader("jpeg", width, height, 1), px))
+        case 0xd9 => return None // EOI before any scan
+        case _ => () // APPn / COM / DRI etc.: skip
+      }
+      i = segEnd
+    }
+    None
+  }
 }

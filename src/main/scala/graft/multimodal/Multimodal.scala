@@ -58,6 +58,33 @@ object Multimodal {
     }
   }
 
+  /** Deterministic JPEG geometry: multiple-of-8 dims (the DC-only
+    * baseline profile quantizes whole 8×8 blocks) and a per-block
+    * constant raster, all closed-form in doc_id for the oracle.
+    */
+  private[multimodal] def jpegWidth(docId: Long): Int = (8 * (1 + docId % 3)).toInt
+  private[multimodal] def jpegHeight(docId: Long): Int = (8 * (1 + (docId * 2) % 3)).toInt
+  private[multimodal] def jpegBlockVal(docId: Long)(bx: Int, by: Int): Int =
+    ((17L * bx + 31L * by + docId) % 256).toInt
+
+  /** Wrap a document corpus into media rows whose payloads are REAL
+    * baseline JPEGs (grayscale, DC-only blocks — see
+    * [[ImageCodec.encodeGrayJpegDc]]), the second codec the resize pass
+    * exercises.
+    */
+  def fromDocumentsJpeg(docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val srcIdx = docs.schema.fieldIndex("source")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val jpg = ImageCodec.encodeGrayJpegDc(jpegWidth(id), jpegHeight(id), jpegBlockVal(id))
+        Row(id, "image", jpg, Row(r.getString(srcIdx), "image/jpeg", jpg.length.toLong))
+      }
+    }
+  }
+
   /** Deterministic audio/video geometry, same idea as the PNG path:
     * every header field the decoders recover is a pure function of
     * doc_id, so SQL oracles verify the parse without touching bytes.
@@ -269,8 +296,12 @@ object Multimodal {
     * ty·h div targetH) — pure integer arithmetic, so the positional
     * checksum Σ (ty·targetW+tx+1)·pixel pins EVERY output pixel's value
     * and position for the SQL oracle, through the full
-    * decode→inflate→unfilter→resample path. Batched per-partition like
-    * the other kernels; undecodable payloads yield sentinel -1 rows.
+    * decode→inflate→unfilter→resample path. Dispatches on the payload's
+    * magic bytes: PNG → full inflate+unfilter decode, JPEG → the DC-only
+    * baseline decode ([[ImageCodec.decodeJpegGrayDc]]). Batched
+    * per-partition like the other kernels; undecodable or out-of-profile
+    * payloads yield sentinel -1 rows (the documented contract — a
+    * general-IDCT JPEG is sentinel'd, not mis-decoded).
     */
   def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val outSchema = StructType(Seq(
@@ -287,7 +318,12 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
-        ImageCodec.decodePng(bytes) match {
+        val decoded = ImageCodec.sniff(bytes) match {
+          case "png" => ImageCodec.decodePng(bytes)
+          case "jpeg" => ImageCodec.decodeJpegGrayDc(bytes)
+          case _ => None
+        }
+        decoded match {
           case Some((h, px)) =>
             var sum = 0L; var posSum = 0L
             var ty = 0

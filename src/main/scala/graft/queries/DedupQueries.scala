@@ -632,10 +632,46 @@ object DedupQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** mm8b — the resize pass over the SECOND codec: real baseline JPEG
+    * payloads (grayscale, DC-only 8×8 blocks — exact integer round trip,
+    * see ImageCodec), decoded through marker walk → DHT canonical
+    * Huffman build → entropy scan with byte unstuffing → DC-diff EXTEND
+    * → dequant + level shift, then the same nearest-neighbor resample
+    * and positional checksum as mm8. The oracle replays the block
+    * raster (pixel(x,y) = (17·(x div 8) + 31·(y div 8) + doc_id) % 256)
+    * and the integer resample closed-form — a one-bit drift anywhere in
+    * the Huffman stream breaks the hash.
+    */
+  val imageResizeJpeg = Query(
+    "mm8b_image_resize_jpeg",
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+      |         CAST(8 * (1 + (doc_id * 2) % 3) AS INT) AS height
+      |  FROM documents
+      |),
+      |px AS (
+      |  SELECT doc_id, width, height, tx, ty,
+      |         (17 * (((tx * width) // 8) // 8)
+      |          + 31 * (((ty * height) // 8) // 8) + doc_id) % 256 AS v
+      |  FROM dims, UNNEST(range(0, 8)) AS ux(tx), UNNEST(range(0, 8)) AS uy(ty)
+      |)
+      |SELECT doc_id AS asset_id, width, height,
+      |       CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+      |       CAST(SUM(v) AS BIGINT) AS out_sum,
+      |       CAST(SUM((ty * 8 + tx + 1) * v) AS BIGINT) AS out_pos_sum
+      |FROM px
+      |GROUP BY doc_id, width, height
+      |ORDER BY asset_id""".stripMargin) { (spark, d) =>
+    Multimodal
+      .resizeImages(Multimodal.fromDocumentsJpeg(documents(spark, d)), 8, 8)
+      .orderBy(col("asset_id"))
+  }
+
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
     simhashWidePairs, mediaDecode, mediaFeatures, audioDecode, audioSamples,
     videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
     embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents,
-    imageResize)
+    imageResize, imageResizeJpeg)
 }

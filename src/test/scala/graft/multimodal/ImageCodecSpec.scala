@@ -127,4 +127,46 @@ class ImageCodecSpec extends AnyFunSuite {
     val Some(h) = ImageCodec.decodeHeader(out.toByteArray)
     assert(h.format === "jpeg" && h.width === 33 && h.height === 15 && h.channels === 3)
   }
+
+  private def blocks(bx: Int, by: Int): Int = (17 * bx + 31 * by + 5) % 256
+
+  test("encodeGrayJpegDc: ImageIO (independent JPEG decoder) reads back exact dims and pixels") {
+    // libjpeg-class decoders take the DC-only IDCT shortcut: a constant
+    // block decodes to exactly round(dc·q/8)+128, which our encoder makes
+    // the original block value — so a fully independent implementation
+    // must agree pixel-for-pixel, proving the Huffman stream, stuffing,
+    // and DC-diff chain are spec-correct (not just self-consistent).
+    val (w, h) = (24, 16)
+    val bytes = ImageCodec.encodeGrayJpegDc(w, h, blocks)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img !== null, "ImageIO rejected our JPEG")
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val gray = img.getRaster.getSample(x, y, 0)
+      assert(gray === blocks(x / 8, y / 8), s"pixel ($x,$y)")
+    }
+  }
+
+  test("decodeJpegGrayDc: round trip of every dimension/value shape") {
+    for ((w, h) <- Seq((8, 8), (24, 8), (8, 24), (24, 16))) {
+      val bytes = ImageCodec.encodeGrayJpegDc(w, h, blocks)
+      val Some((header, px)) = ImageCodec.decodeJpegGrayDc(bytes)
+      assert(header.width === w && header.height === h && header.channels === 1)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xff) === blocks(x / 8, y / 8), s"${w}x$h pixel ($x,$y)")
+    }
+  }
+
+  test("decodeJpegGrayDc: general-IDCT JPEGs are sentinel'd (out of profile), never mis-decoded") {
+    // An ImageIO-encoded gradient has nonzero AC coefficients — the
+    // documented contract is None, not a wrong raster.
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) img.getRaster.setSample(x, y, 0, (x * 16 + y) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    assert(ImageCodec.decodeJpegGrayDc(out.toByteArray).isEmpty)
+    // Truncated entropy stream: None, never a throw.
+    val ours = ImageCodec.encodeGrayJpegDc(24, 24, blocks)
+    assert(ImageCodec.decodeJpegGrayDc(ours.dropRight(6)).isEmpty)
+  }
 }
