@@ -668,10 +668,101 @@ object DedupQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** m7 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * dedup = k-means clustering of the embedding space, then pairwise
+    * cosine ONLY within each cluster, removing the higher vec_id of any
+    * pair above the threshold. The clustering (engine-exact
+    * [[graft.similarity.Ann.kmeansIterate]], the e7-verified chain)
+    * bounds the quadratic pair space — the paper's central trick: at
+    * 100 TB you scale k with N so clusters stay O(N/k) and the pair
+    * join never degenerates to all-pairs. The oracle replays both Lloyd
+    * rounds and the in-cluster pair scan; output is (vec_id, cluster,
+    * kept) — integers only, so the gate is bit-exact while the float
+    * cosines stay internal at their 6-dp rounding.
+    */
+  val semDedup = Query(
+    "m7_semdedup",
+    """WITH flat AS MATERIALIZED (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |),
+      |a0 AS (SELECT vec_id, label AS list FROM embeddings),
+      |c1 AS (
+      |  SELECT a0.list, f.i, round(AVG(f.v), 6) AS c
+      |  FROM flat f JOIN a0 ON f.vec_id = a0.vec_id
+      |  GROUP BY 1, 2
+      |),
+      |s1 AS MATERIALIZED (
+      |  SELECT f.vec_id, c.list,
+      |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+      |  FROM flat f JOIN c1 c ON f.i = c.i
+      |  GROUP BY 1, 2
+      |),
+      |a1 AS (
+      |  SELECT vec_id, list FROM (
+      |    SELECT vec_id, list,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list) AS r
+      |    FROM s1) WHERE r = 1
+      |),
+      |c2 AS (
+      |  SELECT a1.list, f.i, round(AVG(f.v), 6) AS c
+      |  FROM flat f JOIN a1 ON f.vec_id = a1.vec_id
+      |  GROUP BY 1, 2
+      |),
+      |s2 AS MATERIALIZED (
+      |  SELECT f.vec_id, c.list,
+      |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+      |  FROM flat f JOIN c2 c ON f.i = c.i
+      |  GROUP BY 1, 2
+      |),
+      |asg AS MATERIALIZED (
+      |  SELECT vec_id, list FROM (
+      |    SELECT vec_id, list,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list) AS r
+      |    FROM s2) WHERE r = 1
+      |),
+      |dots AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         SUM(fa.v * fb.v) AS dot, SUM(fa.v * fa.v) AS aa, SUM(fb.v * fb.v) AS bb
+      |  FROM asg a JOIN asg b ON a.list = b.list AND a.vec_id < b.vec_id
+      |  JOIN flat fa ON fa.vec_id = a.vec_id
+      |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+      |  GROUP BY 1, 2
+      |),
+      |removed AS (
+      |  SELECT DISTINCT id_b FROM dots
+      |  WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.3
+      |)
+      |SELECT a.vec_id, CAST(a.list AS INT) AS list,
+      |       CAST(CASE WHEN r.id_b IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+      |FROM asg a LEFT JOIN removed r ON a.vec_id = r.id_b
+      |ORDER BY a.vec_id""".stripMargin) { (spark, d) =>
+    val emb = embeddings(spark, d)
+    val assigned = graft.similarity.Ann
+      .kmeansIterate(emb, "vec_id", "embedding", "label", 2)
+    val withVec = assigned.select(col("vec_id"), col("list"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = withVec.select(
+      col("list"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = withVec.select(
+      col("list"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val removed = a.join(b, Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.functions.Exprs.cosine(col("va"), col("vb")), 6) >= 0.3)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned
+      .join(removed.withColumn("dup", lit(1)), Seq("vec_id"), "left_outer")
+      .select(
+        col("vec_id"), col("list").cast("int").as("list"),
+        when(col("dup") === 1, 0).otherwise(1).cast("int").as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
     simhashWidePairs, mediaDecode, mediaFeatures, audioDecode, audioSamples,
     videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
     embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents,
-    imageResize, imageResizeJpeg)
+    imageResize, imageResizeJpeg, semDedup)
 }

@@ -395,8 +395,200 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t14 — BM25 top-k retrieval for a fixed query-term set. The df pass
+    * is the one shuffle (a 3-column global aggregate); document length
+    * and per-term tf are narrow array ops, and the corpus stats join is
+    * a broadcast of two single-row frames — at 100 TB the scan dominates
+    * and nothing else moves. The idf is kept in rational
+    * Robertson–Sparck-Jones form `(N - df + 0.5) / (df + 0.5)` (no `ln`):
+    * the monotone transform preserves per-term ordering and `+ - * /`
+    * are IEEE-correctly-rounded in every engine, where `ln` diverges in
+    * the last ulp (see t7's idf note). Per-term scores are pivoted into
+    * columns and summed in fixed left-to-right order so the double
+    * addition order is engine-independent.
+    */
+  val bm25TopK: Query = {
+    val terms = Seq("dup", "vector", "join")
+    def scoreSql(t: String): String =
+      s"((n_docs - df_$t + 0.5) / (df_$t + 0.5)) * " +
+        s"((tf_$t * 2.2) / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+    Query(
+      "t14_bm25",
+      s"""WITH docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         len(string_split(text, ' ')) AS dl
+         |  FROM documents
+         |),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM docs),
+         |tf AS (
+         |  SELECT doc_id, dl,
+         |         ${terms.map(t => s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n         ")}
+         |  FROM docs
+         |),
+         |dfs AS (
+         |  SELECT ${terms.map(t => s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n         ")}
+         |  FROM tf
+         |),
+         |scored AS (
+         |  SELECT doc_id,
+         |         ${terms.map(scoreSql).mkString("\n         + ")} AS score
+         |  FROM tf CROSS JOIN stats CROSS JOIN dfs
+         |  WHERE ${terms.map(t => s"tf_$t").mkString(" + ")} > 0
+         |)
+         |SELECT doc_id, round(score, 6) AS bm25 FROM scored
+         |QUALIFY row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) <= 20
+         |ORDER BY bm25 DESC, doc_id""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      val docs = documents(spark, d)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .withColumn("dl", size($"toks").cast("long"))
+      val tf = docs.select(
+        $"doc_id" +: $"dl" +: terms.map(t =>
+          size(filter($"toks", x => x === t)).cast("long").as(s"tf_$t")): _*)
+      val stats = docs.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      val dfs = tf.agg(
+        sum(when(col(s"tf_${terms.head}") > 0, 1L).otherwise(0L)).as(s"df_${terms.head}"),
+        terms.tail.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+      def score(t: String) =
+        ((col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))) *
+          ((col(s"tf_$t") * lit(2.2)) /
+            (col(s"tf_$t") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val scored = tf
+        .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+        .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+        .select($"doc_id",
+          round(terms.map(score).reduce(_ + _), 6).as("bm25"))
+      scored
+        .withColumn("r", row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+        .filter($"r" <= 20).drop("r")
+        .orderBy($"bm25".desc, $"doc_id")
+    }
+  }
+
+  /** t15 — exact duplicated-substring spans (the suffix-array dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed for a shuffle engine): every 30-char window
+    * is keyed by md5 so the one shuffle carries fixed-width digests, a
+    * gram is duplicated when its global occurrence count is >= 2, and
+    * per-document positions merge into maximal spans with a
+    * gaps-and-islands pass (a new span starts when the gap to the
+    * previous duplicated window exceeds the window width). The
+    * `collect_list` per gram is bounded by the duplicate multiplicity,
+    * so the single groupBy replaces a count-then-self-join double
+    * shuffle. All outputs are integers — bit-exact in any engine.
+    */
+  val substringSpans: Query = {
+    val k = 30
+    Query(
+      "t15_substring_spans",
+      s"""WITH grams AS (
+         |  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), $k)) AS g
+         |  FROM documents, UNNEST(range(1, CAST(length(text) AS BIGINT) - ${k - 2})) AS u(i)
+         |  WHERE length(text) >= $k
+         |),
+         |dup AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS n FROM grams)
+         |  WHERE n >= 2
+         |),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
+         |              OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM dup
+         |),
+         |sp AS (
+         |  SELECT doc_id, pos,
+         |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl
+         |),
+         |spans AS (
+         |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e, COUNT(*) AS ng
+         |  FROM sp GROUP BY doc_id, island
+         |)
+         |SELECT doc_id,
+         |       CAST(SUM(ng) AS BIGINT) AS n_dup_grams,
+         |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |       CAST(SUM(e - s + $k) AS BIGINT) AS dup_chars
+         |FROM spans GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      val grams = documents(spark, d)
+        .filter(length($"text") >= k)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1L), length($"text").cast("long") - lit(k - 1)),
+          i => struct(i.as("pos"), md5($"text".substr(i.cast("int"), lit(k))).as("g")))).as("pg"))
+        .select($"doc_id", $"pg.pos".as("pos"), $"pg.g".as("g"))
+      val dup = grams.groupBy($"g")
+        .agg(collect_list(struct($"doc_id", $"pos")).as("occ"))
+        .filter(size($"occ") >= 2)
+        .select(explode($"occ").as("o"))
+        .select($"o.doc_id".as("doc_id"), $"o.pos".as("pos"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val spans = dup
+        .withColumn("prev", lag($"pos", 1).over(w))
+        .withColumn("brk", when($"prev".isNull || $"pos" - $"prev" > k, 1).otherwise(0))
+        .withColumn("island", sum($"brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"pos").as("s"), max($"pos").as("e"), count(lit(1)).as("ng"))
+      spans.groupBy($"doc_id")
+        .agg(
+          sum($"ng").as("n_dup_grams"),
+          count(lit(1)).as("n_spans"),
+          sum($"e" - $"s" + k).as("dup_chars"))
+        .orderBy($"doc_id")
+    }
+  }
+
+  /** x3 — test-set decontamination: flag training documents sharing any
+    * 4-token shingle with a benchmark set (here the deterministic
+    * doc_id % 10 = 0 slice; in production, the eval suites). The
+    * benchmark side is tiny by construction at any corpus scale, so its
+    * distinct shingle set is BROADCAST — the training corpus is never
+    * shuffled, only scanned, shingled narrowly and map-side joined; the
+    * single real shuffle is the per-doc hit aggregate. Shingles are
+    * per-doc distinct already (`wordShingles` wraps array_distinct), so
+    * the broadcast join feeds exact distinct counts.
+    */
+  val decontaminate = Query(
+    "x3_decontaminate",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS sh
+      |  FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 4
+      |),
+      |hits AS (
+      |  SELECT tr.doc_id, tr.sh, be.doc_id AS bench_id
+      |  FROM sh tr JOIN sh be ON tr.sh = be.sh
+      |  WHERE tr.doc_id % 10 <> 0 AND be.doc_id % 10 = 0
+      |)
+      |SELECT doc_id,
+      |       COUNT(DISTINCT sh) AS n_hit_shingles,
+      |       COUNT(DISTINCT bench_id) AS n_bench_docs
+      |FROM hits GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val sh = documents(spark, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 4)
+      .select($"doc_id", explode(wordShingles($"toks", 4)).as("sh"))
+    val bench = sh.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("bench_id"), $"sh")
+    sh.filter($"doc_id" % 10 =!= 0)
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy($"doc_id")
+      .agg(
+        countDistinct($"sh").as("n_hit_shingles"),
+        countDistinct($"bench_id").as("n_bench_docs"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
-    sequencePacking, rollingFingerprint)
+    sequencePacking, rollingFingerprint, bm25TopK, substringSpans,
+    decontaminate)
 }
