@@ -458,10 +458,11 @@ object TextQueries {
         .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
         .select($"doc_id",
           round(terms.map(score).reduce(_ + _), 6).as("bm25"))
-      scored
-        .withColumn("r", row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
-        .filter($"r" <= 20).drop("r")
-        .orderBy($"bm25".desc, $"doc_id")
+      // orderBy + limit plans as TakeOrderedAndProject: each partition
+      // keeps its local top-20 and only those tiny heads meet at the
+      // driver — no single-partition global sort (the window-rank form
+      // would funnel every scored doc through one task at 100 TB).
+      scored.orderBy($"bm25".desc, $"doc_id").limit(20)
     }
   }
 
@@ -586,9 +587,103 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** t16 — the composed corpus-filter pass: every training doc gets a
+    * fail BITMASK over the four independent filters (bit 0 quality/t2,
+    * bit 1 repetition/t10, bit 2 exact-dup/t3, bit 3 decontamination/x3)
+    * and `kept = (mask == 0)` — what a real curation run materializes so
+    * downstream can both filter AND audit why rows dropped. One corpus
+    * scan feeds all narrow per-doc signals; the only shuffles are the
+    * dedup fingerprint window and the contamination aggregate (benchmark
+    * shingles broadcast, as in x3). Integer outputs — bit-exact.
+    */
+  val filterPipeline = Query(
+    "t16_filter_pipeline",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |q AS (
+      |  SELECT doc_id,
+      |         CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) >= 30
+      |              AND len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |                  / (length(text) - length(replace(text, ' ', '')) + 1) < 0.2
+      |         THEN 0 ELSE 1 END AS f_quality
+      |  FROM documents
+      |),
+      |r AS (
+      |  SELECT doc_id,
+      |         CASE WHEN nd * 10 >= n * 3 AND topc * 5 <= n THEN 0 ELSE 1 END AS f_rep
+      |  FROM (
+      |    SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+      |           list_max(list_transform(list_distinct(t),
+      |                    x -> len(list_filter(t, y -> y = x)))) AS topc
+      |    FROM toks)
+      |),
+      |dup AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(text)))
+      |         THEN 0 ELSE 1 END AS f_dup
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS sh
+      |  FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 4
+      |),
+      |contam AS (
+      |  SELECT DISTINCT tr.doc_id
+      |  FROM sh tr JOIN sh be ON tr.sh = be.sh
+      |  WHERE tr.doc_id % 10 <> 0 AND be.doc_id % 10 = 0
+      |)
+      |SELECT d.doc_id,
+      |       CAST(q.f_quality + 2 * r.f_rep + 4 * dup.f_dup
+      |            + 8 * (CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS fail_mask,
+      |       CAST(CASE WHEN q.f_quality + r.f_rep + dup.f_dup = 0 AND c.doc_id IS NULL
+      |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM documents d
+      |JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN dup USING (doc_id)
+      |LEFT JOIN contam c ON d.doc_id = c.doc_id
+      |WHERE d.doc_id % 10 <> 0
+      |ORDER BY d.doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val docs = documents(spark, d)
+    val toks = split($"text", " ")
+    val nTok = tokenCount($"text")
+    val nStop = size(filter(toks, x => x === "the" || x === "a")).cast("long")
+    val fQuality = when(nTok >= 30 && nStop / nTok < 0.2, 0L).otherwise(1L)
+    val dist = array_distinct(toks)
+    val n = size(toks).cast("long")
+    val nd = size(dist).cast("long")
+    val topc = array_max(transform(dist, x => size(filter(toks, y => y === x))))
+      .cast("long")
+    val fRep = when(nd * 10 >= n * 3 && topc * 5 <= n, 0L).otherwise(1L)
+    val fDup = when(
+      $"doc_id" === min($"doc_id").over(Window.partitionBy(md5(lower($"text")))),
+      0L).otherwise(1L)
+    val base = docs.select(
+      $"doc_id",
+      fQuality.as("f_quality"), fRep.as("f_rep"), fDup.as("f_dup"))
+    val sh = docs
+      .filter(size(toks) >= 4) // wordShingles contract: sequence(1, n-3) must ascend
+      .select($"doc_id", explode(wordShingles(toks, 4)).as("sh"))
+    val bench = sh.filter($"doc_id" % 10 === 0).select($"sh").distinct()
+    val contam = sh.filter($"doc_id" % 10 =!= 0)
+      .join(broadcast(bench), Seq("sh"))
+      .select($"doc_id").distinct()
+      .withColumn("f_contam", lit(1L))
+    base
+      .filter($"doc_id" % 10 =!= 0)
+      .join(contam, Seq("doc_id"), "left_outer")
+      .withColumn("fc", coalesce($"f_contam", lit(0L)))
+      .select(
+        $"doc_id",
+        ($"f_quality" + lit(2) * $"f_rep" + lit(4) * $"f_dup" + lit(8) * $"fc")
+          .as("fail_mask"),
+        when($"f_quality" + $"f_rep" + $"f_dup" + $"fc" === 0, 1L).otherwise(0L)
+          .as("kept"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
     sequencePacking, rollingFingerprint, bm25TopK, substringSpans,
-    decontaminate)
+    decontaminate, filterPipeline)
 }

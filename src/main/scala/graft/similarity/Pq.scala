@@ -109,41 +109,49 @@ object Pq {
       k: Int,
       iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, "need at least one iteration")
-    val sv = subvectors(corpus, idCol, vecCol, dim, m)
+    // One materialization of the sub-vector explosion feeds every Lloyd
+    // round AND the final encode — without it each round re-reads and
+    // re-quantizes the corpus from source.
+    val sv = subvectors(corpus, idCol, vecCol, dim, m).localCheckpoint()
     var assigned = sv.withColumn("code", initCode(col(idCol), k))
       .withColumn("dist", lit(null).cast("long"))
     var cents: DataFrame = null
     (1 to iters).foreach { _ =>
       cents = codebook(assigned)
-      // Collect the codebook to the driver (m·k·dsub int64s — the MODEL,
-      // the same thing spark.ml KMeans collects per round) and bake it
-      // into the plan as a literal, so each reassignment is a pure
-      // narrow map: argmin over k codewords per row, ZERO shuffle. The
-      // earlier shape (broadcast join + row_number window) sorted the
-      // whole corpus assignment once per Lloyd round — the actual
-      // scale bottleneck. array_min over (dist, code) structs keeps the
-      // exact tie-break (lowest code wins) of the SQL oracle's
-      // ROW_NUMBER ... ORDER BY dist, code.
-      val cbRows = cents.collect()
-      val cbLocal: IndexedSeq[IndexedSeq[Seq[Long]]] = {
-        val byKey = cbRows.map { r =>
-          (r.getAs[Long]("sub"), r.getAs[Long]("code")) ->
-            r.getSeq[Long](r.fieldIndex("centroid")).toVector
-        }.toMap
-        IndexedSeq.tabulate(m)(sub =>
-          IndexedSeq.tabulate(k)(code =>
-            byKey.getOrElse((sub.toLong, code.toLong), Seq.empty[Long])))
-      }
-      val cbForSub = element_at(typedLit(cbLocal), (col("sub") + 1).cast("int"))
-      val best = array_min(transform(cbForSub, (c, i) =>
+      // Reassignment is an argmin over the subspace's k codewords,
+      // delivered as ONE broadcast-joined array row per subspace: a pure
+      // narrow map after a broadcast, ZERO shuffle of the corpus — the
+      // same data flow as baking the collected codebook into the plan as
+      // a literal, but the plan (and the generated code) has the SAME
+      // shape every round and every run, so codegen caches hit instead
+      // of compiling a fresh literal-laden class per round. (The literal
+      // variant measurably degraded long-running JVMs: dozens of unique
+      // giant generated classes per bench battery. A broadcast join +
+      // row_number window would be wrong the other way — it sorts the
+      // whole corpus assignment once per Lloyd round.) array_min over
+      // (dist, code) structs keeps the exact tie-break (lowest code
+      // wins) of the SQL oracle's ROW_NUMBER ... ORDER BY dist, code;
+      // empty clusters simply have no codeword row and cannot win.
+      val cbArr = cents
+        .groupBy(col("sub"))
+        .agg(array_sort(collect_list(struct(col("code"), col("centroid")))).as("cb"))
+      val best = array_min(transform(col("cb"), c =>
         struct(
-          // empty cluster → no codeword → unreachable distance
-          when(size(c) === 0, lit(Long.MaxValue))
-            .otherwise(dist2(col("svec"), c)).as("d"),
-          i.cast("long").as("idx"))))
+          dist2(col("svec"), c.getField("centroid")).as("d"),
+          c.getField("code").as("idx"))))
       assigned = sv
-        .withColumn("code", best.getField("idx"))
-        .withColumn("dist", best.getField("d"))
+        .join(broadcast(cbArr), Seq("sub"))
+        .withColumn("best", best)
+        .select(
+          col(idCol), col("sub"), col("svec"),
+          col("best").getField("idx").as("code"),
+          col("best").getField("d").as("dist"))
+        // Sever lineage per round (the m5-components pattern): without
+        // this, round r's codebook job re-executes rounds 1..r-1 and the
+        // final action replays the whole chain — quadratic recompute in
+        // `iters`. The checkpointed frame is (id, sub, code, dist) +
+        // sub-vector: tiny relative to the corpus it came from.
+        .localCheckpoint()
     }
     (assigned.select(col(idCol), col("sub"), col("code"), col("dist")), cents)
   }

@@ -102,6 +102,29 @@ class Round5GatesSpec extends SparkSpec {
       3L -> ((2L, 1L))))
   }
 
+  test("t16 filter pipeline: each filter sets its own mask bit") {
+    val clean = (1 to 30).map(i => s"c$i").mkString(" ") // 30 distinct tokens
+    val stopHeavy = (Seq.fill(10)("the") ++ (1 to 20).map(i => s"s$i")).mkString(" ")
+    val contaminated = ("alpha beta gamma delta" +: (1 to 26).map(i => s"f$i")).mkString(" ")
+    val dir = tmpTable("documents", Seq(
+      (10L, "alpha beta gamma delta epsilon", "en", "a", 0L), // benchmark row
+      (1L, clean, "en", "a", 0L), // passes everything
+      (2L, clean, "en", "a", 0L), // exact dup of doc 1 -> bit 2
+      (3L, "tiny doc", "en", "a", 0L), // short -> quality bit 0; topc*5 > n -> bit 1
+      (4L, stopHeavy, "en", "a", 0L), // stopword-heavy -> bit 0; dominance -> bit 1
+      (5L, contaminated, "en", "a", 0L) // shares a benchmark 4-shingle -> bit 3
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val got = TextQueries.filterPipeline.build(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((0L, 1L)),
+      2L -> ((4L, 0L)),
+      3L -> ((3L, 0L)),
+      4L -> ((3L, 0L)),
+      5L -> ((8L, 0L))))
+  }
+
   test("m7 SemDeDup: near-identical pair in a cluster drops the higher id") {
     // Two tight clusters; ids 1/2 nearly parallel (cos ~ 1 -> remove 2),
     // ids 3/4 orthogonal (cos 0 < 0.3 -> both kept).
