@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 100-entry default codegen cache thrashes across a 100-gate
+      // battery (see Bench.scala) — harmless for correctness but the
+      // full dump runs minutes faster with real cache hits.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
