@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw pass-through of the forked program's stdout: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks any
+// harness that json-parses the program's printed result line (the
+// driver's bench collector has recorded parsed:null every round for
+// exactly this reason — the JSON line was there, prefixed).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,13 +3,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Queries are fully materialized via count() after
-  * a warm-up action that JIT-compiles the read path.
+  * prints one JSON line. Queries are fully materialized via count().
+  *
+  * Timeout-robust contract (the driver runs this under a hard timeout):
+  *   - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 420 s)
+  *     gates each additional battery pass — a pass only starts if the
+  *     projected finish fits the budget, so the process exits 0 instead
+  *     of being killed mid-battery;
+  *   - the compact JSON line is printed after EVERY completed pass (best
+  *     estimate so far), so even an external kill leaves a parseable
+  *     line in stdout;
+  *   - build.sbt routes forked stdout through raw pass-through (no sbt
+  *     "[info] " prefix), so the line json-parses as printed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,26 +44,27 @@ object Bench {
       Tables.nation _, Tables.region _, Tables.supplier _, Tables.events _,
       Tables.documents _, Tables.embeddings _)
       .foreach(load => load(spark, sfDir).count())
-    // Steady-state measurement: one untimed warm-up execution per query
-    // (codegen compilation + JIT), then the timed run. Each run fully
-    // materializes via count(). SPARK_GRAFT_BENCH_WARMUP=0 skips the
-    // warm-up pass for long large-SF runs where doubling the wall clock
-    // costs more than first-run JIT noise.
     // Optional args: run only the named queries (dev loop; the driver
     // passes no args, so its behavior is unchanged).
     val only = args.toSet
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+    // Optional extra warm-up pass (SPARK_GRAFT_BENCH_WARMUP=1). Default
+    // OFF since round 6: the first timed pass absorbs JIT/codegen cost,
+    // and the cross-pass median/min reject that inflation — a separate
+    // untimed pass costs ~25% of the battery wall for no extra signal,
+    // which is exactly what blew the driver's timeout at 101 gates.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "0") == "1") {
       ordered.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
-    // Drop everything the warm-up pinned (FPGrowth fits leak persisted
-    // freqItemsets RDDs; accumulated caches evict useful ones), then
-    // re-warm the one cache the POS battery shares by design.
-    spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    System.gc()
+      // Drop everything the warm-up pinned (FPGrowth fits leak persisted
+      // freqItemsets RDDs; accumulated caches evict useful ones).
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
+    // The one cache the POS battery shares by design.
     val pos = graft.queries.PosQueries.posify(spark, sfDir)
     pos.cache()
     pos.count()
@@ -65,75 +79,134 @@ object Bench {
     // median rejects it. Gates still run serially within a pass, so
     // per-gate attribution is unchanged.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
+    // Per-gate progress on stderr (never stdout — that carries the JSON
+    // contract line): pinpoints a stuck gate under an external timeout.
+    def timeOnce(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      System.err.println(s"[bench] start $name @${fmt2(elapsed())}s")
+      val s = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - s) / 1e9
+      System.err.println(s"[bench] done  $name ${fmt2(sec)}s")
+      sec
     }
-    // Contention probe: a fixed single-thread integer loop, timed before
-    // each pass. On a quiet host it is constant (~CPU-pinned); external
-    // host load (invisible to guest load averages) inflates it in the
-    // same proportion it inflates the gate times — the artifact carries
-    // the probes so a reader can judge how trustworthy the window was.
-    def probe(): Double = {
-      val t0 = System.nanoTime()
+    // Contention probes, run before each pass and once at the end:
+    //   - scalar: a fixed single-thread integer loop. Constant on a quiet
+    //     host; external load inflates it. It is a LOWER BOUND on
+    //     interference — a single driver thread cannot see contention
+    //     that only degrades multi-core throughput (a few external cores
+    //     busy leave it untouched while 32-thread stages slow down).
+    //   - mt: the same loop on 8 concurrent threads (wall of the slowest).
+    //     Sensitive to partial-core contention the scalar probe misses;
+    //     quiet ≈ the scalar time, contended reads higher.
+    def probeLoop(): Long = {
       var i = 0L; var acc = 0L
       while (i < 2_000_000_000L) { acc += i & 1023; i += 1 }
-      if (acc == 42) println("") // defeat dead-code elimination
-      (System.nanoTime() - t0) / 1e9
+      acc
     }
-    val probes = collection.mutable.ArrayBuffer[Double]()
-    val passes = (1 to iters).map { _ =>
-      probes += probe()
-      ordered.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    def probe(): Double = {
+      val s = System.nanoTime()
+      if (probeLoop() == 42) println("") // defeat dead-code elimination
+      (System.nanoTime() - s) / 1e9
     }
-    probes += probe()
-    val results = ordered.map { case (name, _) =>
-      val times = passes.map(_(name)).sorted(Ordering.Double.TotalOrdering)
-      name -> times(times.length / 2)
+    def probeMt(): Double = {
+      val s = System.nanoTime()
+      val ts = (1 to 8).map { _ =>
+        val t = new Thread(() => { if (probeLoop() == 42) println("") })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - s) / 1e9
     }
-    // Per-gate MIN across passes: the contention-robust secondary
-    // estimator (a gate's floor is its true cost; contention only adds).
-    val mins = ordered.map { case (name, _) => name -> passes.map(_(name)).min }.toMap
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Full-precision, full-name artifact → file. The printed line is size-
-    // constrained (see below), so the complete record lives here; committed
-    // per-round as BENCH_sf01_r{N}.json / BENCH_sf1_r{N}.json.
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fullMins = results.map { case (k, _) => "\"" + k + "\":" + mins(k) }
-      .mkString("{", ",", "}")
-    val probesJson = probes.mkString("[", ",", "]")
-    val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_min":$fullMins,"probes":$probesJson,"sf":"$sfDir","iters":$iters}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath),
-      (fullJson + "\n").getBytes("UTF-8"))
-    // Printed line: the harness that collects this keeps only the LAST 2000
-    // characters of stdout (plus sbt's trailing "[success] Total time" line),
-    // so 86 full query names × full-precision doubles (~3 KB) gets truncated
-    // and fails to parse. Compress to the gate-ID prefix (unique except the
-    // two p16 gates, which keep their full names) and centisecond precision:
-    // ~1.2 KB, well inside the window. Legend: short key = full name up to
-    // the first '_'; bench_full.json has the uncompressed map.
-    val prefix = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
-    val collisions = prefix.values.groupBy(identity).collect {
-      case (p, g) if g.size > 1 => p
-    }.toSet
     // Locale-pinned formatting: f"" interpolators use the default JVM
     // locale, and a comma decimal separator (de_DE, tr_TR) would make
     // the printed line invalid JSON.
     def fmt2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) =>
-      val key = if (collisions(prefix(k))) k else prefix(k)
-      "\"" + key + "\":" + fmt2(v)
-    }.mkString("{", ",", "}")
-    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","iters":$iters}"""
-    println(line)
+    val probes = collection.mutable.ArrayBuffer[Double]()
+    val probesMt = collection.mutable.ArrayBuffer[Double]()
+    val passes = collection.mutable.ArrayBuffer[Map[String, Double]]()
+    // Emit the current best estimate: cross-pass LOWER median (for 2
+    // passes that is the min — the warm pass, since pass 1 carries the
+    // JIT cost) plus per-gate minima, to file (full precision) and
+    // stdout (compact line).
+    def emit(): Unit = {
+      val results = ordered.map { case (name, _) =>
+        val times = passes.map(_(name)).sorted(Ordering.Double.TotalOrdering)
+        name -> times((times.length - 1) / 2)
+      }
+      val mins = ordered.map { case (name, _) => name -> passes.map(_(name)).min }.toMap
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      // Full-precision, full-name artifact → file. The printed line is
+      // size-constrained (see below), so the complete record lives here;
+      // committed per-round as BENCH_sf01_r{N}.json / BENCH_sf1_r{N}.json.
+      val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val fullMins = results.map { case (k, _) => "\"" + k + "\":" + mins(k) }
+        .mkString("{", ",", "}")
+      val probesJson = probes.mkString("[", ",", "]")
+      val probesMtJson = probesMt.mkString("[", ",", "]")
+      val fullJson =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_min":$fullMins,"probes":$probesJson,"probes_mt":$probesMtJson,"sf":"$sfDir","iters":${passes.length},"elapsed_sec":${fmt2(elapsed())}}"""
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (fullJson + "\n").getBytes("UTF-8"))
+      // Printed line: collectors that keep only a stdout tail (~2 KB)
+      // would truncate 100 full query names × full-precision doubles
+      // (~3 KB). Compress to the gate-ID prefix (unique except the two
+      // p16 gates, which keep their full names) and centisecond
+      // precision: ~1.2 KB. Legend: short key = full name up to the
+      // first '_'; bench_full.json has the uncompressed map.
+      val prefix = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+      val collisions = prefix.values.groupBy(identity).collect {
+        case (p, g) if g.size > 1 => p
+      }.toSet
+      val qs = results.map { case (k, v) =>
+        val key = if (collisions(prefix(k))) k else prefix(k)
+        "\"" + key + "\":" + fmt2(v)
+      }.mkString("{", ",", "}")
+      val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      println(
+        s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","iters":${passes.length}}""")
+    }
+    var lastPass = 0.0
+    var pass = 0
+    // Always run pass 1; each further pass starts only if its projected
+    // finish (last pass wall + 15% headroom) fits the budget. A battery
+    // that would have been killed at the driver's timeout instead exits
+    // cleanly with however many passes fit — with the JSON line already
+    // printed after each one.
+    while (pass < iters && (pass == 0 || elapsed() + lastPass * 1.15 < budget)) {
+      // Reset accumulated state between passes: gate-internal caches
+      // (t4's shingle cache, MLlib leftovers) and evicted/fragmented
+      // storage otherwise make later passes measure cache-manager and
+      // GC state instead of the query. posify is the one cache the POS
+      // battery shares by design — re-warm it after the sweep.
+      if (pass > 0) {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+        pos.cache()
+        pos.count()
+      }
+      probes += probe()
+      probesMt += probeMt()
+      val ps = System.nanoTime()
+      passes += ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+      lastPass = (System.nanoTime() - ps) / 1e9
+      pass += 1
+      emit()
+    }
+    probes += probe()
+    probesMt += probeMt()
+    emit()
+    // Quiet shutdown, then one final copy of the line AFTER spark.stop():
+    // with the context gone nothing else writes to stdout, so the last
+    // stdout line of the process is the parseable result.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    emit()
   }
 }

@@ -276,7 +276,47 @@ object RelQueries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** cdc2 — the GENERAL SCD2 merge, no ordering precondition: the log is
+    * split by event_id PARITY, so the delta interleaves with recorded
+    * history in time (the exact case [[graft.operators.Scd2.applyChanges]]
+    * rejects with a named error) and
+    * [[graft.operators.Scd2.applyChangesAnyOrder]] folds it in — keys
+    * untouched by the delta pass through unmodified, touched keys are
+    * rebuilt from their interleaved history + delta rows. The oracle
+    * replays the documented tie contract in one window pass over the
+    * FULL log: within a key, order is (time, history-before-delta,
+    * tiebreaker) — i.e. ORDER BY tus, event_id % 2, event_id, since the
+    * even half is the base. When no history/delta rows share a
+    * timestamp this is exactly fromLog(base ∪ delta); the hash proves
+    * rebuild-touched ∪ passthrough-untouched ≡ full-recompute, the
+    * correctness contract of an out-of-order warehouse MERGE.
+    */
+  val scd2OutOfOrder = Query(
+    "cdc2_scd2_out_of_order",
+    s"""$eventsUs
+       |SELECT user_id, value,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+       |         ORDER BY tus, event_id % 2, event_id) AS BIGINT) AS version,
+       |       tus AS valid_from,
+       |       lead(tus) OVER (PARTITION BY user_id
+       |         ORDER BY tus, event_id % 2, event_id) AS valid_to
+       |FROM e
+       |ORDER BY user_id, version""".stripMargin) { (spark, d) =>
+    import graft.operators.Scd2
+    val e = events(spark, d).select(
+      col("event_id"), col("user_id"), col("value"),
+      unix_micros(col("ts")).as("tus"))
+    val base = e.filter(col("event_id") % 2 === 0)
+    val delta = e.filter(col("event_id") % 2 =!= 0)
+    Scd2
+      .applyChangesAnyOrder(
+        Scd2.fromLog(base, "user_id", "tus", "event_id", Seq("value")),
+        delta, "user_id", "tus", "event_id", Seq("value"))
+      .select("user_id", "value", "version", "valid_from", "valid_to")
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val all: Seq[Query] = Seq(
     sessionStats, asOfViewBeforePurchase, clickToPurchase, errorBurstPairs,
-    stratifiedSample, sketchProfile, heavyHitters, scd2Merge)
+    stratifiedSample, sketchProfile, heavyHitters, scd2Merge, scd2OutOfOrder)
 }

@@ -410,7 +410,12 @@ object SimQueries {
     * round's distance table doubles as the ADC lookup table for the
     * query set, exactly as `Pq.adcTopK` reuses the final codebook.
     */
-  private def pqOracleSql(dim: Int, m: Int, k: Int, iters: Int, qMod: Int, topK: Int): String = {
+  /** The PQ training CTE chain (quantize → sub-vectors → NTILE init →
+    * `iters` Lloyd rounds), shared by the e8 and e10 oracles. Ends with
+    * a trailing comma after `assign$iters`; append search CTEs + the
+    * final SELECT.
+    */
+  private def pqTrainCtes(dim: Int, m: Int, k: Int, iters: Int): String = {
     val dsub = dim / m
     val iterCtes = (1 to iters).map { i =>
       s"""cb$i AS MATERIALIZED (
@@ -432,7 +437,7 @@ object SimQueries {
          |    FROM dists$i) WHERE r = 1
          |),""".stripMargin
     }.mkString("\n")
-    s"""WITH base AS MATERIALIZED (
+    s"""base AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
        |  FROM embeddings
        |),
@@ -459,7 +464,11 @@ object SimQueries {
        |         CAST(NTILE($k) OVER (PARTITION BY sub ORDER BY svec, vec_id) - 1 AS BIGINT) AS code
        |  FROM sv
        |),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private def pqOracleSql(dim: Int, m: Int, k: Int, iters: Int, qMod: Int, topK: Int): String = {
+    s"""WITH ${pqTrainCtes(dim, m, k, iters)}
        |lut AS (
        |  SELECT vec_id AS qid, sub, code, dist AS qd FROM dists$iters WHERE vec_id % $qMod = 0
        |),
@@ -542,7 +551,124 @@ object SimQueries {
           when($"h" >= 14, 1L).otherwise(0L).as("meets_recall_bar"))
   }
 
+  /** DuckDB replay of [[graft.similarity.Pq.ivfAdcTopK]]: the e8
+    * training chain ([[pqTrainCtes]]) plus the e5 probe stage (label
+    * centroids → each query's `nprobe` nearest lists by rounded
+    * cosine), with ADC restricted to vectors in probed lists.
+    */
+  private def ivfPqOracleSql(
+      dim: Int, m: Int, k: Int, iters: Int, qMod: Int, topK: Int, nprobe: Int): String = {
+    s"""WITH ${pqTrainCtes(dim, m, k, iters)}
+       |ev AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |cent AS (SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i),
+       |qf AS (SELECT * FROM ev WHERE vec_id % $qMod = 0),
+       |qdots AS (
+       |  SELECT qf.vec_id AS qid, cent.label,
+       |         SUM(qf.v * cent.c) AS dot,
+       |         SUM(qf.v * qf.v) AS qq,
+       |         SUM(cent.c * cent.c) AS cc
+       |  FROM qf JOIN cent ON qf.i = cent.i
+       |  GROUP BY 1, 2
+       |),
+       |probes AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+       |    FROM qdots)
+       |  WHERE pr <= $nprobe
+       |),
+       |lut AS (
+       |  SELECT vec_id AS qid, sub, code, dist AS qd FROM dists$iters WHERE vec_id % $qMod = 0
+       |),
+       |lists AS (SELECT vec_id, label FROM embeddings),
+       |adc AS (
+       |  SELECT p.qid, a.vec_id AS bid, CAST(SUM(lut.qd) AS BIGINT) AS adist
+       |  FROM probes p
+       |  JOIN lists l ON l.label = p.label
+       |  JOIN assign$iters a ON a.vec_id = l.vec_id
+       |  JOIN lut ON lut.qid = p.qid AND lut.sub = a.sub AND lut.code = a.code
+       |  WHERE a.vec_id <> p.qid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid, rank, bid, adist FROM (
+       |  SELECT qid, bid, adist,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, bid) AS rank
+       |  FROM adc) WHERE rank <= $topK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** e10 — the IVF + PQ COMPOSED tier: e5's coarse-quantizer pruning in
+    * front of e8's ADC scoring, the tier that kills e8's measured
+    * quadratic query-side curve (flat ADC scores every corpus vector per
+    * query; here candidates are nprobe/numLists of the corpus). Same
+    * training chain as e8 (so the two gates share one oracle mechanism)
+    * and the e5 probe contract; exact int64 ADC with (adist, bid)
+    * tie-break. See [[graft.similarity.Pq.ivfAdcTopK]] for the scale
+    * shape.
+    */
+  val ivfPq = Query("e10_ivf_pq",
+    ivfPqOracleSql(dim = 64, m = 32, k = 16, iters = 4, qMod = 100, topK = 5, nprobe = 2)) {
+    (spark, d) =>
+      import spark.implicits._
+      val emb = embeddings(spark, d)
+      val (codes, cents) = graft.similarity.Pq
+        .train(emb, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 4)
+      graft.similarity.Pq
+        .ivfAdcTopK(codes, cents,
+          corpus = emb.select($"vec_id", $"label", $"embedding"),
+          queries = emb.filter($"vec_id" % 100 === 0),
+          "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = 2)
+        .orderBy($"qid", $"rank")
+  }
+
+  /** e11 — SAMPLED-train PQ retrieval quality (the e9 pattern applied to
+    * [[graft.similarity.Pq.trainSampled]]): the codebook is fit on a
+    * 200-vector deterministic sample, the full corpus is encoded with
+    * it, and recall@5 against the exact int8-L2 top-1 must clear the
+    * bar. This pins the 100 TB training path — bounded-sample fit plus
+    * narrow-map encode — to a measured quality floor, not just a
+    * determinism check.
+    */
+  val pqSampledRecall = Query(
+    "e11_pq_sampled_recall",
+    "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS meets_recall_bar") {
+    (spark, d) =>
+      import spark.implicits._
+      val emb = embeddings(spark, d)
+      val q = emb.filter($"vec_id" < 20)
+      val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
+        .select($"vec_id", $"qv")
+      val exact = qv.as("a")
+        .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
+        .where($"a.vec_id" < 20)
+        .select(
+          $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
+          aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+            .as("d2"))
+      val w = Window.partitionBy($"qid").orderBy($"d2", $"bid")
+      val exactTop1 = exact
+        .withColumn("r", row_number().over(w)).filter($"r" === 1)
+        .select($"qid", $"bid")
+      val (codes, cents) = graft.similarity.Pq
+        .trainSampled(emb, "vec_id", "embedding",
+          dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
+      val adc5 = graft.similarity.Pq
+        .adcTopK(codes, cents, q, "vec_id", "embedding", dim = 64, m = 32, k = 5)
+        .select($"qid", $"bid")
+      val hits = exactTop1.join(adc5, Seq("qid", "bid"), "left_semi")
+      exactTop1.agg(count(lit(1)).as("nq"))
+        .crossJoin(hits.agg(count(lit(1)).as("h")))
+        .select(
+          $"nq".as("n_queries"),
+          when($"h" >= 12, 1L).otherwise(0L).as("meets_recall_bar"))
+  }
+
   val all: Seq[Query] = Seq(
     knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild,
-    pqTopK, pqRecall)
+    pqTopK, pqRecall, ivfPq, pqSampledRecall)
 }

@@ -469,45 +469,106 @@ object TextQueries {
   /** t15 — exact duplicated-substring spans (the suffix-array dedup of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", re-expressed for a shuffle engine): every 30-char window
-    * is keyed by md5 so the one shuffle carries fixed-width digests, a
-    * gram is duplicated when its global occurrence count is >= 2, and
-    * per-document positions merge into maximal spans with a
-    * gaps-and-islands pass (a new span starts when the gap to the
-    * previous duplicated window exceeds the window width). The
-    * `collect_list` per gram is bounded by the duplicate multiplicity,
-    * so the single groupBy replaces a count-then-self-join double
-    * shuffle. All outputs are integers — bit-exact in any engine.
+    * is keyed by a 60-bit digest (the first 15 hex chars of its md5,
+    * decoded to int64 — deterministic in any engine, and ~4× less
+    * shuffle than the 32-char hex string), a gram is duplicated when
+    * its global occurrence count is >= 2, and per-document positions
+    * merge into maximal spans with a gaps-and-islands pass (a new span
+    * starts when the gap to the previous duplicated window exceeds the
+    * window width). All outputs are integers — bit-exact in any engine.
+    *
+    * Skew-safe by construction (the hot-gram bound): downstream only
+    * needs the BOOLEAN "this position's gram occurs >= 2 times", never
+    * the occurrence roster, so the flow is count-then-mark — a
+    * map-side-combinable `groupBy(g).count` (a boilerplate gram seen in
+    * millions of documents contributes one partial count per map task,
+    * not one reducer-resident list entry) followed by a streaming
+    * left-semi join of the gram stream against the duplicated-key set.
+    * No per-key state anywhere is proportional to a gram's multiplicity:
+    * the earlier `collect_list(struct(doc_id, pos))` materialized every
+    * occurrence of a hot gram in ONE reducer's heap — the exact
+    * hot-bucket failure e4b's triangle join solves — while the semi-join
+    * probe streams. The gram explosion is computed once per side of the
+    * join (recompute over a scan beats checkpointing a corpus-sized
+    * intermediate at 100 TB).
     */
+  /** Gram window width shared by t15/t17. */
+  private val spanK = 30
+
+  /** The grams → duplicated positions → maximal spans CTE chain, shared
+    * verbatim by the t15 and t17 oracles (ends after the `spans` CTE;
+    * append further CTEs or the final SELECT).
+    */
+  private val spanCtes: String = {
+    val k = spanK
+    s"""WITH grams AS (
+       |  SELECT doc_id, i AS pos,
+       |         CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), $k)), 1, 15)) AS BIGINT) AS g
+       |  FROM documents, UNNEST(range(1, CAST(length(text) AS BIGINT) - ${k - 2})) AS u(i)
+       |  WHERE length(text) >= $k
+       |),
+       |dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+       |dup AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
+       |              OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM dup
+       |),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl
+       |),
+       |spans AS (
+       |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e, COUNT(*) AS ng
+       |  FROM sp GROUP BY doc_id, island
+       |)""".stripMargin
+  }
+
+  /** Maximal duplicated-substring spans per document — the Spark twin of
+    * [[spanCtes]]: (doc_id, island, s, e, ng) where the duplicated char
+    * range of a span is [s, e + k - 1]. Ranges of distinct islands are
+    * disjoint with at least one kept char between them (islands break on
+    * gap > k). Shared by t15 (reports spans) and t17 (removes them).
+    */
+  private def spansDf(
+      spark: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val k = spanK
+    def grams = documents(spark, d)
+      .filter(length($"text") >= k)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1L), length($"text").cast("long") - lit(k - 1)),
+        i => struct(
+          i.as("pos"),
+          conv(substring(md5($"text".substr(i.cast("int"), lit(k))), 1, 15), 16, 10)
+            .cast("long").as("g")))).as("pg"))
+      .select($"doc_id", $"pg.pos".as("pos"), $"pg.g".as("g"))
+    // Count-then-mark: the aggregate is map-side combined (hot grams
+    // cost one partial per task), the semi-join probe streams — no
+    // collect_list roster, so per-task memory is flat in gram
+    // multiplicity. See the t15 scaladoc.
+    val dupg = grams.groupBy($"g").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"g")
+    val dup = grams.join(dupg, Seq("g"), "left_semi")
+      .select($"doc_id", $"pos")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    dup
+      .withColumn("prev", lag($"pos", 1).over(w))
+      .withColumn("brk", when($"prev".isNull || $"pos" - $"prev" > k, 1).otherwise(0))
+      .withColumn("island", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("s"), max($"pos").as("e"), count(lit(1)).as("ng"))
+  }
+
   val substringSpans: Query = {
-    val k = 30
+    val k = spanK
     Query(
       "t15_substring_spans",
-      s"""WITH grams AS (
-         |  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), $k)) AS g
-         |  FROM documents, UNNEST(range(1, CAST(length(text) AS BIGINT) - ${k - 2})) AS u(i)
-         |  WHERE length(text) >= $k
-         |),
-         |dup AS (
-         |  SELECT doc_id, pos FROM (
-         |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS n FROM grams)
-         |  WHERE n >= 2
-         |),
-         |isl AS (
-         |  SELECT doc_id, pos,
-         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
-         |              OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-         |              THEN 1 ELSE 0 END AS brk
-         |  FROM dup
-         |),
-         |sp AS (
-         |  SELECT doc_id, pos,
-         |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM isl
-         |),
-         |spans AS (
-         |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e, COUNT(*) AS ng
-         |  FROM sp GROUP BY doc_id, island
-         |)
+      s"""$spanCtes
          |SELECT doc_id,
          |       CAST(SUM(ng) AS BIGINT) AS n_dup_grams,
          |       CAST(COUNT(*) AS BIGINT) AS n_spans,
@@ -515,26 +576,7 @@ object TextQueries {
          |FROM spans GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (spark, d) =>
       import spark.implicits._
-      val grams = documents(spark, d)
-        .filter(length($"text") >= k)
-        .select($"doc_id", explode(transform(
-          sequence(lit(1L), length($"text").cast("long") - lit(k - 1)),
-          i => struct(i.as("pos"), md5($"text".substr(i.cast("int"), lit(k))).as("g")))).as("pg"))
-        .select($"doc_id", $"pg.pos".as("pos"), $"pg.g".as("g"))
-      val dup = grams.groupBy($"g")
-        .agg(collect_list(struct($"doc_id", $"pos")).as("occ"))
-        .filter(size($"occ") >= 2)
-        .select(explode($"occ").as("o"))
-        .select($"o.doc_id".as("doc_id"), $"o.pos".as("pos"))
-      val w = Window.partitionBy($"doc_id").orderBy($"pos")
-      val spans = dup
-        .withColumn("prev", lag($"pos", 1).over(w))
-        .withColumn("brk", when($"prev".isNull || $"pos" - $"prev" > k, 1).otherwise(0))
-        .withColumn("island", sum($"brk").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"doc_id", $"island")
-        .agg(min($"pos").as("s"), max($"pos").as("e"), count(lit(1)).as("ng"))
-      spans.groupBy($"doc_id")
+      spansDf(spark, d).groupBy($"doc_id")
         .agg(
           sum($"ng").as("n_dup_grams"),
           count(lit(1)).as("n_spans"),
@@ -543,19 +585,98 @@ object TextQueries {
     }
   }
 
-  /** x3 — test-set decontamination: flag training documents sharing any
-    * 4-token shingle with a benchmark set (here the deterministic
-    * doc_id % 10 = 0 slice; in production, the eval suites). The
-    * benchmark side is tiny by construction at any corpus scale, so its
-    * distinct shingle set is BROADCAST — the training corpus is never
-    * shuffled, only scanned, shingled narrowly and map-side joined; the
-    * single real shuffle is the per-doc hit aggregate. Shingles are
-    * per-doc distinct already (`wordShingles` wraps array_distinct), so
-    * the broadcast join feeds exact distinct counts.
+  /** t17 — span REMOVAL, the transform downstream of t15's report: the
+    * Lee-et-al pipeline doesn't just find duplicated spans, it CUTS them
+    * — each span's char range [s, e + k - 1] is removed and the kept
+    * segments re-concatenate in order. Emits per document the original /
+    * cleaned lengths, span count, and the md5 of the cleaned text, so
+    * the oracle pins every cut boundary (a one-char slip anywhere breaks
+    * the fingerprint). Docs without spans (or shorter than the window)
+    * pass through verbatim via the left join.
+    *
+    * Scale shape: everything through `spans` is t15's bounded flow; the
+    * removal itself is per-document — segments joined back to the text
+    * by doc_id, pieces assembled with one per-doc sorted list whose size
+    * is bounded by len(doc)/k (per-DOC state, like t13's window lists —
+    * never proportional to corpus-wide duplicate multiplicity).
     */
+  val spanRemoval: Query = {
+    val k = spanK
+    Query(
+      "t17_span_removal",
+      s"""$spanCtes,
+         |segs AS (
+         |  SELECT doc_id, s, e,
+         |         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + ${k - 1}, 0) AS pe
+         |  FROM spans
+         |),
+         |cleaned AS (
+         |  SELECT g.doc_id,
+         |         COUNT(*) AS n_spans,
+         |         string_agg(substr(d.text, CAST(pe + 1 AS INT), CAST(s - pe - 1 AS INT)), '' ORDER BY s)
+         |           || substr(d.text, CAST(MAX(e) + $k AS INT)) AS ctext
+         |  FROM segs g JOIN documents d ON g.doc_id = d.doc_id
+         |  GROUP BY g.doc_id, d.text
+         |)
+         |SELECT d.doc_id,
+         |       CAST(length(d.text) AS BIGINT) AS orig_len,
+         |       CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(length(COALESCE(c.ctext, d.text)) AS BIGINT) AS clean_len,
+         |       md5(COALESCE(c.ctext, d.text)) AS clean_fp
+         |FROM documents d LEFT JOIN cleaned c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      val docs = documents(spark, d).select($"doc_id", $"text")
+      val w = Window.partitionBy($"doc_id").orderBy($"s")
+      // Kept piece BEFORE each span: chars (prev span's removal end, s).
+      val segs = spansDf(spark, d)
+        .withColumn("pe", coalesce(lag($"e", 1).over(w) + lit(k - 1), lit(0L)))
+        .join(docs, Seq("doc_id"))
+        .withColumn(
+          "piece",
+          expr("substring(text, CAST(pe + 1 AS INT), CAST(s - pe - 1 AS INT))"))
+      val agg = segs.groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          max($"e").as("maxe"),
+          // per-doc list, bounded by len(doc)/k — see scaladoc
+          array_join(
+            transform(array_sort(collect_list(struct($"s", $"piece"))),
+              x => x.getField("piece")), "").as("prefix"))
+      val cleaned = agg.join(docs, Seq("doc_id"))
+        .select(
+          $"doc_id", $"n_spans",
+          concat($"prefix", expr(s"substring(text, CAST(maxe + $k AS INT))")).as("ctext"))
+      docs.join(cleaned, Seq("doc_id"), "left_outer")
+        .select(
+          $"doc_id",
+          length($"text").cast("long").as("orig_len"),
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          length(coalesce($"ctext", $"text")).cast("long").as("clean_len"),
+          md5(coalesce($"ctext", $"text")).as("clean_fp"))
+        .orderBy($"doc_id")
+    }
+  }
+
+  /** x3 — test-set decontamination: flag training documents sharing any
+    * 4-token shingle with a benchmark set. The benchmark is a FIXED id
+    * slice (doc_id % 10 = 0 AND doc_id < 1000 — an eval suite is a
+    * fixed artifact; it does not grow when the training corpus does),
+    * so the broadcast bound is STRUCTURAL: at most 100 benchmark docs
+    * at any corpus scale, not a constant fraction of it. The training
+    * side is the benchmark's complement. The benchmark's distinct
+    * shingle set is BROADCAST — the training corpus is never shuffled,
+    * only scanned, shingled narrowly and map-side joined; the single
+    * real shuffle is the per-doc hit aggregate. Shingles are per-doc
+    * distinct already (`wordShingles` wraps array_distinct), so the
+    * broadcast join feeds exact distinct counts.
+    */
+  private def benchCond(a: String) = s"($a.doc_id % 10 = 0 AND $a.doc_id < 1000)"
+  private def benchCol = col("doc_id") % 10 === 0 && col("doc_id") < 1000
+
   val decontaminate = Query(
     "x3_decontaminate",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS sh
       |  FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
@@ -564,7 +685,7 @@ object TextQueries {
       |hits AS (
       |  SELECT tr.doc_id, tr.sh, be.doc_id AS bench_id
       |  FROM sh tr JOIN sh be ON tr.sh = be.sh
-      |  WHERE tr.doc_id % 10 <> 0 AND be.doc_id % 10 = 0
+      |  WHERE NOT ${benchCond("tr")} AND ${benchCond("be")}
       |)
       |SELECT doc_id,
       |       COUNT(DISTINCT sh) AS n_hit_shingles,
@@ -576,9 +697,9 @@ object TextQueries {
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 4)
       .select($"doc_id", explode(wordShingles($"toks", 4)).as("sh"))
-    val bench = sh.filter($"doc_id" % 10 === 0)
+    val bench = sh.filter(benchCol)
       .select($"doc_id".as("bench_id"), $"sh")
-    sh.filter($"doc_id" % 10 =!= 0)
+    sh.filter(!benchCol)
       .join(broadcast(bench), Seq("sh"))
       .groupBy($"doc_id")
       .agg(
@@ -594,11 +715,13 @@ object TextQueries {
     * downstream can both filter AND audit why rows dropped. One corpus
     * scan feeds all narrow per-doc signals; the only shuffles are the
     * dedup fingerprint window and the contamination aggregate (benchmark
-    * shingles broadcast, as in x3). Integer outputs — bit-exact.
+    * shingles broadcast, from the same FIXED benchmark slice as x3 —
+    * structurally bounded at any corpus scale). Integer outputs —
+    * bit-exact.
     */
   val filterPipeline = Query(
     "t16_filter_pipeline",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |q AS (
       |  SELECT doc_id,
       |         CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) >= 30
@@ -630,7 +753,7 @@ object TextQueries {
       |contam AS (
       |  SELECT DISTINCT tr.doc_id
       |  FROM sh tr JOIN sh be ON tr.sh = be.sh
-      |  WHERE tr.doc_id % 10 <> 0 AND be.doc_id % 10 = 0
+      |  WHERE NOT ${benchCond("tr")} AND ${benchCond("be")}
       |)
       |SELECT d.doc_id,
       |       CAST(q.f_quality + 2 * r.f_rep + 4 * dup.f_dup
@@ -640,7 +763,7 @@ object TextQueries {
       |FROM documents d
       |JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN dup USING (doc_id)
       |LEFT JOIN contam c ON d.doc_id = c.doc_id
-      |WHERE d.doc_id % 10 <> 0
+      |WHERE NOT ${benchCond("d")}
       |ORDER BY d.doc_id""".stripMargin) { (spark, d) =>
     import spark.implicits._
     val docs = documents(spark, d)
@@ -663,13 +786,13 @@ object TextQueries {
     val sh = docs
       .filter(size(toks) >= 4) // wordShingles contract: sequence(1, n-3) must ascend
       .select($"doc_id", explode(wordShingles(toks, 4)).as("sh"))
-    val bench = sh.filter($"doc_id" % 10 === 0).select($"sh").distinct()
-    val contam = sh.filter($"doc_id" % 10 =!= 0)
+    val bench = sh.filter(benchCol).select($"sh").distinct()
+    val contam = sh.filter(!benchCol)
       .join(broadcast(bench), Seq("sh"))
       .select($"doc_id").distinct()
       .withColumn("f_contam", lit(1L))
     base
-      .filter($"doc_id" % 10 =!= 0)
+      .filter(!benchCol)
       .join(contam, Seq("doc_id"), "left_outer")
       .withColumn("fc", coalesce($"f_contam", lit(0L)))
       .select(
@@ -685,5 +808,5 @@ object TextQueries {
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
     sequencePacking, rollingFingerprint, bm25TopK, substringSpans,
-    decontaminate, filterPipeline)
+    spanRemoval, decontaminate, filterPipeline)
 }

@@ -109,12 +109,20 @@ object Pq {
       k: Int,
       iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, "need at least one iteration")
+    val sc = corpus.sparkSession.sparkContext
     // One materialization of the sub-vector explosion feeds every Lloyd
     // round AND the final encode — without it each round re-reads and
     // re-quantizes the corpus from source.
     val sv = subvectors(corpus, idCol, vecCol, dim, m).localCheckpoint()
     var assigned = sv.withColumn("code", initCode(col(idCol), k))
       .withColumn("dist", lit(null).cast("long"))
+    // Checkpoint RDD ids by age: round r-1 must stay live even after
+    // round r materializes (the returned `cents` is codebook(assigned_
+    // {r-1}) — lazy, it reads that round's checkpoint blocks at final-
+    // action time, and localCheckpoint discards the lineage needed to
+    // recompute them). Round r-2 is provably unreachable: free it.
+    var prevCkptIds: Set[Int] = Set.empty
+    var prevPrevCkptIds: Set[Int] = Set.empty
     var cents: DataFrame = null
     (1 to iters).foreach { _ =>
       cents = codebook(assigned)
@@ -139,6 +147,18 @@ object Pq {
         struct(
           dist2(col("svec"), c.getField("centroid")).as("d"),
           c.getField("code").as("idx"))))
+      // Sever lineage per round (the m5-components pattern): without
+      // this, round r's codebook job re-executes rounds 1..r-1 and the
+      // final action replays the whole chain — quadratic recompute in
+      // `iters`. NOTE the checkpointed frame carries svec (the full
+      // sub-vector explosion — corpus-sized, m rows per vector), so
+      // keeping every round's block would grow executor storage
+      // O(iters × corpus); blocks two rounds back are unreachable (only
+      // the final `assigned` and `cents` — which reads round r-1 — are
+      // ever consumed downstream) and are unpersisted here, bounding
+      // storage at ~3 rounds. The ids are diffed around the call because
+      // Dataset.localCheckpoint does not expose its backing RDD.
+      val beforeIds = sc.getPersistentRDDs.keySet.toSet
       assigned = sv
         .join(broadcast(cbArr), Seq("sub"))
         .withColumn("best", best)
@@ -146,14 +166,71 @@ object Pq {
           col(idCol), col("sub"), col("svec"),
           col("best").getField("idx").as("code"),
           col("best").getField("d").as("dist"))
-        // Sever lineage per round (the m5-components pattern): without
-        // this, round r's codebook job re-executes rounds 1..r-1 and the
-        // final action replays the whole chain — quadratic recompute in
-        // `iters`. The checkpointed frame is (id, sub, code, dist) +
-        // sub-vector: tiny relative to the corpus it came from.
         .localCheckpoint()
+      val newIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+      prevPrevCkptIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevPrevCkptIds = prevCkptIds
+      prevCkptIds = newIds
     }
     (assigned.select(col(idCol), col("sub"), col("code"), col("dist")), cents)
+  }
+
+  /** Encode a corpus against an ALREADY-TRAINED codebook: the narrow
+    * broadcast-join argmin map of a Lloyd round, without any training
+    * shuffle. This is the 100 TB serving shape: train once on a bounded
+    * sample ([[trainSampled]]), encode everything with the result.
+    */
+  def encode(
+      corpus: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int): DataFrame = {
+    val cbArr = cents
+      .groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("code"), col("centroid")))).as("cb"))
+    val best = array_min(transform(col("cb"), c =>
+      struct(
+        dist2(col("svec"), c.getField("centroid")).as("d"),
+        c.getField("code").as("idx"))))
+    subvectors(corpus, idCol, vecCol, dim, m)
+      .join(broadcast(cbArr), Seq("sub"))
+      .withColumn("best", best)
+      .select(
+        col(idCol), col("sub"),
+        col("best").getField("idx").as("code"),
+        col("best").getField("d").as("dist"))
+  }
+
+  /** Sample-bounded PQ training — the scale path [[train]]'s scaladoc
+    * mandates: the codebook is fit on a DETERMINISTIC bounded sample
+    * (vectors ranked by md5 of a salted id — engine-reproducible, no
+    * RNG state), then the FULL corpus is encoded with the sampled
+    * codebook via [[encode]]. Training cost becomes O(sampleN · iters)
+    * regardless of corpus size; the per-subspace global NTILE sort that
+    * makes full-corpus training a 100 TB non-starter runs over sampleN
+    * rows only. Standard PQ practice (Jégou et al. train on ~100k-1M
+    * vectors for billion-scale corpora).
+    */
+  def trainSampled(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      sampleN: Int): (DataFrame, DataFrame) = {
+    // orderBy + limit plans as TakeOrderedAndProject: per-partition
+    // top-sampleN heads, no global sort of the corpus.
+    val sample = corpus
+      .withColumn("__rk", md5(concat(lit("pqs:"), col(idCol).cast("string"))))
+      .orderBy(col("__rk"), col(idCol))
+      .limit(sampleN)
+      .drop("__rk")
+    val (_, cents) = train(sample, idCol, vecCol, dim, m, k, iters)
+    (encode(corpus, cents, idCol, vecCol, dim, m), cents)
   }
 
   /** ADC top-k: score each query sub-vector against every codeword once
@@ -177,6 +254,68 @@ object Pq {
     val scored = codes
       .select(col(idCol).as("bid"), col("sub"), col("code"))
       .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("qid") =!= col("bid"))
+      .groupBy(col("qid"), col("bid"))
+      .agg(sum(col("qd")).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("bid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("bid"), col("adist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF + PQ composed search — the 100 TB ANN tier: an IVF coarse
+    * quantizer prunes the candidate set BEFORE ADC scoring, so
+    * per-query scored candidates drop from the corpus (adcTopK's flat
+    * scan — measured quadratic when |queries| ∝ corpus) to
+    * nprobe × (corpus / numLists). Each query probes its `nprobe`
+    * nearest inverted lists by centroid cosine (the e5/[[Ann.ivfTopK]]
+    * probe stage, rank on the 6-dp-rounded score), then only vectors in
+    * probed lists are ADC-scored from their m codes — exact int64, same
+    * tie contract as [[adcTopK]] (adist, bid).
+    *
+    * Scale shape: centroids (numLists rows) and the per-query LUT
+    * (|q|·m·k rows) broadcast; the probe map is narrow; the candidate
+    * restriction is a broadcast join of the (qid, list) probe table
+    * against the code stream. The one corpus-sized shuffle is the
+    * (id → list) attach to the codes — in a production index, codes and
+    * list id are co-written at encode time and even that join vanishes.
+    */
+  def ivfAdcTopK(
+      codes: DataFrame,
+      cents: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val coarse = Ann.centroids(corpus, listCol, vecCol)
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col(listCol))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(coarse))
+      .select(
+        col("qid"), col(listCol),
+        round(Ann.cosine(col("qv"), col("centroid")), 6).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col(listCol))
+    val lut = subvectors(queries, idCol, vecCol, dim, m)
+      .withColumnRenamed(idCol, "qid")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"), dist2(col("svec"), col("centroid")).as("qd"))
+    val codesWithList = codes
+      .join(corpus.select(col(idCol), col(listCol)), Seq(idCol))
+    val scored = codesWithList
+      .join(broadcast(probes), Seq(listCol))
+      .select(col("qid"), col(idCol).as("bid"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
       .filter(col("qid") =!= col("bid"))
       .groupBy(col("qid"), col("bid"))
       .agg(sum(col("qd")).as("adist"))
