@@ -67,4 +67,42 @@ class PqSpec extends SparkSpec {
     }
     assert(run(emb) === run(emb.repartition(7)))
   }
+
+  test("Pq: trainSampled with sampleN >= corpus reproduces full training") {
+    // With the sample covering the whole corpus the sampled path must
+    // degenerate to train() exactly: same codebook (NTILE init is a
+    // sort, order-independent), and encode() must assign the same
+    // (code, dist) to every sub-vector as the final Lloyd round did.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val (fullCodes, fullCents) = Pq
+      .train(emb, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 2)
+    val (sampCodes, sampCents) = Pq
+      .trainSampled(emb, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 2,
+        sampleN = n)
+    def cset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("sub"), r.getAs[Long]("code"),
+        r.getAs[Seq[Long]]("centroid"))).toSet
+    assert(cset(sampCents) === cset(fullCents))
+    def aset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"),
+        r.getAs[Long]("code"))).toSet
+    assert(aset(sampCodes) === aset(fullCodes))
+  }
+
+  test("Pq: ivfAdcTopK probing every list equals flat adcTopK") {
+    // With nprobe = numLists the IVF front prunes nothing, so the
+    // composed search must return exactly the flat ADC ranking — the
+    // pruning is a candidate restriction, never a scoring change.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val numLists = emb.select($"label").distinct().count().toInt
+    val (codes, cents) = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 2)
+    val q = emb.filter($"vec_id" % 50 === 0)
+    val flat = Pq.adcTopK(codes, cents, q, "vec_id", "embedding", dim = 64, m = 32, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val composed = Pq.ivfAdcTopK(codes, cents, emb, q,
+      "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = numLists)
+      .collect().map(_.toSeq).toSeq
+    assert(composed === flat)
+  }
 }

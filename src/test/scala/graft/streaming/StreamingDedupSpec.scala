@@ -29,7 +29,11 @@ class StreamingDedupSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // awaitTermination returns false on timeout — assert it, else a slow
+    // stream would surface as a confusing partial-output count mismatch
+    // downstream instead of a clear timeout here.
+    try assert(q.awaitTermination(120000), "stream did not finish within 120 s")
+    finally q.stop()
   }
 
   test("cross-batch duplicate receipts collapse within the watermark") {
