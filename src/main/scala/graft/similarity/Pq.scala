@@ -213,6 +213,17 @@ object Pq {
     * rows only. Standard PQ practice (Jégou et al. train on ~100k-1M
     * vectors for billion-scale corpora).
     */
+  /** Deterministic bounded sample: vectors ranked by md5 of a salted
+    * id. orderBy + limit plans as TakeOrderedAndProject — per-partition
+    * top-n heads, no global sort of the corpus.
+    */
+  def sampleDeterministic(corpus: DataFrame, idCol: String, n: Int): DataFrame =
+    corpus
+      .withColumn("__rk", md5(concat(lit("pqs:"), col(idCol).cast("string"))))
+      .orderBy(col("__rk"), col(idCol))
+      .limit(n)
+      .drop("__rk")
+
   def trainSampled(
       corpus: DataFrame,
       idCol: String,
@@ -222,14 +233,8 @@ object Pq {
       k: Int,
       iters: Int,
       sampleN: Int): (DataFrame, DataFrame) = {
-    // orderBy + limit plans as TakeOrderedAndProject: per-partition
-    // top-sampleN heads, no global sort of the corpus.
-    val sample = corpus
-      .withColumn("__rk", md5(concat(lit("pqs:"), col(idCol).cast("string"))))
-      .orderBy(col("__rk"), col(idCol))
-      .limit(sampleN)
-      .drop("__rk")
-    val (_, cents) = train(sample, idCol, vecCol, dim, m, k, iters)
+    val (_, cents) =
+      train(sampleDeterministic(corpus, idCol, sampleN), idCol, vecCol, dim, m, k, iters)
     (encode(corpus, cents, idCol, vecCol, dim, m), cents)
   }
 
