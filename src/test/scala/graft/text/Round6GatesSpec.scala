@@ -1,0 +1,116 @@
+package graft.text
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import graft.SparkSpec
+import graft.queries.TextQueries
+
+/** Closed-form fixtures for the round-6 text gates: span removal (t17),
+  * C4-style segment dedup (t18), winnowed fingerprint overlap (t19) and
+  * hashed n-gram target-affinity (t20). Every expected value is
+  * derivable on paper; corpus-level behavior is gate-verified against
+  * DuckDB.
+  */
+class Round6GatesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpTable(name: String, df: org.apache.spark.sql.DataFrame): String = {
+    val dir = Files.createTempDirectory("graft-r6").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    dir
+  }
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("t17 span removal: duplicated 40-char prefix is cut, tail survives") {
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCD" // 40 chars
+    val tail1 = "-one-unique-tail-padding-here!!"
+    val tail2 = "+two+unique+tail+padding+equal?"
+    val dir = tmpTable("documents", Seq(
+      (1L, shared + tail1, "en", "a", 0L),
+      (2L, shared + tail2, "en", "a", 0L),
+      (3L, "no duplicated content in this row at all, distinct text.", "en", "a", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val got = TextQueries.spanRemoval.build(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // Span grams at positions 1..11 -> chars [1, 40] removed exactly.
+    assert(got(1L) === ((71L, 1L, 31L, md5hex(tail1))))
+    assert(got(2L) === ((71L, 1L, 31L, md5hex(tail2))))
+    // No spans: doc 3 passes through verbatim.
+    val doc3 = "no duplicated content in this row at all, distinct text."
+    assert(got(3L) === ((56L, 0L, 56L, md5hex(doc3))))
+  }
+
+  test("t18 segment dedup: keep-first across docs and within a doc") {
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val aSeg = toks("a", 10) // one exact 10-token segment
+    val doc1 = aSeg + " " + toks("b", 10) + " " + toks("c", 5) // 3 segments
+    val doc2 = aSeg + " " + toks("d", 10) // seg 0 duplicates doc1 seg 0
+    val doc4 = toks("e", 10) + " " + toks("e", 10) // within-doc repeat
+    val dir = tmpTable("documents", Seq(
+      (1L, doc1, "en", "a", 0L),
+      (2L, doc2, "en", "a", 0L),
+      (4L, doc4, "en", "a", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val got = TextQueries.segmentDedup.build(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((3L, 0L, md5hex(doc1))))
+    // doc 2 loses its first segment; the d-segment re-assembles alone.
+    assert(got(2L) === ((2L, 1L, md5hex(toks("d", 10)))))
+    // doc 4 keeps only the first of its two identical segments.
+    assert(got(4L) === ((2L, 1L, md5hex(toks("e", 10)))))
+  }
+
+  test("t19 winnowing: identical docs share every fingerprint; strangers none") {
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "zz entirely different content with no sixteen-char overlap qq"
+    val dir = tmpTable("documents", Seq(
+      (1L, same, "en", "a", 0L),
+      (2L, same, "en", "a", 0L),
+      (3L, other, "en", "a", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val rows = TextQueries.winnowing.build(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.keySet === Set((1L, 2L)))
+    assert(rows((1L, 2L)) >= 5L) // winnowing selects >= 1 fp per 8-window
+  }
+
+  test("t19 winnowing: fingerprints in > 50 docs are suppressed (no pairs)") {
+    val boiler = "this exact boilerplate line appears in every single document"
+    val docs = (1L to 60L).map(i => (i, boiler, "en", "a", 0L))
+    val dir = tmpTable("documents", docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // Every fingerprint has df = 60 > 50: MOSS common-fp suppression
+    // leaves nothing to pair — the structural bound under boilerplate.
+    assert(TextQueries.winnowing.build(spark, dir).count() === 0L)
+  }
+
+  test("t20 ngram affinity: integer sums against target / raw bucket counts") {
+    val dir = tmpTable("documents", Seq(
+      (10L, "a b a b", "en", "a", 0L), // target slice: bigrams ab, ba, ab
+      (1L, "a b c", "en", "a", 0L), // raw: ab, bc
+      (2L, "c c", "en", "a", 0L) // raw: cc
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val got = TextQueries.ngramAffinity.build(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // tc = {ab: 2, ba: 1}; rc = {ab: 1, bc: 1, cc: 1} (no bucket
+    // collisions among these four bigrams in 4096 buckets — pinned by
+    // the expected values themselves).
+    assert(got === Map(
+      1L -> ((2L, 2L, 2L)), // tsum = tc(ab) + tc(bc) = 2 + 0
+      2L -> ((1L, 0L, 1L)))) // cc: unseen in target, own raw count
+  }
+}
