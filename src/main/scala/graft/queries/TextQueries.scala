@@ -928,8 +928,15 @@ object TextQueries {
     * quadratically explodes on boilerplate (the e4b hot-bucket rule,
     * enforced by document frequency instead of sub-blocking).
     *
-    * One doc_id-keyed window pass (per-doc state only), one df count
-    * (map-side combinable), one bounded fp-keyed self-join.
+    * Fingerprint selection is PER-DOCUMENT, so the Spark side computes
+    * it entirely narrowly — the gram hashes and their window minima are
+    * array HOFs inside the scan projection (per-doc state bounded by
+    * doc length, like t13's windows), and only the already-distinct
+    * (doc, fp) pairs ever reach a shuffle. The whole derivation costs
+    * ZERO exchanges before the df count (map-side combinable) and the
+    * bounded fp-keyed self-join. The oracle expresses the same
+    * selection declaratively with a windowed MIN — engine-specific
+    * implementations, hash-identical results.
     */
   val winnowing = Query(
     "t19_winnowing",
@@ -959,22 +966,20 @@ object TextQueries {
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
     import spark.implicits._
     val k = 16
-    val grams = documents(spark, d)
-      .filter(length($"text") >= k)
-      .select($"doc_id", explode(transform(
+    val w = 8
+    // Narrow selection: per-doc gram-hash array, then window minima via
+    // slice + array_min — no exchange until the distinct (doc, fp) set.
+    val sel = documents(spark, d)
+      .filter(length($"text") >= k + w - 1)
+      .select($"doc_id", transform(
         sequence(lit(1L), length($"text").cast("long") - lit(k - 1)),
-        i => struct(
-          i.as("pos"),
-          conv(substring(md5($"text".substr(i.cast("int"), lit(k))), 1, 15), 16, 10)
-            .cast("long").as("g")))).as("pg"))
-      .select($"doc_id", $"pg.pos".as("pos"), $"pg.g".as("g"))
-    val byDoc = Window.partitionBy($"doc_id")
-    val win = byDoc.orderBy($"pos").rowsBetween(0, 7)
-    val sel = grams
-      .withColumn("fp", min($"g").over(win))
-      .withColumn("ng", count(lit(1)).over(byDoc))
-      .filter($"pos" <= $"ng" - 7)
-      .select($"doc_id", $"fp").distinct()
+        i => conv(substring(md5($"text".substr(i.cast("int"), lit(k))), 1, 15), 16, 10)
+          .cast("long")).as("gs"))
+      .select($"doc_id", explode(array_distinct(transform(
+        sequence(lit(1), size($"gs") - (w - 1)),
+        p => array_min(slice($"gs", p, lit(w)))))).as("fp"))
+    // (doc_id, fp) is already distinct: array_distinct dedupes within a
+    // doc and a doc emits each fp once — no global distinct needed.
     // MOSS common-fingerprint suppression = the structural pair bound.
     val rare = sel.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" <= 50).select($"fp")
@@ -1048,10 +1053,111 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** t21 — Gopher repetition filters (Rae et al. 2021, Table A1): the
+    * two n-gram repetition signals production corpora actually gate on —
+    * the char fraction of the single most frequent 2-gram (reject
+    * > 0.20) and the char fraction covered by all duplicated 3-grams
+    * (reject > 0.18). Fractions are kept as exact integer numerators
+    * (cnt × gram length) against length(text), with the pass flags
+    * decided by integer cross-multiplication — no float division
+    * anywhere, bit-exact in any engine. The top 2-gram tie-break is a
+    * total order (count, chars, gram text desc) expressed as the same
+    * row_number in both engines.
+    *
+    * Scale shape: n-gram explode is narrow; both counts are map-side
+    * combinable groupBys keyed (doc_id, gram) — per-doc-bounded groups,
+    * never corpus-global ones — and the per-doc reductions ride the
+    * doc_id shuffle. No joins except the final id-keyed assembly.
+    */
+  val gopherRepetition = Query(
+    "t21_gopher_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] AS g
+      |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      |  WHERE len(t) >= 2
+      |),
+      |c2 AS (
+      |  SELECT doc_id, g, COUNT(*) AS cnt,
+      |         CAST(COUNT(*) * length(g) AS BIGINT) AS chars
+      |  FROM g2 GROUP BY doc_id, g
+      |),
+      |top2 AS (
+      |  SELECT doc_id, cnt AS top2_cnt, chars AS top2_chars
+      |  FROM (
+      |    SELECT doc_id, cnt, chars,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY cnt DESC, chars DESC, g DESC) AS rn
+      |    FROM c2)
+      |  WHERE rn = 1
+      |),
+      |g3 AS (
+      |  SELECT doc_id,
+      |         t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)] AS g
+      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3
+      |),
+      |dup3 AS (
+      |  SELECT doc_id, CAST(SUM(cnt * len) AS BIGINT) AS dup3_chars
+      |  FROM (
+      |    SELECT doc_id, g, COUNT(*) AS cnt, length(g) AS len
+      |    FROM g3 GROUP BY doc_id, g HAVING COUNT(*) >= 2)
+      |  GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+      |       CAST(COALESCE(t2.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+      |       CAST(COALESCE(t2.top2_chars, 0) AS BIGINT) AS top2_chars,
+      |       CAST(COALESCE(d3.dup3_chars, 0) AS BIGINT) AS dup3_chars,
+      |       CAST(CASE WHEN COALESCE(t2.top2_chars, 0) * 5 <= length(d.text)
+      |            THEN 1 ELSE 0 END AS BIGINT) AS pass_top2,
+      |       CAST(CASE WHEN COALESCE(d3.dup3_chars, 0) * 50 <= length(d.text) * 9
+      |            THEN 1 ELSE 0 END AS BIGINT) AS pass_dup3
+      |FROM documents d
+      |LEFT JOIN top2 t2 USING (doc_id) LEFT JOIN dup3 d3 USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val docs = documents(spark, d)
+    def grams(n: Int) = docs
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= n)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"t") - (n - 1)),
+        i => array_join(
+          transform(sequence(lit(0), lit(n - 1)), j => element_at($"t", i + j)),
+          " "))).as("g"))
+    val c2 = grams(2).groupBy($"doc_id", $"g")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", ($"cnt" * length($"g")).cast("long"))
+    val top2 = c2
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id")
+          .orderBy($"cnt".desc, $"chars".desc, $"g".desc)))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"cnt".as("top2_cnt"), $"chars".as("top2_chars"))
+    val dup3 = grams(3).groupBy($"doc_id", $"g")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2)
+      .groupBy($"doc_id")
+      .agg(sum($"cnt" * length($"g")).cast("long").as("dup3_chars"))
+    docs.select($"doc_id", length($"text").cast("long").as("n_chars"))
+      .join(top2, Seq("doc_id"), "left_outer")
+      .join(dup3, Seq("doc_id"), "left_outer")
+      .select(
+        $"doc_id", $"n_chars",
+        coalesce($"top2_cnt", lit(0L)).as("top2_cnt"),
+        coalesce($"top2_chars", lit(0L)).as("top2_chars"),
+        coalesce($"dup3_chars", lit(0L)).as("dup3_chars"),
+        when(coalesce($"top2_chars", lit(0L)) * 5 <= $"n_chars", 1L)
+          .otherwise(0L).as("pass_top2"),
+        when(coalesce($"dup3_chars", lit(0L)) * 50 <= $"n_chars" * 9, 1L)
+          .otherwise(0L).as("pass_dup3"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
     sequencePacking, rollingFingerprint, bm25TopK, substringSpans,
     spanRemoval, decontaminate, filterPipeline, segmentDedup, winnowing,
-    ngramAffinity)
+    ngramAffinity, gopherRepetition)
 }

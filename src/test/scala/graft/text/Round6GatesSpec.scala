@@ -95,6 +95,27 @@ class Round6GatesSpec extends SparkSpec {
     assert(TextQueries.winnowing.build(spark, dir).count() === 0L)
   }
 
+  test("t21 gopher repetition: closed-form fractions and the g-desc tie-break") {
+    val dir = tmpTable("documents", Seq(
+      (1L, "x y x y z", "en", "a", 0L), // top 2-gram "x y" x2
+      (2L, "a b c d", "en", "a", 0L), // all 2-grams tie at 1 -> "c d" by g DESC
+      (3L, "p q r p q r p q r", "en", "a", 0L) // heavy 3-gram repetition
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val got = TextQueries.gopherRepetition.build(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // doc 1: "x y" cnt 2, chars 6; 6*5 > 9 -> fail top2; no dup 3-grams.
+    assert(got(1L) === ((9L, 2L, 6L, 0L, 0L, 1L)))
+    // doc 2: tie on (cnt=1, chars=3) resolved by gram text descending.
+    assert(got(2L) === ((7L, 1L, 3L, 0L, 0L, 1L)))
+    // doc 3: top2 "q r" (tie with "p q" at cnt 3, chars 9); dup3 =
+    // 3*5 + 2*5 + 2*5 = 35; both fractions over threshold.
+    assert(got(3L) === ((17L, 3L, 9L, 35L, 0L, 0L)))
+  }
+
   test("t20 ngram affinity: integer sums against target / raw bucket counts") {
     val dir = tmpTable("documents", Seq(
       (10L, "a b a b", "en", "a", 0L), // target slice: bigrams ab, ba, ab
