@@ -977,7 +977,17 @@ object TextQueries {
           .cast("long")).as("gs"))
       .select($"doc_id", explode(array_distinct(transform(
         sequence(lit(1), size($"gs") - (w - 1)),
-        p => array_min(slice($"gs", p, lit(w)))))).as("fp"))
+        // least over w element_at probes: the rolling min without the
+        // per-window array copy slice() would allocate — stays codegen'd
+        p => least((0 until w).map(j => element_at($"gs", p + lit(j))): _*)))).as("fp"))
+      // One deliberate fp-keyed exchange of the tiny selected set (it
+      // already satisfies every downstream fp distribution), CACHED:
+      // sel feeds the df count, the semi-join and both self-join sides,
+      // and column pruning specializes each consumer's subtree so
+      // exchange reuse alone cannot deduplicate the narrow md5
+      // derivation (the t4 shingle pattern — derive once, serve four).
+      .repartition($"fp")
+      .cache()
     // (doc_id, fp) is already distinct: array_distinct dedupes within a
     // doc and a doc emits each fp once — no global distinct needed.
     // MOSS common-fingerprint suppression = the structural pair bound.
