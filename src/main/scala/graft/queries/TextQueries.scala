@@ -740,6 +740,91 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** x4 — substring-LEVEL decontamination (the strictest form in the
+    * GPT-3 / PaLM contamination reports: a training document is
+    * contaminated if it shares a long verbatim character run with the
+    * eval set — token shingles, x3's form, miss paraphrase-boundary
+    * overlaps that still leak answers). Reuses t15's gram machinery at
+    * the same k=30 window: the benchmark slice's distinct gram digests
+    * (structurally bounded — fixed eval suite, same slice as x3) are
+    * BROADCAST; training grams semi-join against them narrowly, and
+    * matched positions merge into maximal spans with the identical
+    * gaps-and-islands pass. Output per contaminated doc: span count,
+    * matched-gram count, contaminated char total — all integers.
+    *
+    * Scale shape: training corpus scanned once, never shuffled before
+    * the per-doc window (doc_id exchange of MATCHED positions only —
+    * contamination is sparse by nature); the broadcast side is the
+    * fixed benchmark. No state scales with corpus-wide multiplicity.
+    */
+  val decontamSpans: Query = {
+    val k = spanK
+    Query(
+      "x4_decontam_spans",
+      s"""WITH grams AS (
+         |  SELECT doc_id, i AS pos,
+         |         CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), $k)), 1, 15)) AS BIGINT) AS g
+         |  FROM documents, UNNEST(range(1, CAST(length(text) AS BIGINT) - ${k - 2})) AS u(i)
+         |  WHERE length(text) >= $k
+         |),
+         |bg AS (SELECT DISTINCT g FROM grams WHERE ${benchCond("grams")}),
+         |hits AS (
+         |  SELECT doc_id, pos FROM grams JOIN bg USING (g)
+         |  WHERE NOT ${benchCond("grams")}
+         |),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
+         |              OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM hits
+         |),
+         |sp AS (
+         |  SELECT doc_id, pos,
+         |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl
+         |),
+         |spans AS (
+         |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e, COUNT(*) AS ng
+         |  FROM sp GROUP BY doc_id, island
+         |)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |       CAST(SUM(ng) AS BIGINT) AS contam_grams,
+         |       CAST(SUM(e - s + $k) AS BIGINT) AS contam_chars
+         |FROM spans GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      def grams(cond: org.apache.spark.sql.Column) = documents(spark, d)
+        .filter(cond && length($"text") >= k)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1L), length($"text").cast("long") - lit(k - 1)),
+          i => struct(
+            i.as("pos"),
+            conv(substring(md5($"text".substr(i.cast("int"), lit(k))), 1, 15), 16, 10)
+              .cast("long").as("g")))).as("pg"))
+        .select($"doc_id", $"pg.pos".as("pos"), $"pg.g".as("g"))
+      val bg = grams(benchCol).select($"g").distinct()
+      val hits = grams(!benchCol)
+        .join(broadcast(bg), Seq("g"), "left_semi")
+        .select($"doc_id", $"pos")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      hits
+        .withColumn("prev", lag($"pos", 1).over(w))
+        .withColumn("brk", when($"prev".isNull || $"pos" - $"prev" > k, 1).otherwise(0))
+        .withColumn("island", sum($"brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"pos").as("s"), max($"pos").as("e"), count(lit(1)).as("ng"))
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum($"ng").as("contam_grams"),
+          sum($"e" - $"s" + k).as("contam_chars"))
+        .orderBy($"doc_id")
+    }
+  }
+
   /** t16 — the composed corpus-filter pass: every training doc gets a
     * fail BITMASK over the four independent filters (bit 0 quality/t2,
     * bit 1 repetition/t10, bit 2 exact-dup/t3, bit 3 decontamination/x3)
@@ -1168,6 +1253,6 @@ object TextQueries {
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
     sequencePacking, rollingFingerprint, bm25TopK, substringSpans,
-    spanRemoval, decontaminate, filterPipeline, segmentDedup, winnowing,
-    ngramAffinity, gopherRepetition)
+    spanRemoval, decontaminate, decontamSpans, filterPipeline,
+    segmentDedup, winnowing, ngramAffinity, gopherRepetition)
 }

@@ -3,6 +3,8 @@ package graft.text
 import java.nio.file.Files
 import java.security.MessageDigest
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 import graft.queries.TextQueries
 
@@ -93,6 +95,45 @@ class Round6GatesSpec extends SparkSpec {
     // Every fingerprint has df = 60 > 50: MOSS common-fp suppression
     // leaves nothing to pair — the structural bound under boilerplate.
     assert(TextQueries.winnowing.build(spark, dir).count() === 0L)
+  }
+
+  test("x4 decontam spans: only a >= 30-char verbatim run with the benchmark flags") {
+    val run = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 chars
+    val dir = tmpTable("documents", Seq(
+      (10L, run + " benchmark only tail", "en", "a", 0L), // benchmark row
+      (1L, "train prefix " + run + " train tail!", "en", "a", 0L), // shares the full run
+      (2L, "no overlap with the benchmark document whatsoever here.", "en", "a", 0L),
+      (3L, run.take(29) + "X different after twenty-nine", "en", "a", 0L) // < k chars shared
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val got = TextQueries.decontamSpans.build(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // Doc 1 shares the 36-char run PLUS the space both docs append —
+    // 37 chars, 8 matching 30-gram positions, one span. Docs 2 and 3
+    // never reach the output.
+    assert(got === Map(1L -> ((1L, 8L, 37L))))
+  }
+
+  test("t15/t17 invariant: clean_len = orig_len - dup_chars on the sf0.001 corpus") {
+    val dup = TextQueries.substringSpans.build(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "dup_chars")
+    val cleaned = TextQueries.spanRemoval.build(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "orig_len", "clean_len")
+    val bad = cleaned.join(dup, Seq("doc_id"), "left_outer")
+      .where(coalesce(col("dup_chars"), lit(0L)) =!= col("orig_len") - col("clean_len"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("t18 invariant: n_segs = ceil(tokens/10) for every sf0.001 document") {
+    val segs = TextQueries.segmentDedup.build(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_segs")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        ceil((size(split(col("text"), " ")) / lit(10.0))).cast("long").as("want"))
+    assert(segs.join(docs, "doc_id").where(col("n_segs") =!= col("want")).count() === 0L)
   }
 
   test("t21 gopher repetition: closed-form fractions and the g-desc tie-break") {
