@@ -68,8 +68,10 @@ object TextQueries {
     * canonical id is the min doc_id in each fingerprint group (window
     * min, one shuffle on the fingerprint).
     */
-  val exactDedup = Query(
-    "t3_exact_dedup",
+  /** Shared by t3 and its bucketed-layout twin t22 — the layout must be
+    * semantics-free, so both gates answer the identical SQL.
+    */
+  private val exactDedupOracle =
     """SELECT doc_id, fp, canonical_id,
       |       CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
       |FROM (
@@ -77,10 +79,44 @@ object TextQueries {
       |         MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id
       |  FROM documents
       |)
-      |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      |ORDER BY doc_id""".stripMargin
+
+  val exactDedup = Query(
+    "t3_exact_dedup",
+    exactDedupOracle) { (spark, d) =>
     import spark.implicits._
     documents(spark, d)
       .withColumn("fp", md5(lower($"text")))
+      .withColumn("canonical_id", min($"doc_id").over(Window.partitionBy($"fp")))
+      .select(
+        $"doc_id", $"fp", $"canonical_id",
+        when($"doc_id" === $"canonical_id", 1L).otherwise(0L).as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  /** t22 — t3's exact dedup over a lake BUCKETED by the content
+    * fingerprint: the p19→p20 discipline applied to the text corpus.
+    * The documents are written once into 16 hash buckets on
+    * fp = md5(lower(text)) (sorted within buckets), so the per-fp
+    * canonical-id window finds every fingerprint's rows already
+    * co-located AND pre-sorted — no hash Exchange and no Sort before
+    * the window; the only exchange left is the output's global
+    * orderBy. At 100 TB this is the difference between re-shuffling
+    * the corpus on every dedup read and paying the shuffle once at
+    * ingest. Oracle SQL is t3's verbatim — bucketing must be
+    * semantics-free. Like p20/l2, the FIRST run writes the bucketed
+    * table (absorbed by warm-up); steady-state runs only read.
+    */
+  val dedupBucketedDocs = Query(
+    "t22_dedup_bucketed_docs",
+    exactDedupOracle) { (spark, d) =>
+    import spark.implicits._
+    import graft.operators.Bucketing
+    val tbl = Bucketing.ensureBucketed(
+      spark, s"docs_fp_${Bucketing.suffix(spark, d)}",
+      documents(spark, d).withColumn("fp", md5(lower($"text"))),
+      "fp", 16)
+    spark.table(tbl)
       .withColumn("canonical_id", min($"doc_id").over(Window.partitionBy($"fp")))
       .select(
         $"doc_id", $"fp", $"canonical_id",
@@ -1254,5 +1290,6 @@ object TextQueries {
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
     sequencePacking, rollingFingerprint, bm25TopK, substringSpans,
     spanRemoval, decontaminate, decontamSpans, filterPipeline,
-    segmentDedup, winnowing, ngramAffinity, gopherRepetition)
+    segmentDedup, winnowing, ngramAffinity, gopherRepetition,
+    dedupBucketedDocs)
 }

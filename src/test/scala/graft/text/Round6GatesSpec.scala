@@ -136,6 +136,18 @@ class Round6GatesSpec extends SparkSpec {
     assert(segs.join(docs, "doc_id").where(col("n_segs") =!= col("want")).count() === 0L)
   }
 
+  test("t22 bucketed dedup read: no hash exchange or sort before the fp window") {
+    val got = TextQueries.dedupBucketedDocs.build(spark, "/root/testdata/sf0.001")
+    // Same rows as t3 (the layout is semantics-free)…
+    val want = TextQueries.exactDedup.build(spark, "/root/testdata/sf0.001")
+    assert(got.collect().toSeq === want.collect().toSeq)
+    // …but the per-fp window rides the bucketed scan: the only
+    // exchange in the plan is the output's global orderBy.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Exchange rangepartitioning"))
+  }
+
   test("t21 gopher repetition: closed-form fractions and the g-desc tie-break") {
     val dir = tmpTable("documents", Seq(
       (1L, "x y x y z", "en", "a", 0L), // top 2-gram "x y" x2
