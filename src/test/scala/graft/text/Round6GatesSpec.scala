@@ -88,6 +88,29 @@ class Round6GatesSpec extends SparkSpec {
     assert(rows((1L, 2L)) >= 5L) // winnowing selects >= 1 fp per 8-window
   }
 
+  test("t19 winnowing guarantee: a shared 100-char run always pairs (20 random trials)") {
+    // The winnowing theorem: every w consecutive gram hashes select at
+    // least one fingerprint, and a gram can be the minimum of at most w
+    // windows — so a shared run of L chars contains L-k-w+2 fully-inside
+    // windows whose selections MATCH in both docs, yielding at least
+    // ceil((L-k-w+2)/w) shared distinct fingerprints. L=100, k=16, w=8:
+    // 78 inside windows -> >= 10 shared fps, clearing the gate's >= 5.
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    (1 to 20).foreach { trial =>
+      val shared = randStr(100)
+      val docs = Seq(
+        (1L, randStr(rnd.nextInt(40)) + shared + randStr(rnd.nextInt(40)), "en", "a", 0L),
+        (2L, randStr(rnd.nextInt(40)) + shared + randStr(rnd.nextInt(40)), "en", "a", 0L),
+        (3L, randStr(120), "en", "a", 0L))
+      val dir = tmpTable("documents", docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val rows = TextQueries.winnowing.build(spark, dir)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(rows.contains((1L, 2L)), s"trial $trial: shared run failed to pair")
+      assert(rows((1L, 2L)) >= 10L, s"trial $trial: only ${rows((1L, 2L))} shared fps")
+    }
+  }
+
   test("t19 winnowing: fingerprints in > 50 docs are suppressed (no pairs)") {
     val boiler = "this exact boilerplate line appears in every single document"
     val docs = (1L to 60L).map(i => (i, boiler, "en", "a", 0L))
