@@ -1285,11 +1285,50 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** st2 — streaming text curation, st1's pattern on the documents
+    * stream: the gate pins the batch twin (per-lang doc counts and
+    * quality passes — t2's exact predicate), and
+    * `StreamingTextQualitySpec` runs the IDENTICAL aggregation as a
+    * `readStream` + AvailableNow + complete-mode query, asserting the
+    * streaming result row-for-row equal to this gate. Counts are
+    * arrival-order-independent, so the streaming form is deterministic.
+    * At 100 TB the same plan runs micro-batched with watermarked state
+    * bounded by |lang| — a few dozen rows, the smallest state any
+    * streaming aggregate can carry.
+    */
+  val streamQuality = Query(
+    "st2_stream_quality",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) >= 30
+      |                 AND len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |                     / (length(text) - length(replace(text, ' ', '')) + 1) < 0.2
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    streamQualityAgg(documents(spark, d)).orderBy($"lang")
+  }
+
+  /** The shared aggregation body: applied by the st2 gate to the batch
+    * frame and by StreamingTextQualitySpec to the readStream frame —
+    * one definition, two execution modes.
+    */
+  def streamQualityAgg(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nTok = tokenCount(col("text"))
+    val nStop = size(filter(split(col("text"), " "),
+      x => x === "the" || x === "a")).cast("long")
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(nTok >= 30 && nStop / nTok < 0.2, 1L).otherwise(0L)).as("n_pass"))
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
     sequencePacking, rollingFingerprint, bm25TopK, substringSpans,
     spanRemoval, decontaminate, decontamSpans, filterPipeline,
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
-    dedupBucketedDocs)
+    dedupBucketedDocs, streamQuality)
 }
