@@ -704,7 +704,65 @@ object SimQueries {
           when($"h" >= 12, 1L).otherwise(0L).as("meets_recall_bar"))
   }
 
+  /** e12 — the composed 100 TB ANN config's RETRIEVAL QUALITY: sampled
+    * codebook (e11's 200-vector fit, shared via the memo) + IVF-pruned
+    * ADC (e10's composition), recall@5 vs the exact int8-L2 top-1 at
+    * two probe widths. Pins the textbook IVF trade with measured
+    * margins (RecallProbe, all three scales): nprobe=2 prunes to ~20%
+    * of the corpus and recalls only 3–7/20 — the dataset's coarse lists
+    * are label clusters, not geometric ones, so aggressive pruning
+    * loses true neighbors — while nprobe=8 recovers 14–15/20, clearing
+    * e11's flat-ADC bar. The gate asserts BOTH the nprobe=8 floor
+    * (≥ 12) and the recovery property (probe-8 hits strictly above
+    * probe-2 hits), so a regression in either the probe ranking or the
+    * ADC tables trips it. e10 pins the pruned computation's exactness;
+    * this pins what the pruning costs and that widening probes buys it
+    * back — the two numbers a 100 TB operator actually tunes.
+    */
+  val ivfPqRecall = Query(
+    "e12_ivf_pq_recall",
+    """SELECT CAST(20 AS BIGINT) AS n_queries,
+      |       CAST(1 AS BIGINT) AS meets_bar_probe8,
+      |       CAST(1 AS BIGINT) AS probe_recovery""".stripMargin) {
+    (spark, d) =>
+      import spark.implicits._
+      val emb = embeddings(spark, d)
+      val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
+        .select($"vec_id", $"qv")
+      val exact = qv.as("a")
+        .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
+        .where($"a.vec_id" < 20)
+        .select(
+          $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
+          aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+            .as("d2"))
+      val w = Window.partitionBy($"qid").orderBy($"d2", $"bid")
+      val exactTop1 = exact
+        .withColumn("r", row_number().over(w)).filter($"r" === 1)
+        .select($"qid", $"bid")
+      val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
+      val codes = graft.similarity.Pq
+        .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
+      def hitsAt(nprobe: Int) = {
+        val top5 = graft.similarity.Pq
+          .ivfAdcTopK(codes, cents,
+            corpus = emb.select($"vec_id", $"label", $"embedding"),
+            queries = emb.filter($"vec_id" < 20),
+            "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = nprobe)
+          .select($"qid", $"bid")
+        exactTop1.join(top5, Seq("qid", "bid"), "left_semi")
+          .agg(count(lit(1)))
+      }
+      val h2 = hitsAt(2).as[Long].head()
+      val h8 = hitsAt(8).as[Long].head()
+      exactTop1.agg(count(lit(1)).as("nq"))
+        .select(
+          $"nq".as("n_queries"),
+          when(lit(h8) >= 12, 1L).otherwise(0L).as("meets_bar_probe8"),
+          when(lit(h8) > lit(h2), 1L).otherwise(0L).as("probe_recovery"))
+  }
+
   val all: Seq[Query] = Seq(
     knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild,
-    pqTopK, pqRecall, ivfPq, pqSampledRecall)
+    pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall)
 }

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev probe for ANN recall bars: prints recall@5-vs-exact-top-1 hit
+  * counts for the PQ configurations the e9/e11/e12 gates pin, so a new
+  * gate's bar is set from measured numbers instead of guessed.
+  * Usage: runMain graft.tools.RecallProbe <sfDir...>
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    args.foreach { d =>
+      val emb = graft.Tables.embeddings(spark, d)
+      val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
+        .select($"vec_id", $"qv")
+      val exact = qv.as("a")
+        .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
+        .where($"a.vec_id" < 20)
+        .select(
+          $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
+          aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+            .as("d2"))
+      val w = Window.partitionBy($"qid").orderBy($"d2", $"bid")
+      val exactTop1 = exact
+        .withColumn("r", row_number().over(w)).filter($"r" === 1)
+        .select($"qid", $"bid")
+
+      val src = graft.similarity.Pq.sampleDeterministic(emb, "vec_id", 200)
+      val cents = graft.similarity.Pq
+        .train(src, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 4)._2
+      val codes = graft.similarity.Pq
+        .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
+      Seq(1, 2, 4, 6, 8, 10).foreach { nprobe =>
+        val ivf5 = graft.similarity.Pq
+          .ivfAdcTopK(codes, cents,
+            corpus = emb.select($"vec_id", $"label", $"embedding"),
+            queries = emb.filter($"vec_id" < 20),
+            "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = nprobe)
+          .select($"qid", $"bid")
+        val h = exactTop1.join(ivf5, Seq("qid", "bid"), "left_semi").count()
+        println(s"[recall] $d sampled200 ivf+pq nprobe=$nprobe hits=$h/20")
+      }
+    }
+    spark.stop()
+  }
+}
