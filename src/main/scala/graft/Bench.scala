@@ -79,6 +79,9 @@ object Bench {
     // median rejects it. Gates still run serially within a pass, so
     // per-gate attribution is unchanged.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    require(iters >= 1,
+      s"SPARK_GRAFT_BENCH_ITERS must be >= 1 (got $iters): zero passes " +
+        "would leave emit() with no times to take a median of")
     // Per-gate progress on stderr (never stdout — that carries the JSON
     // contract line): pinpoints a stuck gate under an external timeout.
     def timeOnce(

@@ -507,7 +507,10 @@ object SimQueries {
   private def sharedCents(
       spark: org.apache.spark.sql.SparkSession, d: String,
       dim: Int, m: Int, k: Int, iters: Int, sampleN: Int): org.apache.spark.sql.DataFrame = {
-    val (schema, rows) = pqMemo.getOrElseUpdate((d, dim, m, k, iters, sampleN), {
+    // Content-digested key (see TextQueries.sharedSpans): regenerating
+    // the corpus in place must invalidate the memoized codebook.
+    val dKey = s"$d|${graft.operators.Bucketing.suffix(spark, d)}"
+    val (schema, rows) = pqMemo.getOrElseUpdate((dKey, dim, m, k, iters, sampleN), {
       val emb = embeddings(spark, d)
       val src =
         if (sampleN < 0) emb

@@ -621,7 +621,10 @@ object TextQueries {
 
   private def sharedSpans(
       spark: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    spanMemo.getOrElseUpdate(d, {
+    // Key = path + content digest (file listing), not the raw path: a
+    // corpus regenerated in place within one JVM must not serve stale
+    // spans — the same staleness Bucketing.suffix exists to prevent.
+    spanMemo.getOrElseUpdate(s"$d|${graft.operators.Bucketing.suffix(spark, d)}", {
       val df = spansDf(spark, d)
       val rows = df.take(spanMemoCap + 1).toSeq
       if (rows.length > spanMemoCap) None else Some((df.schema, rows))
@@ -1017,7 +1020,15 @@ object TextQueries {
       .select(
         $"doc_id", $"s.seg_no".as("seg_no"), $"s.seg".as("seg"),
         conv(substring(md5($"s.seg"), 1, 15), 16, 10).cast("long").as("h"),
-        ($"doc_id" * 1048576L + $"s.seg_no").as("occ"))
+        // occ packs (doc_id, seg_no) into one int64; a doc with >= 2^20
+        // segments (~10M tokens) would alias into the next doc_id and
+        // silently corrupt keep-first ordering, so the bound is ENFORCED
+        // per row (codegen'd branch, no extra pass) — violation surfaces
+        // as a task failure, never as wrong dedup output.
+        when($"s.seg_no" < 1048576L, $"doc_id" * 1048576L + $"s.seg_no")
+          .otherwise(raise_error(concat(
+            lit("t18 occ packing overflow: seg_no >= 1048576 in doc_id "),
+            $"doc_id".cast("string")))).as("occ"))
     // Map-side-combinable global keep-first; the probe join streams.
     val keep = segs.groupBy($"h").agg(min($"occ").as("keeper"))
     segs.join(keep, Seq("h"))

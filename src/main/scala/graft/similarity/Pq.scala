@@ -116,13 +116,18 @@ object Pq {
     val sv = subvectors(corpus, idCol, vecCol, dim, m).localCheckpoint()
     var assigned = sv.withColumn("code", initCode(col(idCol), k))
       .withColumn("dist", lit(null).cast("long"))
-    // Checkpoint RDD ids by age: round r-1 must stay live even after
+    // Checkpoint RDDs by age: round r-1 must stay live even after
     // round r materializes (the returned `cents` is codebook(assigned_
     // {r-1}) — lazy, it reads that round's checkpoint blocks at final-
     // action time, and localCheckpoint discards the lineage needed to
     // recompute them). Round r-2 is provably unreachable: free it.
-    var prevCkptIds: Set[Int] = Set.empty
-    var prevPrevCkptIds: Set[Int] = Set.empty
+    // The RDDs are pulled from the checkpointed frame's own plan (the
+    // LogicalRDD node localCheckpoint leaves behind), NOT by diffing
+    // sc.getPersistentRDDs around the call — a global diff would
+    // capture any concurrent persistence on the shared context and
+    // unpersist a stranger's lineage-severed blocks two rounds later.
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var prevPrevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var cents: DataFrame = null
     (1 to iters).foreach { _ =>
       cents = codebook(assigned)
@@ -156,9 +161,7 @@ object Pq {
       // O(iters × corpus); blocks two rounds back are unreachable (only
       // the final `assigned` and `cents` — which reads round r-1 — are
       // ever consumed downstream) and are unpersisted here, bounding
-      // storage at ~3 rounds. The ids are diffed around the call because
-      // Dataset.localCheckpoint does not expose its backing RDD.
-      val beforeIds = sc.getPersistentRDDs.keySet.toSet
+      // storage at ~3 rounds.
       assigned = sv
         .join(broadcast(cbArr), Seq("sub"))
         .withColumn("best", best)
@@ -167,10 +170,12 @@ object Pq {
           col("best").getField("idx").as("code"),
           col("best").getField("d").as("dist"))
         .localCheckpoint()
-      val newIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
-      prevPrevCkptIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevPrevCkptIds = prevCkptIds
-      prevCkptIds = newIds
+      val newCkpt = assigned.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      prevPrevCkpt.foreach(_.unpersist(false))
+      prevPrevCkpt = prevCkpt
+      prevCkpt = newCkpt
     }
     (assigned.select(col(idCol), col("sub"), col("code"), col("dist")), cents)
   }

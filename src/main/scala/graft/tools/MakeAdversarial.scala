@@ -30,6 +30,20 @@ object MakeAdversarial {
           .otherwise(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // Bench preloads EVERY table unconditionally, so the adversarial dir
+    // must be a complete sf dir: copy the untouched tables through as-is
+    // (raw file copy — no Spark job, no row rewrite).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings").foreach { t =>
+      val from = new org.apache.hadoop.fs.Path(s"$src/$t.parquet")
+      val to = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
+      if (fs.exists(from)) {
+        if (fs.exists(to)) fs.delete(to, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, conf)
+      }
+    }
     println(s"adversarial corpus written to $out")
     spark.stop()
   }
