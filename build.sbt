@@ -32,6 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // t15/t17 gram-stream cache toggle (see TextQueries.spansDfWithHandle):
+  // results are bit-identical either way; flip for the A/B bench.
+  s"-Dspark.graft.spans.cacheGrams=${sys.env.getOrElse("SPARK_GRAFT_CACHE_GRAMS", "false")}",
   // local[32] runs 32 task threads in ONE JVM: shuffle buffers, cached
   // LSH signatures, and FP-Growth trees all share this heap. 8g is
   // GC-bound at sf0.1 (bench times for cache-heavy queries swing 3x);

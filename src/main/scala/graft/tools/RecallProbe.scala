@@ -50,6 +50,29 @@ object RecallProbe {
         val h = exactTop1.join(ivf5, Seq("qid", "bid"), "left_semi").count()
         println(s"[recall] $d sampled200 ivf+pq nprobe=$nprobe hits=$h/20")
       }
+
+      // Unsupervised tier (e13/e14 config): learned 8-list k-means from
+      // the sign-hash init, same sampled codebook.
+      val init = emb.withColumn("ibkt",
+        when(element_at($"embedding", 1) >= 0, 4).otherwise(0) +
+          when(element_at($"embedding", 2) >= 0, 2).otherwise(0) +
+          when(element_at($"embedding", 3) >= 0, 1).otherwise(0))
+      val lists = graft.similarity.Ann
+        .kmeansIterate(init, "vec_id", "embedding", "ibkt", 2)
+      val corpusU = emb.join(lists.select($"vec_id", $"list"), Seq("vec_id"))
+        .select($"vec_id", $"list", $"embedding")
+        .cache()
+      corpusU.count()
+      Seq(1, 2, 3, 4, 6, 8).foreach { nprobe =>
+        val ivf5 = graft.similarity.Pq
+          .ivfAdcTopK(codes, cents, corpusU,
+            queries = emb.filter($"vec_id" < 20),
+            "vec_id", "embedding", "list", dim = 64, m = 32, k = 5, nprobe = nprobe)
+          .select($"qid", $"bid")
+        val h = exactTop1.join(ivf5, Seq("qid", "bid"), "left_semi").count()
+        println(s"[recall] $d sampled200 UNSUP-8list ivf+pq nprobe=$nprobe hits=$h/20")
+      }
+      corpusU.unpersist()
     }
     spark.stop()
   }

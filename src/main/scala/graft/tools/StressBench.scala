@@ -37,11 +37,17 @@ object StressBench {
       }
     })
 
+    // SPARK_GRAFT_STRESS_COLD=1 skips the warm-up pass so the timed run
+    // is the COLD path — including the battery-shared memo derivations
+    // (span index, PQ codebook), which the warm-up would otherwise
+    // populate. Use one gate per JVM in this mode (the memos are
+    // process-wide).
+    val cold = sys.env.getOrElse("SPARK_GRAFT_STRESS_COLD", "0") == "1"
     val queries = graft.SparkEntry.queries
     names.foreach { name =>
       val fn = queries.getOrElse(name, sys.error(s"unknown query $name"))
       // warm-up pass (codegen/JIT) — not billed
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      if (!cold) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       write.set(0); read.set(0)
