@@ -937,6 +937,154 @@ object SimQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB replay of the RESIDUAL IVF-PQ chain
+    * ([[graft.similarity.Pq.trainSampledResidual]] +
+    * [[graft.similarity.Pq.ivfAdcResidualTopK]] over label lists):
+    * int8 quantize → per-list integer coarse centroid (floor-div,
+    * +127·n) → residual per dim → sampled residual training (offset
+    * 254, scale 10^5) → full-corpus residual encode → raw-double
+    * centroid probe → per-(query, probed-list) residual LUT → ADC.
+    */
+  private def residualIvfPqOracleSql(
+      dim: Int, m: Int, k: Int, iters: Int, sampleN: Int,
+      qMod: Int, topK: Int, nprobe: Int): String = {
+    val dsub = dim / m
+    val iterCtes = (1 to iters).map { i =>
+      s"""cb$i AS MATERIALIZED (
+         |  SELECT f.sub, a.code, f.pos,
+         |         ((SUM(f.v) + 254 * COUNT(*)) * 100000) // COUNT(*) - 25400000 AS c
+         |  FROM fS f JOIN assign${i - 1} a ON f.vec_id = a.vec_id AND f.sub = a.sub
+         |  GROUP BY 1, 2, 3
+         |),
+         |dists$i AS MATERIALIZED (
+         |  SELECT f.vec_id, f.sub, cb$i.code,
+         |         SUM((f.v * 100000 - cb$i.c) * (f.v * 100000 - cb$i.c)) AS dist
+         |  FROM fS f JOIN cb$i ON f.sub = cb$i.sub AND f.pos = cb$i.pos
+         |  GROUP BY 1, 2, 3
+         |),
+         |assign$i AS MATERIALIZED (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS r
+         |    FROM dists$i) WHERE r = 1
+         |),""".stripMargin
+    }.mkString("\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |),
+       |scaled AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         127.0 / list_aggregate(list_transform(ve, y -> abs(y)), 'max') AS s, ve
+       |  FROM base
+       |),
+       |q8 AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(ve, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qv
+       |  FROM scaled
+       |),
+       |fall AS MATERIALIZED (
+       |  SELECT q8.vec_id, e.label, u.i, qv[i] AS v
+       |  FROM q8 JOIN embeddings e USING (vec_id),
+       |       UNNEST(generate_series(1, $dim)) AS u(i)
+       |),
+       |cc AS MATERIALIZED (
+       |  SELECT label, i, (SUM(v) + 127 * COUNT(*)) // COUNT(*) - 127 AS c
+       |  FROM fall GROUP BY 1, 2
+       |),
+       |fr AS MATERIALIZED (
+       |  SELECT f.vec_id, f.label, f.i, f.v - cc.c AS v
+       |  FROM fall f JOIN cc ON f.label = cc.label AND f.i = cc.i
+       |),
+       |f AS MATERIALIZED (
+       |  SELECT vec_id, CAST((i - 1) // $dsub AS BIGINT) AS sub, (i - 1) % $dsub AS pos, v
+       |  FROM fr
+       |),
+       |samp AS MATERIALIZED (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY md5('pqs:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN
+       |),
+       |fS AS MATERIALIZED (SELECT f.* FROM f JOIN samp USING (vec_id)),
+       |rvv AS MATERIALIZED (
+       |  SELECT vec_id, array_agg(v ORDER BY i) AS rv FROM fr GROUP BY vec_id
+       |),
+       |svS AS MATERIALIZED (
+       |  SELECT rvv.vec_id, CAST(s.sub AS BIGINT) AS sub,
+       |         list_slice(rv, s.sub * $dsub + 1, s.sub * $dsub + $dsub) AS svec
+       |  FROM rvv JOIN samp USING (vec_id), UNNEST(generate_series(0, ${m - 1})) AS s(sub)
+       |),
+       |assign0 AS MATERIALIZED (
+       |  SELECT vec_id, sub,
+       |         CAST(NTILE($k) OVER (PARTITION BY sub ORDER BY svec, vec_id) - 1 AS BIGINT) AS code
+       |  FROM svS
+       |),
+       |$iterCtes
+       |encd AS MATERIALIZED (
+       |  SELECT f.vec_id, f.sub, cb$iters.code,
+       |         SUM((f.v * 100000 - cb$iters.c) * (f.v * 100000 - cb$iters.c)) AS dist
+       |  FROM f JOIN cb$iters ON f.sub = cb$iters.sub AND f.pos = cb$iters.pos
+       |  GROUP BY 1, 2, 3
+       |),
+       |enca AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS r
+       |    FROM encd) WHERE r = 1
+       |),
+       |ev AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |cent AS (SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i),
+       |qf AS (SELECT * FROM ev WHERE vec_id % $qMod = 0),
+       |qdots AS (
+       |  SELECT qf.vec_id AS qid, cent.label,
+       |         SUM(qf.v * cent.c) AS dot,
+       |         SUM(qf.v * qf.v) AS qq,
+       |         SUM(cent.c * cent.c) AS cc
+       |  FROM qf JOIN cent ON qf.i = cent.i
+       |  GROUP BY 1, 2
+       |),
+       |probes AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+       |    FROM qdots)
+       |  WHERE pr <= $nprobe
+       |),
+       |qr AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, p.label, q.i, q.v - cc.c AS v
+       |  FROM fall q
+       |  JOIN probes p ON p.qid = q.vec_id
+       |  JOIN cc ON cc.label = p.label AND cc.i = q.i
+       |),
+       |lut AS MATERIALIZED (
+       |  SELECT s.qid, s.label, s.sub, cb$iters.code,
+       |         SUM((s.v * 100000 - cb$iters.c) * (s.v * 100000 - cb$iters.c)) AS qd
+       |  FROM (SELECT qid, label, CAST((i - 1) // $dsub AS BIGINT) AS sub,
+       |               (i - 1) % $dsub AS pos, v FROM qr) s
+       |  JOIN cb$iters ON s.sub = cb$iters.sub AND s.pos = cb$iters.pos
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |lists AS (SELECT vec_id, label FROM embeddings),
+       |adc AS (
+       |  SELECT p.qid, a.vec_id AS bid, CAST(SUM(lut.qd) AS BIGINT) AS adist
+       |  FROM probes p
+       |  JOIN lists l ON l.label = p.label
+       |  JOIN enca a ON a.vec_id = l.vec_id
+       |  JOIN lut ON lut.qid = p.qid AND lut.label = p.label
+       |           AND lut.sub = a.sub AND lut.code = a.code
+       |  WHERE a.vec_id <> p.qid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid, rank, bid, adist FROM (
+       |  SELECT qid, bid, adist,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, bid) AS rank
+       |  FROM adc) WHERE rank <= $topK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** The Spark side of the sign-hash init (1-based element_at, exactly
     * [[signInitSql]]).
     */
@@ -1042,7 +1190,141 @@ object SimQueries {
           when(lit(h6) > lit(h1), 1L).otherwise(0L).as("probe_recovery"))
   }
 
+  /** Battery-shared residual codebook + integer coarse centroids (the
+    * pqMemo pattern): e15 and e16 train the same residual codebook;
+    * the memo holds the collected (sub, code, centroid) rows plus the
+    * numLists coarse rows. Codes are re-derived per gate with the
+    * narrow [[graft.similarity.Pq.encodeSv]] map (bit-identical to the
+    * final Lloyd assignment), and every oracle replays full training.
+    */
+  private val resMemo = scala.collection.concurrent.TrieMap[
+    (String, Int, Int, Int, Int, Int),
+    ((org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]),
+     (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]))]()
+
+  private def sharedResidual(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      dim: Int, m: Int, k: Int, iters: Int, sampleN: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val dKey = s"$d|${graft.operators.Bucketing.suffix(spark, d)}"
+    val ((cs, cr), (ks, kr)) = resMemo.getOrElseUpdate((dKey, dim, m, k, iters, sampleN), {
+      val emb = embeddings(spark, d)
+      val corpus = emb.select($"vec_id", $"label", $"embedding")
+      val (_, cents, coarse) = graft.similarity.Pq.trainSampledResidual(
+        corpus, "vec_id", "embedding", "label", dim, m, k, iters, sampleN)
+      ((cents.schema, cents.collect().toSeq), (coarse.schema, coarse.collect().toSeq))
+    })
+    import scala.jdk.CollectionConverters._
+    (spark.createDataFrame(cr.asJava, cs), spark.createDataFrame(kr.asJava, ks))
+  }
+
+  /** e15 — RESIDUAL product quantization, the canonical IVF-PQ recipe
+    * (encode v − coarse(v), not v): the codebook spends its 16 codes
+    * per subspace on within-list spread instead of re-describing list
+    * means the IVF stage already knows, which is the textbook fix for
+    * e12's recall plateau. Integer-exact end-to-end: int8 quantize,
+    * floor-div integer coarse centroids (offset 127), residual
+    * codewords at offset 254 / scale 10^5 (overflow-safe: worst-case
+    * ADC sum ~10^17), per-(query, probed-list) LUT because the query's
+    * residual depends on the list being probed. Hash-oracled: DuckDB
+    * replays the full chain. RecallProbe measures the payoff at sf0.1
+    * (the one test scale with meaningful list populations): recall@5
+    * 11→13 (nprobe=4), 12→15 (6), 14→18 (8), 15→20 (10) vs the flat
+    * codebook — the ≥2-hit gain residual encoding exists to buy.
+    */
+  val residualIvfPq = Query("e15_pq_residual",
+    residualIvfPqOracleSql(dim = 64, m = 32, k = 16, iters = 4, sampleN = 200,
+      qMod = 100, topK = 5, nprobe = 2)) { (spark, d) =>
+    import spark.implicits._
+    val emb = embeddings(spark, d)
+    val corpus = emb.select($"vec_id", $"label", $"embedding")
+    val (cents, coarse) = sharedResidual(spark, d, dim = 64, m = 32, k = 16,
+      iters = 4, sampleN = 200)
+    val res = graft.similarity.Pq.residuals(corpus, coarse, "vec_id", "embedding", "label")
+    val codes = graft.similarity.Pq.encodeSv(
+      graft.similarity.Pq.subvectorsRaw(res, "vec_id", "rv", dim = 64, m = 32),
+      cents, "vec_id", graft.similarity.Pq.ResScale)
+    graft.similarity.Pq
+      .ivfAdcResidualTopK(codes, cents, coarse, corpus,
+        queries = emb.filter($"vec_id" % 100 === 0),
+        "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = 2)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** e16 — residual tier retrieval quality vs the flat tier, same
+    * sampled-train budget, same probe stage, at equal nprobe: pins
+    * (a) the residual nprobe=8 floor (≥ 12; measured 14/15/18 across
+    * scales), (b) strict probe recovery (nprobe=8 over nprobe=2;
+    * measured margins 8–12), and (c) NON-REGRESSION vs the flat
+    * codebook at nprobe=8 (res + 1 ≥ flat; measured 14/14, 15/15,
+    * 18/14 — ties at the two tiny scales where 500-vector lists leave
+    * no residual structure, +4 at sf0.1). The ≥2-hit IMPROVEMENT at
+    * sf0.1 is pinned by PqResidualSpec, which runs at that scale
+    * explicitly — a correctness gate must hold at every scale the
+    * driver runs, and at sf0.001/0.01 the honest claim is parity, not
+    * improvement.
+    */
+  val residualRecall = Query(
+    "e16_residual_recall",
+    """SELECT CAST(20 AS BIGINT) AS n_queries,
+      |       CAST(1 AS BIGINT) AS meets_bar_probe8,
+      |       CAST(1 AS BIGINT) AS probe_recovery,
+      |       CAST(1 AS BIGINT) AS no_flat_regression""".stripMargin) {
+    (spark, d) =>
+      import spark.implicits._
+      val emb = embeddings(spark, d)
+      val corpus = emb.select($"vec_id", $"label", $"embedding")
+      val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
+        .select($"vec_id", $"qv")
+      val exact = qv.as("a")
+        .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
+        .where($"a.vec_id" < 20)
+        .select(
+          $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
+          aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+            .as("d2"))
+      val w = Window.partitionBy($"qid").orderBy($"d2", $"bid")
+      val exactTop1 = exact
+        .withColumn("r", row_number().over(w)).filter($"r" === 1)
+        .select($"qid", $"bid")
+      val queries20 = emb.filter($"vec_id" < 20)
+      val (rcents, coarse) = sharedResidual(spark, d, dim = 64, m = 32, k = 16,
+        iters = 4, sampleN = 200)
+      val res = graft.similarity.Pq.residuals(corpus, coarse, "vec_id", "embedding", "label")
+      val rcodes = graft.similarity.Pq.encodeSv(
+        graft.similarity.Pq.subvectorsRaw(res, "vec_id", "rv", dim = 64, m = 32),
+        rcents, "vec_id", graft.similarity.Pq.ResScale)
+      def residualHits(nprobe: Int) =
+        exactTop1.join(
+          graft.similarity.Pq
+            .ivfAdcResidualTopK(rcodes, rcents, coarse, corpus, queries20,
+              "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = nprobe)
+            .select($"qid", $"bid"),
+          Seq("qid", "bid"), "left_semi")
+          .agg(count(lit(1))).as[Long].head()
+      val fcents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
+      val fcodes = graft.similarity.Pq
+        .encode(emb, fcents, "vec_id", "embedding", dim = 64, m = 32)
+      val flat8 = exactTop1.join(
+        graft.similarity.Pq
+          .ivfAdcTopK(fcodes, fcents, corpus, queries20,
+            "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = 8)
+          .select($"qid", $"bid"),
+        Seq("qid", "bid"), "left_semi")
+        .agg(count(lit(1))).as[Long].head()
+      val r2 = residualHits(2)
+      val r8 = residualHits(8)
+      exactTop1.agg(count(lit(1)).as("nq"))
+        .select(
+          $"nq".as("n_queries"),
+          when(lit(r8) >= 12, 1L).otherwise(0L).as("meets_bar_probe8"),
+          when(lit(r8) > lit(r2), 1L).otherwise(0L).as("probe_recovery"),
+          when(lit(r8) + 1L >= lit(flat8), 1L).otherwise(0L).as("no_flat_regression"))
+  }
+
   val all: Seq[Query] = Seq(
     knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild,
-    pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall)
+    pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall,
+    residualIvfPq, residualRecall)
 }

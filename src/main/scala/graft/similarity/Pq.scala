@@ -55,15 +55,29 @@ object Pq {
       idCol: String,
       vecCol: String,
       dim: Int,
+      m: Int): DataFrame =
+    subvectorsRaw(
+      Ann.quantize(corpus, vecCol, "__qv"), idCol, "__qv", dim, m)
+
+  /** As [[subvectors]] but over an ALREADY-integer vector column (no
+    * int8 re-quantization) — the residual path's entry: residuals are
+    * integers by construction and re-scaling them would destroy the
+    * exact coarse+residual decomposition.
+    */
+  def subvectorsRaw(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
       m: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    Ann.quantize(corpus, vecCol, "__qv")
-      .select(col(idCol), col("__qv"))
+    corpus
+      .select(col(idCol), col(vecCol))
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .select(
         col(idCol), col("sub").cast("long").as("sub"),
-        slice(col("__qv"), col("sub") * dsub + 1, lit(dsub)).as("svec"))
+        slice(col(vecCol), col("sub") * dsub + 1, lit(dsub)).as("svec"))
   }
 
   /** Squared L2 distance between a sub-vector (integer counts) and a
@@ -78,14 +92,17 @@ object Pq {
     * centroids of the current assignment. Returns (sub, code, centroid)
     * with centroid an int64 micro-unit array.
     */
-  def codebook(assigned: DataFrame): DataFrame =
+  def codebook(assigned: DataFrame, offset: Long = 127L, scale: Long = Micro): DataFrame =
     assigned
       .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("pos", "v")))
       .groupBy(col("sub"), col("code"), col("pos"))
-      // +127·count offset keeps the numerator non-negative so integral
+      // +offset·count keeps the numerator non-negative so integral
       // division is identical across engines (DuckDB // floors, Spark
-      // DIV truncates toward zero — they agree only for ≥ 0)
-      .agg(expr(s"((SUM(v) + 127 * COUNT(*)) * $Micro) DIV COUNT(*) - ${127 * Micro}").as("c"))
+      // DIV truncates toward zero — they agree only for ≥ 0). offset
+      // must be ≥ |min component|: 127 for int8 inputs, 254 for
+      // residuals (qv − coarse centroid spans ±254).
+      .agg(expr(s"((SUM(v) + $offset * COUNT(*)) * $scale) DIV COUNT(*) - ${offset} * $scale")
+        .as("c"))
       .groupBy(col("sub"), col("code"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("sub"), col("code"), transform(col("pc"), x => x.getField("c")).as("centroid"))
@@ -107,13 +124,25 @@ object Pq {
       dim: Int,
       m: Int,
       k: Int,
-      iters: Int): (DataFrame, DataFrame) = {
+      iters: Int): (DataFrame, DataFrame) =
+    trainSv(subvectors(corpus, idCol, vecCol, dim, m), idCol, k, iters)
+
+  /** The Lloyd loop over a pre-built (id, sub, svec) frame — shared by
+    * the int8 path ([[train]]) and the residual path
+    * ([[trainSampledResidual]], which brings its own offset/scale).
+    */
+  def trainSv(
+      svIn: DataFrame,
+      idCol: String,
+      k: Int,
+      iters: Int,
+      offset: Long = 127L,
+      scale: Long = Micro): (DataFrame, DataFrame) = {
     require(iters >= 1, "need at least one iteration")
-    val sc = corpus.sparkSession.sparkContext
     // One materialization of the sub-vector explosion feeds every Lloyd
     // round AND the final encode — without it each round re-reads and
     // re-quantizes the corpus from source.
-    val sv = subvectors(corpus, idCol, vecCol, dim, m).localCheckpoint()
+    val sv = svIn.localCheckpoint()
     var assigned = sv.withColumn("code", initCode(col(idCol), k))
       .withColumn("dist", lit(null).cast("long"))
     // Checkpoint RDDs by age: round r-1 must stay live even after
@@ -130,7 +159,7 @@ object Pq {
     var prevPrevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var cents: DataFrame = null
     (1 to iters).foreach { _ =>
-      cents = codebook(assigned)
+      cents = codebook(assigned, offset, scale)
       // Reassignment is an argmin over the subspace's k codewords,
       // delivered as ONE broadcast-joined array row per subspace: a pure
       // narrow map after a broadcast, ZERO shuffle of the corpus — the
@@ -150,7 +179,7 @@ object Pq {
         .agg(array_sort(collect_list(struct(col("code"), col("centroid")))).as("cb"))
       val best = array_min(transform(col("cb"), c =>
         struct(
-          dist2(col("svec"), c.getField("centroid")).as("d"),
+          dist2(col("svec"), c.getField("centroid"), scale).as("d"),
           c.getField("code").as("idx"))))
       // Sever lineage per round (the m5-components pattern): without
       // this, round r's codebook job re-executes rounds 1..r-1 and the
@@ -191,15 +220,23 @@ object Pq {
       idCol: String,
       vecCol: String,
       dim: Int,
-      m: Int): DataFrame = {
+      m: Int): DataFrame =
+    encodeSv(subvectors(corpus, idCol, vecCol, dim, m), cents, idCol)
+
+  /** The argmin encode map over a pre-built sub-vector frame. */
+  def encodeSv(
+      sv: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      scale: Long = Micro): DataFrame = {
     val cbArr = cents
       .groupBy(col("sub"))
       .agg(array_sort(collect_list(struct(col("code"), col("centroid")))).as("cb"))
     val best = array_min(transform(col("cb"), c =>
       struct(
-        dist2(col("svec"), c.getField("centroid")).as("d"),
+        dist2(col("svec"), c.getField("centroid"), scale).as("d"),
         c.getField("code").as("idx"))))
-    subvectors(corpus, idCol, vecCol, dim, m)
+    sv
       .join(broadcast(cbArr), Seq("sub"))
       .withColumn("best", best)
       .select(
@@ -326,6 +363,154 @@ object Pq {
       .join(broadcast(probes), Seq(listCol))
       .select(col("qid"), col(idCol).as("bid"), col("sub"), col("code"))
       .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .filter(col("qid") =!= col("bid"))
+      .groupBy(col("qid"), col("bid"))
+      .agg(sum(col("qd")).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("bid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("bid"), col("adist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ----- residual encoding (standard IVF-PQ: quantize v − coarse(v)) -----
+
+  /** Residual-domain codeword offset: residuals span ±254 (int8 value
+    * minus an int8-range coarse centroid), so the non-negative-numerator
+    * division trick needs 254, not 127.
+    */
+  val ResOffset = 254L
+
+  /** Residual-domain codeword scale. 10^5 instead of 10^6: residual
+    * distances are summed over m=32 LUT entries per candidate, and at
+    * 10^6 a worst-case all-±254 residual pair would overflow int64
+    * (32 · 2 · (508·10^6)² ≈ 1.7·10^19 > 2^63); at 10^5 the same worst
+    * case is 1.7·10^17 — safe with two orders of margin, while the
+    * codeword resolution (10^5 units per int8 step) still dwarfs any
+    * rounding effect on an argmin over integer inputs.
+    */
+  val ResScale = 100000L
+
+  /** Integer coarse centroids in int8 units: per-list
+    * `floor((Σ qv + 127·n) / n) − 127` — the non-negative floor-div
+    * trick at scale 1, so residual = qv − centroid stays an exact small
+    * integer in every engine.
+    */
+  def coarseIntCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      listCol: String): DataFrame =
+    Ann.quantize(corpus, vecCol, "__qv")
+      .select(col(listCol), posexplode(col("__qv")).as(Seq("pos", "v")))
+      .groupBy(col(listCol), col("pos"))
+      .agg(expr("(SUM(v) + 127 * COUNT(*)) DIV COUNT(*) - 127").as("c"))
+      .groupBy(col(listCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col(listCol), transform(col("pc"), x => x.getField("c")).as("cint"))
+
+  /** Residual vectors rv = quantize(v) − coarseInt(list), int64 array
+    * in [−254, 254]. A narrow broadcast-join map (the coarse table is
+    * numLists rows).
+    */
+  def residuals(
+      corpus: DataFrame,
+      coarse: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String): DataFrame =
+    Ann.quantize(corpus, vecCol, "__qv")
+      .select(col(idCol), col(listCol), col("__qv"))
+      .join(broadcast(coarse), Seq(listCol))
+      .select(
+        col(idCol), col(listCol),
+        zip_with(col("__qv"), col("cint"), _ - _).as("rv"))
+
+  /** Sample-bounded RESIDUAL PQ training — the canonical IVF-PQ recipe
+    * (Jégou et al., §IV): quantize the residual v − coarse(v), not the
+    * raw vector, so the codebook spends its 16 codes per subspace on
+    * the within-list spread instead of re-describing the list means the
+    * IVF stage already knows. Trains on a deterministic `sampleN`
+    * sample of residuals, encodes the full corpus with the result.
+    * Returns (codes, codebook, coarseInt).
+    */
+  def trainSampledResidual(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      sampleN: Int): (DataFrame, DataFrame, DataFrame) = {
+    val coarse = coarseIntCentroids(corpus, vecCol, listCol)
+    val res = residuals(corpus, coarse, idCol, vecCol, listCol)
+    val (_, cents) = trainSv(
+      subvectorsRaw(sampleDeterministic(res, idCol, sampleN), idCol, "rv", dim, m),
+      idCol, k, iters, ResOffset, ResScale)
+    val codes = encodeSv(subvectorsRaw(res, idCol, "rv", dim, m), cents, idCol, ResScale)
+    (codes, cents, coarse)
+  }
+
+  /** IVF + residual-PQ search: same probe stage as [[ivfAdcTopK]], but
+    * the LUT is PER (query, probed list) — the query's residual depends
+    * on which list it is probing (q − c_list), so each (qid, list) pair
+    * scores the m·k codewords once. LUT size |q|·nprobe·m·k — still a
+    * broadcast. Candidate scoring joins on (qid, list, sub, code), so a
+    * candidate is scored against the residual LUT of ITS OWN list,
+    * which is exactly the decomposition ‖q − x‖² ≈ ‖(q − c) −
+    * PQ(x − c)‖² the residual trade relies on.
+    */
+  def ivfAdcResidualTopK(
+      codes: DataFrame,
+      cents: DataFrame,
+      coarse: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val coarseD = Ann.centroids(corpus, listCol, vecCol)
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col(listCol))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(coarseD))
+      .select(
+        col("qid"), col(listCol),
+        round(Ann.cosine(col("qv"), col("centroid")), 6).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col(listCol))
+    val qres = Ann.quantize(queries, vecCol, "__qv")
+      .select(col(idCol).as("qid"), col("__qv"))
+      .join(probes, Seq("qid"))
+      .join(broadcast(coarse), Seq(listCol))
+      .select(
+        col("qid"), col(listCol),
+        zip_with(col("__qv"), col("cint"), _ - _).as("rqv"))
+    val lut = qres
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(
+        col("qid"), col(listCol), col("sub").cast("long").as("sub"),
+        slice(col("rqv"), col("sub") * dsub + 1, lit(dsub)).as("svec"))
+      .join(broadcast(cents), Seq("sub"))
+      .select(
+        col("qid"), col(listCol), col("sub"), col("code"),
+        dist2(col("svec"), col("centroid"), ResScale).as("qd"))
+    val codesWithList = codes
+      .join(corpus.select(col(idCol), col(listCol)), Seq(idCol))
+    val scored = codesWithList
+      .join(broadcast(probes), Seq(listCol))
+      .select(col("qid"), col(listCol), col(idCol).as("bid"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("qid", listCol, "sub", "code"))
       .filter(col("qid") =!= col("bid"))
       .groupBy(col("qid"), col("bid"))
       .agg(sum(col("qd")).as("adist"))

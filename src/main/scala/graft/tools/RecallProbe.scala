@@ -51,6 +51,26 @@ object RecallProbe {
         println(s"[recall] $d sampled200 ivf+pq nprobe=$nprobe hits=$h/20")
       }
 
+      // Residual tier (e15/e16 config): label lists, sampled residual
+      // codebook — A/B against the flat-codebook numbers above at equal
+      // nprobe.
+      val corpusL = emb.select($"vec_id", $"label", $"embedding")
+      val (rcodes0, rcents, coarse) = graft.similarity.Pq.trainSampledResidual(
+        corpusL, "vec_id", "embedding", "label",
+        dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
+      val rcodes = rcodes0.cache()
+      rcodes.count()
+      Seq(1, 2, 4, 6, 8, 10).foreach { nprobe =>
+        val r5 = graft.similarity.Pq
+          .ivfAdcResidualTopK(rcodes, rcents, coarse, corpusL,
+            queries = emb.filter($"vec_id" < 20),
+            "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = nprobe)
+          .select($"qid", $"bid")
+        val h = exactTop1.join(r5, Seq("qid", "bid"), "left_semi").count()
+        println(s"[recall] $d sampled200 RESIDUAL ivf+pq nprobe=$nprobe hits=$h/20")
+      }
+      rcodes.unpersist()
+
       // Unsupervised tier (e13/e14 config): learned 8-list k-means from
       // the sign-hash init, same sampled codebook.
       val init = emb.withColumn("ibkt",
