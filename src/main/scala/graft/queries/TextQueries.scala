@@ -1371,11 +1371,123 @@ object TextQueries {
         sum(when(nTok >= 30 && nStop / nTok < 0.2, 1L).otherwise(0L)).as("n_pass"))
   }
 
+  /** t23 — the rest of the Gopher quality suite (Rae et al. 2021,
+    * Table A1), completing t21's repetition family: word-count bounds
+    * [50, 100k], mean word length [3, 10], symbol-to-word ratio ≤ 0.1
+    * (# plus "..." occurrences), bullet-start ≤ 90% / ellipsis-end
+    * ≤ 30% of lines, alphabetic-word fraction ≥ 80%, and ≥ 2 distinct
+    * stop words from the canonical 8-word list. Every filter is a
+    * per-doc scalar projection — array HOFs over the token/line splits,
+    * ZERO shuffle, the whole gate is one narrow map over the scan.
+    * Ratios never materialize as floats: each pass flag is an integer
+    * cross-multiplication, and the exact integer numerators ship as
+    * columns so the oracle hash pins the arithmetic even where this
+    * synthetic corpus makes a flag constant (its lowercase a-z text has
+    * no symbols, newlines, or non-alpha words, and of the 8 canonical
+    * stop words only "the" occurs — so pass_wc and the two
+    * mean-word-length numerators carry the live signal here, which the
+    * scaladoc states rather than re-tuning thresholds to fake variance).
+    */
+  val gopherQuality = Query(
+    "t23_gopher_quality",
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |         string_split(text, ' ') AS t,
+      |         string_split(text, chr(10)) AS ln
+      |  FROM documents
+      |),
+      |st AS (
+      |  SELECT doc_id,
+      |         CAST(len(t) AS BIGINT) AS n_words,
+      |         CAST(list_aggregate(list_transform(t, w -> length(w)), 'sum') AS BIGINT) AS sum_word_chars,
+      |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+      |         CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+      |         CAST(len(ln) AS BIGINT) AS n_lines,
+      |         CAST(len(list_filter(ln, l -> starts_with(l, '•') OR starts_with(l, '- '))) AS BIGINT) AS n_bullet_lines,
+      |         CAST(len(list_filter(ln, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis_lines,
+      |         CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+      |         CAST((CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END)
+      |            + (CASE WHEN list_contains(t, 'be') THEN 1 ELSE 0 END)
+      |            + (CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END)
+      |            + (CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END)
+      |            + (CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END)
+      |            + (CASE WHEN list_contains(t, 'that') THEN 1 ELSE 0 END)
+      |            + (CASE WHEN list_contains(t, 'have') THEN 1 ELSE 0 END)
+      |            + (CASE WHEN list_contains(t, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_distinct
+      |  FROM s
+      |)
+      |SELECT doc_id, n_words, sum_word_chars, n_hash, n_ellipsis, n_lines,
+      |       n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_distinct,
+      |       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS pass_wc,
+      |       CAST(CASE WHEN 3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS pass_mwl,
+      |       CAST(CASE WHEN 10 * (n_hash + n_ellipsis) <= n_words THEN 1 ELSE 0 END AS BIGINT) AS pass_symbol,
+      |       CAST(CASE WHEN 10 * n_bullet_lines <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS pass_bullet,
+      |       CAST(CASE WHEN 10 * n_ellipsis_lines <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS pass_ellipsis,
+      |       CAST(CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS pass_alpha,
+      |       CAST(CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass_stop,
+      |       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+      |                  AND 3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words
+      |                  AND 10 * (n_hash + n_ellipsis) <= n_words
+      |                  AND 10 * n_bullet_lines <= 9 * n_lines
+      |                  AND 10 * n_ellipsis_lines <= 3 * n_lines
+      |                  AND 5 * n_alpha_words >= 4 * n_words
+      |                  AND n_stop_distinct >= 2
+      |            THEN 1 ELSE 0 END AS BIGINT) AS pass_all
+      |FROM st
+      |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val st = documents(spark, d)
+      .select($"doc_id", $"text",
+        split($"text", " ").as("t"),
+        split($"text", "\n").as("ln"))
+      .select(
+        $"doc_id",
+        size($"t").cast("long").as("n_words"),
+        aggregate(transform($"t", w => length(w).cast("long")), lit(0L), _ + _)
+          .as("sum_word_chars"),
+        (length($"text") - length(replace($"text", lit("#"), lit(""))))
+          .cast("long").as("n_hash"),
+        expr("CAST((length(text) - length(replace(text, '...', ''))) DIV 3 AS BIGINT)")
+          .as("n_ellipsis"),
+        size($"ln").cast("long").as("n_lines"),
+        size(filter($"ln", l => l.startsWith("•") || l.startsWith("- ")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter($"ln", l => l.endsWith("...")))
+          .cast("long").as("n_ellipsis_lines"),
+        size(filter($"t", w => w.rlike("[a-zA-Z]")))
+          .cast("long").as("n_alpha_words"),
+        stops.map(w => when(array_contains($"t", w), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_stop_distinct"))
+    val passWc = $"n_words" >= 50L && $"n_words" <= 100000L
+    val passMwl = lit(3L) * $"n_words" <= $"sum_word_chars" &&
+      $"sum_word_chars" <= lit(10L) * $"n_words"
+    val passSym = lit(10L) * ($"n_hash" + $"n_ellipsis") <= $"n_words"
+    val passBul = lit(10L) * $"n_bullet_lines" <= lit(9L) * $"n_lines"
+    val passEll = lit(10L) * $"n_ellipsis_lines" <= lit(3L) * $"n_lines"
+    val passAlp = lit(5L) * $"n_alpha_words" >= lit(4L) * $"n_words"
+    val passStp = $"n_stop_distinct" >= 2L
+    st.select(
+        $"doc_id", $"n_words", $"sum_word_chars", $"n_hash", $"n_ellipsis",
+        $"n_lines", $"n_bullet_lines", $"n_ellipsis_lines", $"n_alpha_words",
+        $"n_stop_distinct",
+        when(passWc, 1L).otherwise(0L).as("pass_wc"),
+        when(passMwl, 1L).otherwise(0L).as("pass_mwl"),
+        when(passSym, 1L).otherwise(0L).as("pass_symbol"),
+        when(passBul, 1L).otherwise(0L).as("pass_bullet"),
+        when(passEll, 1L).otherwise(0L).as("pass_ellipsis"),
+        when(passAlp, 1L).otherwise(0L).as("pass_alpha"),
+        when(passStp, 1L).otherwise(0L).as("pass_stop"),
+        when(passWc && passMwl && passSym && passBul && passEll && passAlp && passStp,
+          1L).otherwise(0L).as("pass_all"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
     sequencePacking, rollingFingerprint, bm25TopK, substringSpans,
     spanRemoval, decontaminate, decontamSpans, filterPipeline,
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
-    dedupBucketedDocs, streamQuality)
+    dedupBucketedDocs, streamQuality, gopherQuality)
 }
