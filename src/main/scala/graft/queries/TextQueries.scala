@@ -1045,42 +1045,14 @@ object TextQueries {
       |FROM tot t LEFT JOIN agg a USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin) { (spark, d) =>
     import spark.implicits._
-    val segs = documents(spark, d)
-      .select($"doc_id", split($"text", " ").as("t"))
-      .select($"doc_id", explode(transform(
-        sequence(lit(0L), ceil(size($"t") / lit(10.0)).cast("long") - 1),
-        i => struct(
-          i.as("seg_no"),
-          array_join(slice($"t", (i * 10 + 1).cast("int"), lit(10)), " ").as("seg"))))
-        .as("s"))
-      .select(
-        $"doc_id", $"s.seg_no".as("seg_no"), $"s.seg".as("seg"),
-        conv(substring(md5($"s.seg"), 1, 15), 16, 10).cast("long").as("h"),
-        // occ packs (doc_id, seg_no) into one int64; a doc with >= 2^20
-        // segments (~10M tokens) would alias into the next doc_id and
-        // silently corrupt keep-first ordering, so the bound is ENFORCED
-        // per row (codegen'd branch, no extra pass) — violation surfaces
-        // as a task failure, never as wrong dedup output.
-        when($"s.seg_no" < 1048576L, $"doc_id" * 1048576L + $"s.seg_no")
-          .otherwise(raise_error(concat(
-            lit("t18 occ packing overflow: seg_no >= 1048576 in doc_id "),
-            $"doc_id".cast("string")))).as("occ"))
+    // Segment derivation + per-doc re-assembly live in TextOps
+    // (docSegments / assembleSegmentDedup) — ONE body shared with the
+    // streaming twin `SegmentDedupStream`, so incremental mode cannot
+    // drift from this oracled batch semantics.
+    val segs = TextOps.docSegments(documents(spark, d))
     // Map-side-combinable global keep-first; the probe join streams.
     val keep = segs.groupBy($"h").agg(min($"occ").as("keeper"))
-    segs.join(keep, Seq("h"))
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_segs"),
-        sum(when($"occ" =!= $"keeper", 1L).otherwise(0L)).as("n_dropped"),
-        // per-doc ordered re-assembly — state bounded by len(doc)/10
-        array_join(
-          transform(
-            array_sort(collect_list(when($"occ" === $"keeper",
-              struct($"seg_no", $"seg")))),
-            x => x.getField("seg")), " ").as("ctext"))
-      .select(
-        $"doc_id", $"n_segs", $"n_dropped",
-        md5($"ctext").as("clean_fp"))
+    TextOps.assembleSegmentDedup(segs.join(keep, Seq("h")))
       .orderBy($"doc_id")
   }
 

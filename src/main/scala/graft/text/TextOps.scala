@@ -23,6 +23,57 @@ object TextOps {
     tokenCount(text) +
       (length(text) - length(regexp_replace(text, "[.,;:!?'-]", ""))).cast("long")
 
+  /** C4-segment derivation shared by the t18 batch gate and
+    * [[graft.streaming.SegmentDedupStream]] — ONE body, two execution
+    * modes, so the streaming twin cannot drift from the oracled batch
+    * semantics. Splits each doc into fixed 10-token segments and emits
+    * (doc_id, seg_no, seg, h, occ): h is the first-15-hex-chars md5
+    * digest as int64, occ packs (doc_id, seg_no) into one orderable
+    * int64 for global keep-FIRST. The seg_no < 2^20 packing bound is
+    * ENFORCED per row (codegen'd branch) — violation is a task failure,
+    * never silent wrong dedup.
+    */
+  def docSegments(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0L), ceil(size(col("t")) / lit(10.0)).cast("long") - 1),
+        i => struct(
+          i.as("seg_no"),
+          array_join(slice(col("t"), (i * 10 + 1).cast("int"), lit(10)), " ").as("seg"))))
+        .as("s"))
+      .select(
+        col("doc_id"), col("s.seg_no").as("seg_no"), col("s.seg").as("seg"),
+        conv(substring(md5(col("s.seg")), 1, 15), 16, 10).cast("long").as("h"),
+        when(col("s.seg_no") < 1048576L, col("doc_id") * 1048576L + col("s.seg_no"))
+          .otherwise(raise_error(concat(
+            lit("t18 occ packing overflow: seg_no >= 1048576 in doc_id "),
+            col("doc_id").cast("string")))).as("occ"))
+
+  /** Per-doc re-assembly downstream of segment keep-first: expects the
+    * [[docSegments]] frame joined with a nullable `keeper` column (null
+    * or ≠ occ ⇒ that occurrence is dropped). State is per-DOC, bounded
+    * by len(doc)/10. Null-safe on purpose: the streaming path left-joins
+    * its batch-local keepers, so segments whose hash was claimed by an
+    * EARLIER micro-batch arrive with keeper null and must count as
+    * dropped — the batch path's inner join never produces nulls, making
+    * the two modes share this body verbatim.
+    */
+  def assembleSegmentDedup(joined: DataFrame): DataFrame =
+    joined
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("occ") === col("keeper"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("occ") === col("keeper"),
+              struct(col("seg_no"), col("seg"))))),
+            x => x.getField("seg")), " ").as("ctext"))
+      .select(
+        col("doc_id"), col("n_segs"), col("n_dropped"),
+        md5(col("ctext")).as("clean_fp"))
+
   /** Count of tokens drawn from a stopword list. */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     size(filter(split(text, " "), t => stopwords.map(t === _).reduce(_ || _))).cast("long")
