@@ -38,12 +38,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: touch every table once so scheduler/codegen init and file
-    // listing are not billed to the first query.
+    // listing are not billed to the first query. Each load is individually
+    // guarded — one broken loader must degrade its own gates, not kill the
+    // whole bench before any JSON is emitted (the BENCH_r07/r08 rc=1
+    // failure mode: the events loader threw here, outside any try/catch).
     Seq(
-      Tables.lineitem _, Tables.orders _, Tables.customer _, Tables.part _,
-      Tables.nation _, Tables.region _, Tables.supplier _, Tables.events _,
-      Tables.documents _, Tables.embeddings _)
-      .foreach(load => load(spark, sfDir).count())
+      "lineitem" -> (Tables.lineitem _), "orders" -> (Tables.orders _),
+      "customer" -> (Tables.customer _), "part" -> (Tables.part _),
+      "nation" -> (Tables.nation _), "region" -> (Tables.region _),
+      "supplier" -> (Tables.supplier _), "events" -> (Tables.events _),
+      "documents" -> (Tables.documents _), "embeddings" -> (Tables.embeddings _))
+      .foreach { case (name, load) =>
+        try load(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] WARMUP FAILED for table $name: ${e.getMessage}")
+        }
+      }
     // Optional args: run only the named queries (dev loop; the driver
     // passes no args, so its behavior is unchanged).
     val only = args.toSet
@@ -64,10 +74,18 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
     }
-    // The one cache the POS battery shares by design.
-    val pos = graft.queries.PosQueries.posify(spark, sfDir)
-    pos.cache()
-    pos.count()
+    // The one cache the POS battery shares by design. Guarded like the
+    // warm-up loads: if posify itself breaks, the pos gates fail in their
+    // own timed try/catch and the rest of the battery still reports.
+    def warmPos(): Unit =
+      try {
+        val pos = graft.queries.PosQueries.posify(spark, sfDir)
+        pos.cache()
+        pos.count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED for posify: ${e.getMessage}")
+      }
+    warmPos()
     // Median of N timed runs per query — taken across N FULL BATTERY
     // PASSES, not N consecutive runs. The shared bench host sees
     // multi-minute external contention windows (observed: one ~6 min
@@ -191,8 +209,7 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         System.gc()
-        pos.cache()
-        pos.count()
+        warmPos()
       }
       probes += probe()
       probesMt += probeMt()

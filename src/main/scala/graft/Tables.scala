@@ -20,16 +20,27 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy flag) and rebuild a
-    * microsecond TimestampType via exact integer division — truncation is
-    * order-preserving, and no query emits the raw timestamp.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS), TIMESTAMP(MICROS)
+    * and (from `tools/ScaleUp`) raw BIGINT nanos across testdata
+    * generations, so dispatch on the loaded dtype instead of assuming one:
+    *   - LongType (NANOS via the legacy flag, or ScaleUp's BIGINT output):
+    *     rebuild a microsecond timestamp via exact integer division —
+    *     truncation is order-preserving and no query emits raw nanos;
+    *   - TIMESTAMP_NTZ (how plain timestamp[us] loads by default): cast to
+    *     TimestampType — numerically a no-op under the UTC session TZ, and
+    *     it keeps every downstream query and oracle on the one dtype;
+    *   - TimestampType: pass through.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(spark, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

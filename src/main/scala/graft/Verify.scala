@@ -22,6 +22,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -30,6 +31,7 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           e.printStackTrace()
+          failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +49,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A gate that throws must be LOUD, not a missing directory: in rounds
+    // 7-8 a broken table loader silently dropped 14 gates from the
+    // driver's CORRECTNESS file ("all green" with a shrunken denominator).
+    // Always write the failure map — an empty {} is the positive signal
+    // that every attempted gate produced output. Exit 0 regardless so the
+    // driver still compares the gates that DID succeed (a nonzero rc could
+    // zero the whole round over one flaky gate).
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} gate(s) FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }
