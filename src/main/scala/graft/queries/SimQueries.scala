@@ -1130,18 +1130,24 @@ object SimQueries {
   /** e14 — the unsupervised tier's RETRIEVAL QUALITY (e12's pattern
     * with e13's learned lists): sign-hash init → 2 Lloyd rounds → 8
     * geometric lists, sampled codebook, recall@5 vs the exact int8-L2
-    * top-1 at two probe widths. RecallProbe-measured across all three
-    * scales: nprobe=1 recalls 5–6/20 (an eighth of the corpus),
-    * nprobe=6 recovers 13–15/20 — matching the LABEL-list curve at
-    * equal prune fraction, which is the load-bearing fact: the lists a
-    * 100 TB unlabeled corpus can actually build lose nothing vs the
-    * ground-truth lists e12 measures. Gate pins the nprobe=6 floor
-    * (≥ 11, margin ≥ 2 at every scale) and strict probe recovery
-    * (nprobe=6 hits above nprobe=1's, measured margins 7–10).
+    * top-1 at two probe widths. The panel is the 200 lowest vec_ids
+    * (dense from 0 at every scale, so the panel is deterministic and
+    * scale-stable) — widened from 20 in round 9 so the recall floor is
+    * statistically meaningful: at 55% true recall the ±2σ band on 200
+    * draws is ±7%, vs ±22% on 20. RecallProbe-measured on the 200-wide
+    * panel (all three scales): nprobe=1 recalls 48–62/200 (an eighth
+    * of the corpus), nprobe=6 recovers 144–164/200 (72–82%) — matching
+    * the LABEL-list curve at equal prune fraction, which is the
+    * load-bearing fact: the lists a 100 TB unlabeled corpus can
+    * actually build lose nothing vs the ground-truth lists e12
+    * measures. Gate pins the nprobe=6 floor (≥ 110/200, the same 55%
+    * bar the old ≥ 11/20 set, now with ≥ 34-hit measured margin) and
+    * strict probe recovery (nprobe=6 hits above nprobe=1's, measured
+    * margins ≥ 90).
     */
   val unsupRecall = Query(
     "e14_unsup_recall",
-    """SELECT CAST(20 AS BIGINT) AS n_queries,
+    """SELECT CAST(200 AS BIGINT) AS n_queries,
       |       CAST(1 AS BIGINT) AS meets_bar_probe6,
       |       CAST(1 AS BIGINT) AS probe_recovery""".stripMargin) {
     (spark, d) =>
@@ -1151,7 +1157,7 @@ object SimQueries {
         .select($"vec_id", $"qv")
       val exact = qv.as("a")
         .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
-        .where($"a.vec_id" < 20)
+        .where($"a.vec_id" < 200)
         .select(
           $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
           aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
@@ -1174,7 +1180,7 @@ object SimQueries {
       def hitsAt(nprobe: Int) = {
         val top5 = graft.similarity.Pq
           .ivfAdcTopK(codes, cents, corpus,
-            queries = emb.filter($"vec_id" < 20),
+            queries = emb.filter($"vec_id" < 200),
             "vec_id", "embedding", "list", dim = 64, m = 32, k = 5, nprobe = nprobe)
           .select($"qid", $"bid")
         exactTop1.join(top5, Seq("qid", "bid"), "left_semi")
@@ -1186,7 +1192,7 @@ object SimQueries {
       exactTop1.agg(count(lit(1)).as("nq"))
         .select(
           $"nq".as("n_queries"),
-          when(lit(h6) >= 11, 1L).otherwise(0L).as("meets_bar_probe6"),
+          when(lit(h6) >= 110, 1L).otherwise(0L).as("meets_bar_probe6"),
           when(lit(h6) > lit(h1), 1L).otherwise(0L).as("probe_recovery"))
   }
 

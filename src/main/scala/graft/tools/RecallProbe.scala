@@ -19,13 +19,17 @@ object RecallProbe {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
 
+    // Panel width (number of query ids): env SPARK_GRAFT_RECALL_PANEL,
+    // default 20 (the historical bars); e14's round-9 bar was set from
+    // the 200-wide run.
+    val panel = sys.env.getOrElse("SPARK_GRAFT_RECALL_PANEL", "20").toInt
     args.foreach { d =>
       val emb = graft.Tables.embeddings(spark, d)
       val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
         .select($"vec_id", $"qv")
       val exact = qv.as("a")
         .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
-        .where($"a.vec_id" < 20)
+        .where($"a.vec_id" < panel)
         .select(
           $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
           aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
@@ -44,11 +48,11 @@ object RecallProbe {
         val ivf5 = graft.similarity.Pq
           .ivfAdcTopK(codes, cents,
             corpus = emb.select($"vec_id", $"label", $"embedding"),
-            queries = emb.filter($"vec_id" < 20),
+            queries = emb.filter($"vec_id" < panel),
             "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = nprobe)
           .select($"qid", $"bid")
         val h = exactTop1.join(ivf5, Seq("qid", "bid"), "left_semi").count()
-        println(s"[recall] $d sampled200 ivf+pq nprobe=$nprobe hits=$h/20")
+        println(s"[recall] $d sampled200 ivf+pq nprobe=$nprobe hits=$h/$panel")
       }
 
       // Residual tier (e15/e16 config): label lists, sampled residual
@@ -63,11 +67,11 @@ object RecallProbe {
       Seq(1, 2, 4, 6, 8, 10).foreach { nprobe =>
         val r5 = graft.similarity.Pq
           .ivfAdcResidualTopK(rcodes, rcents, coarse, corpusL,
-            queries = emb.filter($"vec_id" < 20),
+            queries = emb.filter($"vec_id" < panel),
             "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = nprobe)
           .select($"qid", $"bid")
         val h = exactTop1.join(r5, Seq("qid", "bid"), "left_semi").count()
-        println(s"[recall] $d sampled200 RESIDUAL ivf+pq nprobe=$nprobe hits=$h/20")
+        println(s"[recall] $d sampled200 RESIDUAL ivf+pq nprobe=$nprobe hits=$h/$panel")
       }
       rcodes.unpersist()
 
@@ -86,11 +90,11 @@ object RecallProbe {
       Seq(1, 2, 3, 4, 6, 8).foreach { nprobe =>
         val ivf5 = graft.similarity.Pq
           .ivfAdcTopK(codes, cents, corpusU,
-            queries = emb.filter($"vec_id" < 20),
+            queries = emb.filter($"vec_id" < panel),
             "vec_id", "embedding", "list", dim = 64, m = 32, k = 5, nprobe = nprobe)
           .select($"qid", $"bid")
         val h = exactTop1.join(ivf5, Seq("qid", "bid"), "left_semi").count()
-        println(s"[recall] $d sampled200 UNSUP-8list ivf+pq nprobe=$nprobe hits=$h/20")
+        println(s"[recall] $d sampled200 UNSUP-8list ivf+pq nprobe=$nprobe hits=$h/$panel")
       }
       corpusU.unpersist()
     }

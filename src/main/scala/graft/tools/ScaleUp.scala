@@ -23,9 +23,10 @@ object ScaleUp {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read it as raw longs
-      // and write plain BIGINT nanos back (Tables.events handles both).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts has shipped as TIMESTAMP(NANOS), timestamp[us] and
+      // BIGINT nanos across testdata generations; the events copies
+      // below load through Tables.events, which normalizes all three to
+      // TimestampType (this also sets the nanosAsLong flag it needs).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,18 +34,21 @@ object ScaleUp {
 
     val keyOff = 100000000L // > any sf0.1 orderkey
     val evOff = 1000000000L
-    val nsShift = 37L * 3600 * 1000 * 1000 * 1000 // 37 h in ns
 
-    def scaled(name: String)(shift: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
-      val base = spark.read.parquet(s"$sfDir/$name.parquet")
+    def scaledFrom(base: org.apache.spark.sql.DataFrame, name: String)(
+        shift: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit =
       (0 until copies).map(i => shift(base, i)).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-    }
+    def scaled(name: String)(shift: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit =
+      scaledFrom(spark.read.parquet(s"$sfDir/$name.parquet"), name)(shift)
     scaled("lineitem")((df, i) => df.withColumn("l_orderkey", $"l_orderkey" + i * keyOff))
     scaled("orders")((df, i) => df.withColumn("o_orderkey", $"o_orderkey" + i * keyOff))
-    scaled("events") { (df, i) =>
+    // Tables.events normalizes ts to TimestampType whatever the file
+    // stores, so the 37 h shift is an interval add; the copies write
+    // timestamp[us], which Tables.events passes through on read.
+    scaledFrom(graft.Tables.events(spark, sfDir), "events") { (df, i) =>
       df.withColumn("event_id", $"event_id" + i * evOff)
-        .withColumn("ts", $"ts" + i * nsShift)
+        .withColumn("ts", $"ts" + expr(s"make_interval(0, 0, 0, 0, ${37 * i}, 0, 0)"))
     }
     // Optional 4th arg "corpora": also scale documents/embeddings
     // ×copies. Each document copy i suffixes every TOKEN with "·i", so
