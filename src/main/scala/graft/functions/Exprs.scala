@@ -66,6 +66,20 @@ object Exprs {
   def cosine(a: Column, b: Column): Column =
     CosineSimilarity.column(org.apache.spark.sql.SparkSession.active, a, b)
 
+  /** Exact squared L2 distance between two long-vector columns — the
+    * native codegen'd expression ([[SqDistLong]]); bit-identical to
+    * [[sqDistLongHof]] (integer arithmetic, order-free).
+    */
+  def sqDistLong(a: Column, b: Column): Column =
+    SqDistLong.column(org.apache.spark.sql.SparkSession.active, a, b)
+
+  /** Built-ins-only squared-L2 fold — interpreted HOFs; kept as the
+    * reference implementation [[SqDistLong]] is equivalence-tested
+    * against.
+    */
+  def sqDistLongHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
   /** Built-ins-only variant (zip_with + aggregate fold) — interpreted
     * higher-order functions; kept as the reference implementation the
     * native expression is equivalence-tested against.

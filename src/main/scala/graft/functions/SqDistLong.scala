@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native Catalyst expression: squared L2 distance between two LONG
+  * array columns, as one fused codegen loop. Exact integer arithmetic
+  * (sum of (x−y)² over int8-quantized components fits a long with huge
+  * headroom: 64 dims × 254² < 2²³), so the result is bit-identical to
+  * the `aggregate(zip_with(...))` fold it replaces in ANY summation
+  * order — the native expression changes only the cost, never the value.
+  *
+  * Motivation (round 9): the recall gates' exact ground-truth baseline
+  * evaluates this over panel × corpus pairs; with the statistical panels
+  * widened to 200 queries the interpreted-HOF fold became the bench's
+  * heaviest single expression (e14 at 18 s cold). Same preference-order
+  * case (b) as [[CosineSimilarity]].
+  */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sq_dist_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistLong {
+
+  val name = "sq_dist_long"
+
+  /** Install into the session's function registry (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => SqDistLong(exprs.head, exprs(1)), "built-in")
+
+  /** Column-level entry point; requires [[register]] on the session. */
+  def column(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(name, a, b)
+  }
+}

@@ -548,33 +548,25 @@ object SimQueries {
 
   /** e9 — PQ retrieval QUALITY, not just determinism (the gap e8 leaves:
     * its oracle replays the same algorithm, so a garbage codebook would
-    * still hash-match). Here Spark measures recall@5 — how many of 20
-    * queries have their EXACT integer-L2 top-1 inside the ADC top-5 —
-    * and emits a bound flag; the oracle asserts the constant 1 (the
-    * r6/r7 sketch pattern). If codebook training ever regresses below
-    * 14/20, the hash breaks. The exact baseline is the same int8
-    * quantized-L2 the e1/e6 gates oracle independently.
+    * still hash-match). Here Spark measures recall@5 — how many of the
+    * 200-query panel have their EXACT integer-L2 top-1 inside the ADC
+    * top-5 — and emits a bound flag; the oracle asserts the constant 1
+    * (the r6/r7 sketch pattern). Panel widened 20→200 in round 9 (±2σ
+    * on the bar tightens from ±22% to ±7%); RecallProbe measures the
+    * full-train flat-ADC config at 152–178/200 across the three scales
+    * (the 152 is sf0.1, where 2000 corpus vectors stretch the 512-code
+    * budget hardest), so the ≥ 140/200 bar (the old 14/20 fraction)
+    * holds with a ≥ 12-hit measured margin. The exact baseline is the
+    * same int8 quantized-L2 the e1/e6 gates oracle independently.
     */
   val pqRecall = Query(
     "e9_pq_recall",
-    "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS meets_recall_bar") {
+    "SELECT CAST(200 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS meets_recall_bar") {
     (spark, d) =>
       import spark.implicits._
       val emb = embeddings(spark, d)
-      val q = emb.filter($"vec_id" < 20)
-      val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
-        .select($"vec_id", $"qv")
-      val exact = qv.as("a")
-        .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
-        .where($"a.vec_id" < 20)
-        .select(
-          $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
-          aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-            .as("d2"))
-      val w = Window.partitionBy($"qid").orderBy($"d2", $"bid")
-      val exactTop1 = exact
-        .withColumn("r", row_number().over(w)).filter($"r" === 1)
-        .select($"qid", $"bid")
+      val q = emb.filter($"vec_id" < 200)
+      val exactTop1 = exactTop1Panel(emb, 200)
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = -1)
       val codes = graft.similarity.Pq
         .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
@@ -586,7 +578,7 @@ object SimQueries {
         .crossJoin(hits.agg(count(lit(1)).as("h")))
         .select(
           $"nq".as("n_queries"),
-          when($"h" >= 14, 1L).otherwise(0L).as("meets_recall_bar"))
+          when($"h" >= 140, 1L).otherwise(0L).as("meets_recall_bar"))
   }
 
   /** DuckDB replay of [[graft.similarity.Pq.ivfAdcTopK]]: the e8
@@ -671,28 +663,19 @@ object SimQueries {
     * it, and recall@5 against the exact int8-L2 top-1 must clear the
     * bar. This pins the 100 TB training path — bounded-sample fit plus
     * narrow-map encode — to a measured quality floor, not just a
-    * determinism check.
+    * determinism check. 200-query panel (round 9); RecallProbe measures
+    * 152–172/200 across the scales, so the ≥ 120/200 bar (the old
+    * 12/20 fraction) holds with a ≥ 32-hit margin — and sits within 26
+    * hits of e9's full-train codebook, which is the sampling claim.
     */
   val pqSampledRecall = Query(
     "e11_pq_sampled_recall",
-    "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS meets_recall_bar") {
+    "SELECT CAST(200 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS meets_recall_bar") {
     (spark, d) =>
       import spark.implicits._
       val emb = embeddings(spark, d)
-      val q = emb.filter($"vec_id" < 20)
-      val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
-        .select($"vec_id", $"qv")
-      val exact = qv.as("a")
-        .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
-        .where($"a.vec_id" < 20)
-        .select(
-          $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
-          aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-            .as("d2"))
-      val w = Window.partitionBy($"qid").orderBy($"d2", $"bid")
-      val exactTop1 = exact
-        .withColumn("r", row_number().over(w)).filter($"r" === 1)
-        .select($"qid", $"bid")
+      val q = emb.filter($"vec_id" < 200)
+      val exactTop1 = exactTop1Panel(emb, 200)
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
       val codes = graft.similarity.Pq
         .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
@@ -704,45 +687,34 @@ object SimQueries {
         .crossJoin(hits.agg(count(lit(1)).as("h")))
         .select(
           $"nq".as("n_queries"),
-          when($"h" >= 12, 1L).otherwise(0L).as("meets_recall_bar"))
+          when($"h" >= 120, 1L).otherwise(0L).as("meets_recall_bar"))
   }
 
   /** e12 — the composed 100 TB ANN config's RETRIEVAL QUALITY: sampled
     * codebook (e11's 200-vector fit, shared via the memo) + IVF-pruned
     * ADC (e10's composition), recall@5 vs the exact int8-L2 top-1 at
-    * two probe widths. Pins the textbook IVF trade with measured
-    * margins (RecallProbe, all three scales): nprobe=2 prunes to ~20%
-    * of the corpus and recalls only 3–7/20 — the dataset's coarse lists
-    * are label clusters, not geometric ones, so aggressive pruning
-    * loses true neighbors — while nprobe=8 recovers 14–15/20, clearing
-    * e11's flat-ADC bar. The gate asserts BOTH the nprobe=8 floor
-    * (≥ 12) and the recovery property (probe-8 hits strictly above
-    * probe-2 hits), so a regression in either the probe ranking or the
-    * ADC tables trips it. e10 pins the pruned computation's exactness;
+    * two probe widths, on the 200-query panel (round 9). Pins the
+    * textbook IVF trade with measured margins (RecallProbe, all three
+    * scales): nprobe=2 prunes to ~20% of the corpus and recalls only
+    * 49–60/200 — the dataset's coarse lists are label clusters, not
+    * geometric ones, so aggressive pruning loses true neighbors —
+    * while nprobe=8 recovers 139–154/200. The gate asserts BOTH the
+    * nprobe=8 floor (≥ 120/200, the old 12/20 fraction, ≥ 19-hit
+    * measured margin) and the recovery property (probe-8 hits strictly
+    * above probe-2 hits, measured margins ≥ 83), so a regression in
+    * either the probe ranking or the ADC tables trips it. e10 pins the pruned computation's exactness;
     * this pins what the pruning costs and that widening probes buys it
     * back — the two numbers a 100 TB operator actually tunes.
     */
   val ivfPqRecall = Query(
     "e12_ivf_pq_recall",
-    """SELECT CAST(20 AS BIGINT) AS n_queries,
+    """SELECT CAST(200 AS BIGINT) AS n_queries,
       |       CAST(1 AS BIGINT) AS meets_bar_probe8,
       |       CAST(1 AS BIGINT) AS probe_recovery""".stripMargin) {
     (spark, d) =>
       import spark.implicits._
       val emb = embeddings(spark, d)
-      val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
-        .select($"vec_id", $"qv")
-      val exact = qv.as("a")
-        .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
-        .where($"a.vec_id" < 20)
-        .select(
-          $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
-          aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-            .as("d2"))
-      val w = Window.partitionBy($"qid").orderBy($"d2", $"bid")
-      val exactTop1 = exact
-        .withColumn("r", row_number().over(w)).filter($"r" === 1)
-        .select($"qid", $"bid")
+      val exactTop1 = exactTop1Panel(emb, 200)
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
       val codes = graft.similarity.Pq
         .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
@@ -750,7 +722,7 @@ object SimQueries {
         val top5 = graft.similarity.Pq
           .ivfAdcTopK(codes, cents,
             corpus = emb.select($"vec_id", $"label", $"embedding"),
-            queries = emb.filter($"vec_id" < 20),
+            queries = emb.filter($"vec_id" < 200),
             "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = nprobe)
           .select($"qid", $"bid")
         exactTop1.join(top5, Seq("qid", "bid"), "left_semi")
@@ -761,7 +733,7 @@ object SimQueries {
       exactTop1.agg(count(lit(1)).as("nq"))
         .select(
           $"nq".as("n_queries"),
-          when(lit(h8) >= 12, 1L).otherwise(0L).as("meets_bar_probe8"),
+          when(lit(h8) >= 120, 1L).otherwise(0L).as("meets_bar_probe8"),
           when(lit(h8) > lit(h2), 1L).otherwise(0L).as("probe_recovery"))
   }
 
@@ -1093,6 +1065,32 @@ object SimQueries {
       when(element_at(col("embedding"), 2) >= 0, 2).otherwise(0) +
       when(element_at(col("embedding"), 3) >= 0, 1).otherwise(0)
 
+  /** Exact int8-L2 top-1 neighbour for the `panel` lowest vec_ids — the
+    * shared ground truth of every recall gate (e9/e11/e12/e14/e16). The
+    * pair distance is the native codegen'd [[graft.functions.SqDistLong]]
+    * loop (bit-identical to the HOF fold it replaced — integer
+    * arithmetic, `SqDistLongSpec` pins the equivalence; the interpreted
+    * fold was the bench's heaviest expression once the panels widened to
+    * 200). Cached: each gate references the frame two-to-three times
+    * (one per probe width, plus the final panel count), and it is at
+    * most `panel` rows.
+    */
+  private def exactTop1Panel(
+      emb: org.apache.spark.sql.DataFrame, panel: Int): org.apache.spark.sql.DataFrame = {
+    val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
+      .select(col("vec_id"), col("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("bid"))
+    qv.as("a")
+      .join(qv.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .where(col("a.vec_id") < panel)
+      .select(
+        col("a.vec_id").as("qid"), col("b.vec_id").as("bid"),
+        graft.functions.Exprs.sqDistLong(col("a.qv"), col("b.qv")).as("d2"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("qid"), col("bid"))
+      .cache()
+  }
+
   /** e13 — the UNSUPERVISED composed tier: closes round 6's one `weak`.
     * e10/e12 prove IVF+PQ with *label* coarse lists, but 100 TB of web
     * text has no labels — here the lists are LEARNED: sign-hash LSH
@@ -1153,19 +1151,7 @@ object SimQueries {
     (spark, d) =>
       import spark.implicits._
       val emb = embeddings(spark, d)
-      val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
-        .select($"vec_id", $"qv")
-      val exact = qv.as("a")
-        .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
-        .where($"a.vec_id" < 200)
-        .select(
-          $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
-          aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-            .as("d2"))
-      val w = Window.partitionBy($"qid").orderBy($"d2", $"bid")
-      val exactTop1 = exact
-        .withColumn("r", row_number().over(w)).filter($"r" === 1)
-        .select($"qid", $"bid")
+      val exactTop1 = exactTop1Panel(emb, 200)
       val lists = graft.similarity.Ann.kmeansIterate(
         emb.withColumn("ibkt", signInitCol), "vec_id", "embedding", "ibkt", 2)
       val corpus = emb.join(lists.select($"vec_id", $"list"), Seq("vec_id"))
@@ -1259,21 +1245,22 @@ object SimQueries {
   }
 
   /** e16 — residual tier retrieval quality vs the flat tier, same
-    * sampled-train budget, same probe stage, at equal nprobe: pins
-    * (a) the residual nprobe=8 floor (≥ 12; measured 14/15/18 across
-    * scales), (b) strict probe recovery (nprobe=8 over nprobe=2;
-    * measured margins 8–12), and (c) NON-REGRESSION vs the flat
-    * codebook at nprobe=8 (res + 1 ≥ flat; measured 14/14, 15/15,
-    * 18/14 — ties at the two tiny scales where 500-vector lists leave
-    * no residual structure, +4 at sf0.1). The ≥2-hit IMPROVEMENT at
-    * sf0.1 is pinned by PqResidualSpec, which runs at that scale
-    * explicitly — a correctness gate must hold at every scale the
-    * driver runs, and at sf0.001/0.01 the honest claim is parity, not
-    * improvement.
+    * sampled-train budget, same probe stage, at equal nprobe, on the
+    * 200-query panel (round 9): pins (a) the residual nprobe=8 floor
+    * (≥ 120/200, the old 12/20 fraction; measured 153/154/144 across
+    * scales — ≥ 24-hit margin), (b) strict probe recovery (nprobe=8
+    * over nprobe=2; measured margins 94–102), and (c) NON-REGRESSION
+    * vs the flat codebook at nprobe=8 (res + 1 ≥ flat; measured
+    * 153/149, 154/154, 144/139 — near-parity at the two tiny scales
+    * where 500-vector lists leave little residual structure, +5 at
+    * sf0.1). The IMPROVEMENT at sf0.1 is pinned by PqResidualSpec,
+    * which runs at that scale explicitly — a correctness gate must
+    * hold at every scale the driver runs, and at sf0.001/0.01 the
+    * honest claim is parity, not improvement.
     */
   val residualRecall = Query(
     "e16_residual_recall",
-    """SELECT CAST(20 AS BIGINT) AS n_queries,
+    """SELECT CAST(200 AS BIGINT) AS n_queries,
       |       CAST(1 AS BIGINT) AS meets_bar_probe8,
       |       CAST(1 AS BIGINT) AS probe_recovery,
       |       CAST(1 AS BIGINT) AS no_flat_regression""".stripMargin) {
@@ -1281,20 +1268,8 @@ object SimQueries {
       import spark.implicits._
       val emb = embeddings(spark, d)
       val corpus = emb.select($"vec_id", $"label", $"embedding")
-      val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
-        .select($"vec_id", $"qv")
-      val exact = qv.as("a")
-        .join(qv.as("b"), $"a.vec_id" =!= $"b.vec_id")
-        .where($"a.vec_id" < 20)
-        .select(
-          $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
-          aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-            .as("d2"))
-      val w = Window.partitionBy($"qid").orderBy($"d2", $"bid")
-      val exactTop1 = exact
-        .withColumn("r", row_number().over(w)).filter($"r" === 1)
-        .select($"qid", $"bid")
-      val queries20 = emb.filter($"vec_id" < 20)
+      val exactTop1 = exactTop1Panel(emb, 200)
+      val panelQ = emb.filter($"vec_id" < 200)
       val (rcents, coarse) = sharedResidual(spark, d, dim = 64, m = 32, k = 16,
         iters = 4, sampleN = 200)
       val res = graft.similarity.Pq.residuals(corpus, coarse, "vec_id", "embedding", "label")
@@ -1304,7 +1279,7 @@ object SimQueries {
       def residualHits(nprobe: Int) =
         exactTop1.join(
           graft.similarity.Pq
-            .ivfAdcResidualTopK(rcodes, rcents, coarse, corpus, queries20,
+            .ivfAdcResidualTopK(rcodes, rcents, coarse, corpus, panelQ,
               "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = nprobe)
             .select($"qid", $"bid"),
           Seq("qid", "bid"), "left_semi")
@@ -1314,7 +1289,7 @@ object SimQueries {
         .encode(emb, fcents, "vec_id", "embedding", dim = 64, m = 32)
       val flat8 = exactTop1.join(
         graft.similarity.Pq
-          .ivfAdcTopK(fcodes, fcents, corpus, queries20,
+          .ivfAdcTopK(fcodes, fcents, corpus, panelQ,
             "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = 8)
           .select($"qid", $"bid"),
         Seq("qid", "bid"), "left_semi")
@@ -1324,7 +1299,7 @@ object SimQueries {
       exactTop1.agg(count(lit(1)).as("nq"))
         .select(
           $"nq".as("n_queries"),
-          when(lit(r8) >= 12, 1L).otherwise(0L).as("meets_bar_probe8"),
+          when(lit(r8) >= 120, 1L).otherwise(0L).as("meets_bar_probe8"),
           when(lit(r8) > lit(r2), 1L).otherwise(0L).as("probe_recovery"),
           when(lit(r8) + 1L >= lit(flat8), 1L).otherwise(0L).as("no_flat_regression"))
   }

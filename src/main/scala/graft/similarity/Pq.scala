@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the codebook is m·k rows (tiny, broadcast everywhere);
   * training is one map-side-combinable reduce per iteration; encoding is
-  * a narrow map over the corpus; ADC search shuffles only the final
-  * (query, candidate) partial sums — m rows each, map-side combined.
+  * a narrow map over the corpus; ADC search is a NARROW map — one row
+  * per (query, candidate), scored by the fused
+  * [[graft.functions.AdcLutSum]] loop over packed codes against a dense
+  * broadcast LUT (round 9; the previous (sub, code)-join exploded every
+  * pair into m rows and shuffled them through a hash aggregate).
   */
 object Pq {
 
@@ -280,10 +283,76 @@ object Pq {
     (encode(corpus, cents, idCol, vecCol, dim, m), cents)
   }
 
+  /** Codebook size of the gate/test configurations; the packed-LUT
+    * scoring path needs the stride statically.
+    */
+  val DefaultCodes = 16
+
+  /** Pack (id, sub, code) rows into one (id, codevec) row — codevec[sub]
+    * = code, an array<long> of length m. One small exchange of the code
+    * rows (m·|corpus| in, |corpus| groups out); in a production index
+    * the encoder writes packed codes directly and this vanishes.
+    */
+  def packCodes(codes: DataFrame, idCol: String): DataFrame =
+    codes
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("__sc"))
+      .select(col(idCol), transform(col("__sc"), x => x.getField("code")).as("codevec"))
+
+  /** Pad a codebook to the full m·nCodes (sub, code) domain with
+    * zero-vector centroids. Lloyd training CAN empty a codeword (the
+    * residual codebooks train to 511/512 on the test corpora), and the
+    * packed-LUT layout below indexes by `sub·nCodes + code`, which is
+    * only valid over a dense domain. Padded entries are never READ —
+    * [[encodeSv]]'s argmin only emits codes that exist in the real
+    * codebook — they just hold the layout.
+    */
+  private def denseCents(cents: DataFrame, m: Int, nCodes: Int, dsub: Int): DataFrame = {
+    val dom = org.apache.spark.sql.SparkSession.active
+      .range(m.toLong * nCodes)
+      .select(
+        expr(s"id div $nCodes").as("sub"),
+        (col("id") % nCodes).as("code"))
+    dom
+      .join(cents, Seq("sub", "code"), "left")
+      .withColumn(
+        "centroid",
+        coalesce(col("centroid"), array_repeat(lit(0L), dsub)))
+  }
+
+  /** Pack a DENSE (keys..., sub, code, qd) lookup table into one
+    * array<long> per key group: lutvec[sub·nCodes + code] = qd. The
+    * group sort is the whole cost — O(m·nCodes log) per key, no
+    * per-element map scans (an element_at-on-map variant was measured
+    * quadratic: 27 s per probe width at 200-query panels). The inline
+    * assert_true trips loudly if a caller ever passes a sparse LUT
+    * (i.e. forgot [[denseCents]]) instead of silently mis-indexing.
+    */
+  private def packLut(lut: DataFrame, keys: Seq[String], m: Int, nCodes: Int): DataFrame =
+    lut
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        (col("sub") * nCodes + col("code")).cast("long").as("i"), col("qd")))).as("__e"))
+      .select(keys.map(col) :+
+        when(
+          assert_true(
+            size(col("__e")) === lit(m * nCodes),
+            lit("packLut: sparse LUT — pad the codebook with denseCents")).isNull,
+          transform(col("__e"), x => x.getField("qd"))).as("lutvec"): _*)
+
+  /** The fused per-candidate ADC loop ([[graft.functions.AdcLutSum]]). */
+  private def adcSum(codevec: Column, lutvec: Column, nCodes: Int): Column =
+    graft.functions.AdcLutSum.column(
+      org.apache.spark.sql.SparkSession.active, codevec, lutvec, nCodes)
+
   /** ADC top-k: score each query sub-vector against every codeword once
-    * (the lookup table — |queries|·m·k rows, broadcast), then rank
-    * corpus vectors by the sum of their m table entries. Ascending
-    * distance, id tiebreaker; exact int64 end-to-end.
+    * (the lookup table — |queries|·m·k rows, packed dense and
+    * broadcast), then rank corpus vectors by the sum of their m table
+    * entries, computed by the fused [[graft.functions.AdcLutSum]] loop
+    * over the packed code vector — one narrow row per (query,
+    * candidate), no m-row explosion, no aggregation shuffle. Ascending
+    * distance, id tiebreaker; exact int64 end-to-end (the loop sums the
+    * same integers the old (sub, code)-join + sum(qd) plan did).
     */
   def adcTopK(
       codes: DataFrame,
@@ -293,17 +362,17 @@ object Pq {
       vecCol: String,
       dim: Int,
       m: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      nCodes: Int = DefaultCodes): DataFrame = {
     val lut = subvectors(queries, idCol, vecCol, dim, m)
       .withColumnRenamed(idCol, "qid")
-      .join(broadcast(cents), Seq("sub"))
+      .join(broadcast(denseCents(cents, m, nCodes, dim / m)), Seq("sub"))
       .select(col("qid"), col("sub"), col("code"), dist2(col("svec"), col("centroid")).as("qd"))
-    val scored = codes
-      .select(col(idCol).as("bid"), col("sub"), col("code"))
-      .join(broadcast(lut), Seq("sub", "code"))
+    val scored = packCodes(codes, idCol)
+      .select(col(idCol).as("bid"), col("codevec"))
+      .crossJoin(broadcast(packLut(lut, Seq("qid"), m, nCodes)))
       .filter(col("qid") =!= col("bid"))
-      .groupBy(col("qid"), col("bid"))
-      .agg(sum(col("qd")).as("adist"))
+      .select(col("qid"), col("bid"), adcSum(col("codevec"), col("lutvec"), nCodes).as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("bid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -322,12 +391,15 @@ object Pq {
     * probed lists are ADC-scored from their m codes — exact int64, same
     * tie contract as [[adcTopK]] (adist, bid).
     *
-    * Scale shape: centroids (numLists rows) and the per-query LUT
-    * (|q|·m·k rows) broadcast; the probe map is narrow; the candidate
-    * restriction is a broadcast join of the (qid, list) probe table
-    * against the code stream. The one corpus-sized shuffle is the
-    * (id → list) attach to the codes — in a production index, codes and
-    * list id are co-written at encode time and even that join vanishes.
+    * Scale shape: centroids (numLists rows) and the per-query packed
+    * LUT (|q| rows of m·k longs) broadcast; the probe map is narrow;
+    * the candidate restriction is a broadcast join of the (qid, list)
+    * probe table against the packed code stream, and scoring is the
+    * fused [[graft.functions.AdcLutSum]] loop — one narrow row per
+    * (query, candidate). The corpus-sized shuffles are the
+    * [[packCodes]] group and the (id → list) attach — in a production
+    * index, packed codes and list id are co-written at encode time and
+    * both vanish.
     */
   def ivfAdcTopK(
       codes: DataFrame,
@@ -340,7 +412,8 @@ object Pq {
       dim: Int,
       m: Int,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      nCodes: Int = DefaultCodes): DataFrame = {
     val coarse = Ann.centroids(corpus, listCol, vecCol)
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col(listCol))
@@ -355,17 +428,16 @@ object Pq {
       .select(col("qid"), col(listCol))
     val lut = subvectors(queries, idCol, vecCol, dim, m)
       .withColumnRenamed(idCol, "qid")
-      .join(broadcast(cents), Seq("sub"))
+      .join(broadcast(denseCents(cents, m, nCodes, dim / m)), Seq("sub"))
       .select(col("qid"), col("sub"), col("code"), dist2(col("svec"), col("centroid")).as("qd"))
-    val codesWithList = codes
+    val packed = packCodes(codes, idCol)
       .join(corpus.select(col(idCol), col(listCol)), Seq(idCol))
-    val scored = codesWithList
+    val scored = packed
       .join(broadcast(probes), Seq(listCol))
-      .select(col("qid"), col(idCol).as("bid"), col("sub"), col("code"))
-      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .select(col("qid"), col(idCol).as("bid"), col("codevec"))
+      .join(broadcast(packLut(lut, Seq("qid"), m, nCodes)), Seq("qid"))
       .filter(col("qid") =!= col("bid"))
-      .groupBy(col("qid"), col("bid"))
-      .agg(sum(col("qd")).as("adist"))
+      .select(col("qid"), col("bid"), adcSum(col("codevec"), col("lutvec"), nCodes).as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("bid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -457,8 +529,8 @@ object Pq {
     * the LUT is PER (query, probed list) — the query's residual depends
     * on which list it is probing (q − c_list), so each (qid, list) pair
     * scores the m·k codewords once. LUT size |q|·nprobe·m·k — still a
-    * broadcast. Candidate scoring joins on (qid, list, sub, code), so a
-    * candidate is scored against the residual LUT of ITS OWN list,
+    * broadcast. Candidate scoring joins the packed LUT on (qid, list),
+    * so a candidate is scored against the residual LUT of ITS OWN list,
     * which is exactly the decomposition ‖q − x‖² ≈ ‖(q − c) −
     * PQ(x − c)‖² the residual trade relies on.
     */
@@ -474,7 +546,8 @@ object Pq {
       dim: Int,
       m: Int,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      nCodes: Int = DefaultCodes): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val coarseD = Ann.centroids(corpus, listCol, vecCol)
@@ -501,19 +574,18 @@ object Pq {
       .select(
         col("qid"), col(listCol), col("sub").cast("long").as("sub"),
         slice(col("rqv"), col("sub") * dsub + 1, lit(dsub)).as("svec"))
-      .join(broadcast(cents), Seq("sub"))
+      .join(broadcast(denseCents(cents, m, nCodes, dsub)), Seq("sub"))
       .select(
         col("qid"), col(listCol), col("sub"), col("code"),
         dist2(col("svec"), col("centroid"), ResScale).as("qd"))
-    val codesWithList = codes
+    val packed = packCodes(codes, idCol)
       .join(corpus.select(col(idCol), col(listCol)), Seq(idCol))
-    val scored = codesWithList
+    val scored = packed
       .join(broadcast(probes), Seq(listCol))
-      .select(col("qid"), col(listCol), col(idCol).as("bid"), col("sub"), col("code"))
-      .join(broadcast(lut), Seq("qid", listCol, "sub", "code"))
+      .select(col("qid"), col(listCol), col(idCol).as("bid"), col("codevec"))
+      .join(broadcast(packLut(lut, Seq("qid", listCol), m, nCodes)), Seq("qid", listCol))
       .filter(col("qid") =!= col("bid"))
-      .groupBy(col("qid"), col("bid"))
-      .agg(sum(col("qd")).as("adist"))
+      .select(col("qid"), col("bid"), adcSum(col("codevec"), col("lutvec"), nCodes).as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("bid"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -32,18 +32,37 @@ object RecallProbe {
         .where($"a.vec_id" < panel)
         .select(
           $"a.vec_id".as("qid"), $"b.vec_id".as("bid"),
-          aggregate(zip_with($"a.qv", $"b.qv", (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-            .as("d2"))
+          graft.functions.Exprs.sqDistLong($"a.qv", $"b.qv").as("d2"))
       val w = Window.partitionBy($"qid").orderBy($"d2", $"bid")
       val exactTop1 = exact
         .withColumn("r", row_number().over(w)).filter($"r" === 1)
         .select($"qid", $"bid")
+        .cache()
+
+      // Flat ADC (no IVF) with the FULL-train codebook — the e9 config.
+      val fullCents = graft.similarity.Pq
+        .train(emb, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 4)._2
+      val fullCodes = graft.similarity.Pq
+        .encode(emb, fullCents, "vec_id", "embedding", dim = 64, m = 32)
+      val fullAdc5 = graft.similarity.Pq
+        .adcTopK(fullCodes, fullCents, emb.filter($"vec_id" < panel),
+          "vec_id", "embedding", dim = 64, m = 32, k = 5)
+        .select($"qid", $"bid")
+      val hFull = exactTop1.join(fullAdc5, Seq("qid", "bid"), "left_semi").count()
+      println(s"[recall] $d FULL-train flat ADC hits=$hFull/$panel")
 
       val src = graft.similarity.Pq.sampleDeterministic(emb, "vec_id", 200)
       val cents = graft.similarity.Pq
         .train(src, "vec_id", "embedding", dim = 64, m = 32, k = 16, iters = 4)._2
       val codes = graft.similarity.Pq
         .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
+      // Flat ADC with the sampled codebook — the e11 config.
+      val sampAdc5 = graft.similarity.Pq
+        .adcTopK(codes, cents, emb.filter($"vec_id" < panel),
+          "vec_id", "embedding", dim = 64, m = 32, k = 5)
+        .select($"qid", $"bid")
+      val hSamp = exactTop1.join(sampAdc5, Seq("qid", "bid"), "left_semi").count()
+      println(s"[recall] $d sampled200 flat ADC hits=$hSamp/$panel")
       Seq(1, 2, 4, 6, 8, 10).foreach { nprobe =>
         val ivf5 = graft.similarity.Pq
           .ivfAdcTopK(codes, cents,
