@@ -1065,6 +1065,34 @@ object SimQueries {
       when(element_at(col("embedding"), 2) >= 0, 2).otherwise(0) +
       when(element_at(col("embedding"), 3) >= 0, 1).otherwise(0)
 
+  /** Battery-shared unsupervised IVF lists (the [[pqMemo]] pattern):
+    * e13 and e14 derive the SAME learned lists — sign-hash init, 2
+    * engine-exact Lloyd rounds over the full corpus — so the k-means
+    * build runs once per (corpus, rounds) and both gates (and e14's
+    * two probe widths) read the collected (vec_id, list) assignment
+    * (corpus-sized but two small columns; every oracle still replays
+    * the full k-means chain in SQL).
+    */
+  private val listsMemo = scala.collection.concurrent.TrieMap[
+    (String, Int),
+    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+
+  private def sharedUnsupLists(
+      spark: org.apache.spark.sql.SparkSession, d: String, kmIters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val dKey = s"$d|${graft.operators.Bucketing.suffix(spark, d)}"
+    val (schema, rows) = listsMemo.getOrElseUpdate((dKey, kmIters), {
+      val emb = embeddings(spark, d)
+      val lists = graft.similarity.Ann
+        .kmeansIterate(
+          emb.withColumn("ibkt", signInitCol), "vec_id", "embedding", "ibkt", kmIters)
+        .select(col("vec_id"), col("list"))
+      (lists.schema, lists.collect().toSeq)
+    })
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Exact int8-L2 top-1 neighbour for the `panel` lowest vec_ids — the
     * shared ground truth of every recall gate (e9/e11/e12/e14/e16). The
     * pair distance is the native codegen'd [[graft.functions.SqDistLong]]
@@ -1104,15 +1132,15 @@ object SimQueries {
     * the trainSampled chain itself — e11 only pins its recall). Scale
     * shape identical to e10 (broadcast centroids/LUT/probes, narrow
     * encode); the k-means build cost is e7's, amortized across every
-    * query after.
+    * query after — and battery-shared with e14 via
+    * [[sharedUnsupLists]].
     */
   val unsupIvfPq = Query("e13_ivf_pq_unsup",
     unsupIvfPqOracleSql(dim = 64, m = 32, k = 16, iters = 4, sampleN = 200,
       kmIters = 2, qMod = 100, topK = 5, nprobe = 2)) { (spark, d) =>
     import spark.implicits._
     val emb = embeddings(spark, d)
-    val lists = graft.similarity.Ann.kmeansIterate(
-      emb.withColumn("ibkt", signInitCol), "vec_id", "embedding", "ibkt", 2)
+    val lists = sharedUnsupLists(spark, d, kmIters = 2)
     val corpus = emb.join(lists.select($"vec_id", $"list"), Seq("vec_id"))
       .select($"vec_id", $"list", $"embedding")
     val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
@@ -1152,13 +1180,11 @@ object SimQueries {
       import spark.implicits._
       val emb = embeddings(spark, d)
       val exactTop1 = exactTop1Panel(emb, 200)
-      val lists = graft.similarity.Ann.kmeansIterate(
-        emb.withColumn("ibkt", signInitCol), "vec_id", "embedding", "ibkt", 2)
+      val lists = sharedUnsupLists(spark, d, kmIters = 2)
       val corpus = emb.join(lists.select($"vec_id", $"list"), Seq("vec_id"))
         .select($"vec_id", $"list", $"embedding")
-        // two probe widths re-read the learned lists; k-means must not
-        // run twice (localCheckpoint severs nothing here — the join is
-        // the reuse point)
+        // two probe widths re-read the learned lists (memoized rows,
+        // but the join itself is worth one materialization)
         .cache()
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
       val codes = graft.similarity.Pq
