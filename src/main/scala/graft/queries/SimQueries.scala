@@ -528,9 +528,9 @@ object SimQueries {
     * ADC top-5 — score each query against the 512 codewords once, score
     * every candidate by summing its 32 table entries. Storage per
     * vector: 32 codes instead of 256 bytes — the memory tier below e6's
-    * int8 — and this config measures 18-19/20 top-1-in-top-5 recall
-    * across all three test scales (e9 pins the quality bar; this gate
-    * pins cross-engine exactness). Exact int64 arithmetic end-to-end (no
+    * int8 — and this config measures 76–89% top-1-in-top-5 recall on
+    * the 200-query panel across all three test scales (e9 pins the
+    * quality bar; this gate pins cross-engine exactness). Exact int64 arithmetic end-to-end (no
     * float sums anywhere), so codebooks, codes, and ranks are
     * bit-identical in any engine.
     */
