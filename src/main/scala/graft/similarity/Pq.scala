@@ -413,13 +413,39 @@ object Pq {
       m: Int,
       k: Int,
       nprobe: Int,
+      nCodes: Int = DefaultCodes): DataFrame =
+    ivfAdcTopKPacked(
+      packCodes(codes, idCol).join(corpus.select(col(idCol), col(listCol)), Seq(idCol)),
+      cents, Ann.centroids(corpus, listCol, vecCol),
+      queries, idCol, vecCol, listCol, dim, m, k, nprobe, nCodes)
+
+  /** IVF+PQ search over a PREBUILT packed index — the serving shape:
+    * `index` is (idCol, listCol, codevec) rows as a production encoder
+    * co-writes them ([[graft.streaming.AnnIndexStream]] maintains such
+    * an index incrementally), `listCents` the frozen coarse centroids
+    * the index was assigned against. No per-query encode, no corpus
+    * shuffle — the probe restriction and the packed LUT broadcast; the
+    * index stream is the only corpus-sized input and it arrives
+    * pre-packed.
+    */
+  def ivfAdcTopKPacked(
+      index: DataFrame,
+      cents: DataFrame,
+      listCents: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      nprobe: Int,
       nCodes: Int = DefaultCodes): DataFrame = {
-    val coarse = Ann.centroids(corpus, listCol, vecCol)
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col(listCol))
     val probes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(coarse))
+      .crossJoin(broadcast(listCents.select(col(listCol), col("centroid"))))
       .select(
         col("qid"), col(listCol),
         round(Ann.cosine(col("qv"), col("centroid")), 6).as("ccos"))
@@ -430,9 +456,7 @@ object Pq {
       .withColumnRenamed(idCol, "qid")
       .join(broadcast(denseCents(cents, m, nCodes, dim / m)), Seq("sub"))
       .select(col("qid"), col("sub"), col("code"), dist2(col("svec"), col("centroid")).as("qd"))
-    val packed = packCodes(codes, idCol)
-      .join(corpus.select(col(idCol), col(listCol)), Seq(idCol))
-    val scored = packed
+    val scored = index
       .join(broadcast(probes), Seq(listCol))
       .select(col("qid"), col(idCol).as("bid"), col("codevec"))
       .join(broadcast(packLut(lut, Seq("qid"), m, nCodes)), Seq("qid"))
