@@ -859,6 +859,69 @@ object SimQueries {
        |),""".stripMargin
   }
 
+  /** DuckDB replay of the packed serving index
+    * ([[graft.streaming.AnnIndexStream.packBatch]]): sampled-train
+    * codebook → full-corpus encode (`enca`), nearest-label-centroid
+    * assignment by 6-dp rounded cosine (the e5 probe arithmetic applied
+    * to every corpus vector), codes packed sub-major into one
+    * comma-joined string per vector.
+    */
+  private def packedIndexOracleSql(
+      dim: Int, m: Int, k: Int, iters: Int, sampleN: Int): String =
+    s"""WITH ${pqSampledCtes(dim, m, k, iters, sampleN)}
+       |ev AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |cent AS (SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i),
+       |vdots AS MATERIALIZED (
+       |  SELECT e.vec_id, c.label,
+       |         SUM(e.v * c.c) AS dot, SUM(e.v * e.v) AS vv, SUM(c.c * c.c) AS cc
+       |  FROM ev e JOIN cent c ON e.i = c.i
+       |  GROUP BY 1, 2
+       |),
+       |vassign AS (
+       |  SELECT vec_id, label FROM (
+       |    SELECT vec_id, label,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY vec_id
+       |             ORDER BY round(dot / (sqrt(vv) * sqrt(cc)), 6) DESC, label) AS r
+       |    FROM vdots) WHERE r = 1
+       |)
+       |SELECT a.vec_id, v.label,
+       |       string_agg(CAST(a.code AS VARCHAR), ',' ORDER BY a.sub) AS codevec
+       |FROM enca a JOIN vassign v USING (vec_id)
+       |GROUP BY 1, 2
+       |ORDER BY a.vec_id""".stripMargin
+
+  /** e17 — the packed SERVING INDEX, hash-oracled: exactly the
+    * `(vec_id, list, codevec)` layout [[graft.streaming.AnnIndexStream]]
+    * maintains incrementally and [[graft.similarity.Pq.ivfAdcTopKPacked]]
+    * serves from — sampled codebook (e11's fit, shared via the memo),
+    * narrow full-corpus encode, nearest-frozen-centroid list
+    * assignment. The codevec hash pins every packed code of every
+    * vector (not just the top-k survivors the search gates see), and
+    * the assignment column pins [[graft.similarity.Ann.assign]] against
+    * an independent SQL replay. `AnnIndexStreamSpec` separately proves
+    * stream ≡ batch for the same layout, so together the incremental
+    * index is oracle-grade end-to-end.
+    */
+  val packedIndex = Query(
+    "e17_packed_index",
+    packedIndexOracleSql(dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)) {
+    (spark, d) =>
+      import spark.implicits._
+      val emb = embeddings(spark, d)
+      val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
+      val listCents = graft.similarity.Ann
+        .centroids(emb.select($"label", $"embedding"), "label", "embedding")
+      graft.streaming.AnnIndexStream
+        .packBatch(emb.select($"vec_id", $"embedding"), cents, listCents, "label", 64, 32)
+        .select($"vec_id", $"label", concat_ws(",", $"codevec").as("codevec"))
+        .orderBy($"vec_id")
+  }
+
   /** The fully-unsupervised composed oracle: learned k-means lists
     * (sign-hash init — no labels), sampled-train codebook, IVF probe
     * over the LEARNED list centroids, ADC restricted to probed lists.
@@ -1333,5 +1396,5 @@ object SimQueries {
   val all: Seq[Query] = Seq(
     knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild,
     pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall,
-    residualIvfPq, residualRecall)
+    residualIvfPq, residualRecall, packedIndex)
 }
