@@ -112,18 +112,30 @@ object DedupQueries {
     // FuzzyLinkage.wordBlockedPairs (composite pigeonhole blocking),
     // which is the documented large-scale path.
     val p = graft.Tables.part(spark, d)
+    // Low-cardinality name dedup (round 9): the corpus has tens of
+    // DISTINCT names across tens of thousands of rows, so the edit
+    // distance — a pure function of the two names — is computed once
+    // per distinct UNORDERED name pair (threshold-bounded levenshtein:
+    // banded O(n·t) DP bailing out above 2; surviving values identical
+    // to the unbounded form, oracle unchanged) and broadcast back to
+    // the row-pair stream as a hash lookup keyed (least, greatest).
+    // The inner join doubles as the WHERE dist <= 2 prune. Row pairs
+    // that used to run ~8M DP evaluations at sf0.1 now run none.
+    val names = p.select(col("p_name")).distinct()
+    val namePairs = names.select(col("p_name").as("name_x"))
+      .crossJoin(names.select(col("p_name").as("name_y")))
+      .filter(col("name_x") <= col("name_y"))
+      .filter(abs(length(col("name_x")) - length(col("name_y"))) <= 2)
+      .withColumn("dist", levenshtein(col("name_x"), col("name_y"), 2).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
     val a = p.select(col("p_partkey").as("key_a"), col("p_brand"), col("p_name").as("name_a"))
     val b = p.select(col("p_partkey").as("key_b"), col("p_brand"), col("p_name").as("name_b"))
     a.join(b, "p_brand")
       .filter(col("key_a") < col("key_b"))
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-      // Threshold-bounded levenshtein: banded O(n·t) DP that bails out
-      // at distance > 2 (returns -1) instead of the full O(n·m) matrix;
-      // values for surviving pairs are identical to the unbounded form,
-      // so the oracle SQL is unchanged.
-      .withColumn(
-        "dist", levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= 2)
+      .join(
+        broadcast(namePairs),
+        least(col("name_a"), col("name_b")) === col("name_x") &&
+          greatest(col("name_a"), col("name_b")) === col("name_y"))
       .select(col("key_a"), col("key_b"), col("dist"))
       .orderBy(col("key_a"), col("key_b"))
   }
