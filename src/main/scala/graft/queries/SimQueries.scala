@@ -716,8 +716,11 @@ object SimQueries {
       val emb = embeddings(spark, d)
       val exactTop1 = exactTop1Panel(emb, 200)
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
+      // Both probe widths re-read the encoded corpus — one
+      // materialization instead of two narrow-encode replays.
       val codes = graft.similarity.Pq
         .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
+        .cache()
       def hitsAt(nprobe: Int) = {
         val top5 = graft.similarity.Pq
           .ivfAdcTopK(codes, cents,
@@ -730,6 +733,7 @@ object SimQueries {
       }
       val h2 = hitsAt(2).as[Long].head()
       val h8 = hitsAt(8).as[Long].head()
+      codes.unpersist()
       exactTop1.agg(count(lit(1)).as("nq"))
         .select(
           $"nq".as("n_queries"),
@@ -1252,6 +1256,7 @@ object SimQueries {
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
       val codes = graft.similarity.Pq
         .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
+        .cache()
       def hitsAt(nprobe: Int) = {
         val top5 = graft.similarity.Pq
           .ivfAdcTopK(codes, cents, corpus,
@@ -1263,7 +1268,7 @@ object SimQueries {
       }
       val h1 = hitsAt(1).as[Long].head()
       val h6 = hitsAt(6).as[Long].head()
-      corpus.unpersist()
+      corpus.unpersist(); codes.unpersist()
       exactTop1.agg(count(lit(1)).as("nq"))
         .select(
           $"nq".as("n_queries"),
@@ -1362,9 +1367,12 @@ object SimQueries {
       val (rcents, coarse) = sharedResidual(spark, d, dim = 64, m = 32, k = 16,
         iters = 4, sampleN = 200)
       val res = graft.similarity.Pq.residuals(corpus, coarse, "vec_id", "embedding", "label")
+      // Two residual probe widths re-read the encoded residual corpus —
+      // one materialization instead of two encode replays.
       val rcodes = graft.similarity.Pq.encodeSv(
         graft.similarity.Pq.subvectorsRaw(res, "vec_id", "rv", dim = 64, m = 32),
         rcents, "vec_id", graft.similarity.Pq.ResScale)
+        .cache()
       def residualHits(nprobe: Int) =
         exactTop1.join(
           graft.similarity.Pq
@@ -1385,6 +1393,7 @@ object SimQueries {
         .agg(count(lit(1))).as[Long].head()
       val r2 = residualHits(2)
       val r8 = residualHits(8)
+      rcodes.unpersist()
       exactTop1.agg(count(lit(1)).as("nq"))
         .select(
           $"nq".as("n_queries"),
