@@ -256,6 +256,79 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** m8 — the END-TO-END near-dedup composition under one hash: MinHash
+    * signatures → banded LSH candidates → connected components →
+    * keep-canonical-per-cluster (the min-id doc, which IS the
+    * component label under min-label propagation) → the SURVIVING
+    * corpus. This is the composition README documents as the intended
+    * corpus-dedup pipeline; m1/m2/m5 pin its stages, this pins the
+    * composed result: one row per surviving document with its cluster
+    * size and the canonical text's md5, so a regression anywhere in
+    * the chain — a lost candidate pair, a broken component, the wrong
+    * survivor — moves the hash. The oracle replays signatures, bands
+    * and a recursive-CTE closure, then selects `component = doc_id`
+    * rows independently. Scale shape: everything up to components is
+    * m1/m2/m5's (banded, never all-pairs; O(log n) contraction
+    * available for deep graphs); the final keep is one corpus-keyed
+    * equi join.
+    */
+  val neardupDedup = Query(
+    "m8_neardup_dedup", {
+      val bands = (0 until K / RowsPerBand).map { j =>
+        val cols = (0 until RowsPerBand).map(r => s"sig_${j * RowsPerBand + r}")
+        s"SELECT doc_id, $j AS band, ${cols.zipWithIndex.map { case (c, i) => s"$c AS v$i" }.mkString(", ")} FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ") + "," +
+        s"""
+           |sig AS MATERIALIZED (
+           |  SELECT doc_id,
+           |         $sigSelect
+           |  FROM hashed GROUP BY doc_id
+           |),
+           |banded AS MATERIALIZED (
+           |  $bands
+           |),
+           |pairs AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a
+           |  JOIN banded b ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+           |  WHERE a.doc_id < b.doc_id
+           |),
+           |edges AS MATERIALIZED (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |),
+           |reach(v, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+           |),
+           |comp AS (
+           |  SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+           |),
+           |surv AS (
+           |  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+           |)
+           |SELECT s.component AS doc_id,
+           |       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           |       md5(dd.text) AS text_fp
+           |FROM surv s JOIN documents dd ON dd.doc_id = s.component
+           |ORDER BY doc_id""".stripMargin
+    }) { (spark, d) =>
+    val docs = documents(spark, d)
+    val sig = MinHashLSH.signatures(docs, "doc_id", "text", 3, K)
+    val pairs = MinHashLSH.candidatePairs(sig, "doc_id", K, RowsPerBand)
+      .select(col("id_a"), col("id_b"))
+    val comps = Components
+      .connectedComponents(docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+    comps
+      .groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+      .join(docs.select(col("doc_id"), col("text")), col("component") === col("doc_id"))
+      .select(col("doc_id"), col("cluster_size"), md5(col("text")).as("text_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d1's semantics through the scale path: composite (brand, word-pos,
     * word) pigeonhole blocking instead of the quadratic brand block.
     * The oracle is deliberately the UNBLOCKED formulation — a hash
@@ -776,5 +849,5 @@ object DedupQueries {
     simhashWidePairs, mediaDecode, mediaFeatures, audioDecode, audioSamples,
     videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
     embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents,
-    imageResize, imageResizeJpeg, semDedup)
+    neardupDedup, imageResize, imageResizeJpeg, semDedup)
 }
