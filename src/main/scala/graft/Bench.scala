@@ -49,8 +49,10 @@ object Bench {
       "supplier" -> (Tables.supplier _), "events" -> (Tables.events _),
       "documents" -> (Tables.documents _), "embeddings" -> (Tables.embeddings _))
       .foreach { case (name, load) =>
+        // NonFatal, not Throwable: an OutOfMemoryError/LinkageError here
+        // means a corrupted JVM — crash loudly instead of timing garbage.
         try load(spark, sfDir).count()
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] WARMUP FAILED for table $name: ${e.getMessage}")
         }
       }
@@ -59,6 +61,39 @@ object Bench {
     val only = args.toSet
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    // Frozen per-gate baseline (BASELINE_sf01.json, committed round 10
+    // from the r9 closing 5-pass run): the first per-gate reference on
+    // the CURRENT testdata generation — r6 numbers predate the driver's
+    // regeneration, so drift before this file could not be attributed
+    // between plan regressions and corpus change. Loaded only when its
+    // "sf" matches this run's dir; every emit then carries per-gate
+    // ratios (this run / baseline) and a common-gate total ratio.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_sf01.json")
+    val baseline: Map[String, Double] = try {
+      val f = new java.io.File(baselinePath)
+      if (!f.isFile) Map.empty
+      else {
+        import org.json4s._
+        val j = jackson.JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        val sfOk = (j \ "sf") match {
+          case JString(s) => sfDir.stripSuffix("/").endsWith(s)
+          case _ => false
+        }
+        if (!sfOk) Map.empty
+        else (j \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] baseline load failed ($baselinePath): ${e.getMessage}")
+      Map.empty
+    }
     // Optional extra warm-up pass (SPARK_GRAFT_BENCH_WARMUP=1). Default
     // OFF since round 6: the first timed pass absorbs JIT/codegen cost,
     // and the cross-pass median/min reject that inflation — a separate
@@ -66,7 +101,8 @@ object Bench {
     // which is exactly what blew the driver's timeout at 101 gates.
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "0") == "1") {
       ordered.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       // Drop everything the warm-up pinned (FPGrowth fits leak persisted
       // freqItemsets RDDs; accumulated caches evict useful ones).
@@ -82,7 +118,7 @@ object Bench {
         val pos = graft.queries.PosQueries.posify(spark, sfDir)
         pos.cache()
         pos.count()
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] WARMUP FAILED for posify: ${e.getMessage}")
       }
     warmPos()
@@ -107,7 +143,8 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.err.println(s"[bench] start $name @${fmt2(elapsed())}s")
       val s = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(_) => -1L }
       val sec = (System.nanoTime() - s) / 1e9
       System.err.println(s"[bench] done  $name ${fmt2(sec)}s")
       sec
@@ -168,8 +205,21 @@ object Bench {
         .mkString("{", ",", "}")
       val probesJson = probes.mkString("[", ",", "]")
       val probesMtJson = probesMt.mkString("[", ",", "]")
+      // Delta-vs-baseline: per-gate ratio this-run/baseline over the
+      // gate intersection, plus the common-gate total ratio. Gates
+      // without a baseline entry (new this round) are simply absent.
+      val common = results.filter { case (k, _) => baseline.contains(k) }
+      val vsBaseTotal =
+        if (common.isEmpty) 0.0
+        else common.map(_._2).sum / common.map { case (k, _) => baseline(k) }.sum
+      val vsBaseJson = common.map { case (k, v) =>
+        "\"" + k + "\":" + fmt2(v / baseline(k))
+      }.mkString("{", ",", "}")
+      val baseFields =
+        if (common.isEmpty) ""
+        else s""","vs_baseline":$vsBaseJson,"vs_baseline_total":${fmt2(vsBaseTotal)},"baseline_gates":${common.length}"""
       val fullJson =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_min":$fullMins,"probes":$probesJson,"probes_mt":$probesMtJson,"sf":"$sfDir","iters":${passes.length},"elapsed_sec":${fmt2(elapsed())}}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_min":$fullMins,"probes":$probesJson,"probes_mt":$probesMtJson,"sf":"$sfDir","iters":${passes.length},"elapsed_sec":${fmt2(elapsed())}$baseFields}"""
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
@@ -189,8 +239,11 @@ object Bench {
         "\"" + key + "\":" + fmt2(v)
       }.mkString("{", ",", "}")
       val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      val vsShort =
+        if (common.isEmpty) ""
+        else s""","vs_baseline":${fmt2(vsBaseTotal)}"""
       println(
-        s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","iters":${passes.length}}""")
+        s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","iters":${passes.length}$vsShort}""")
     }
     var lastPass = 0.0
     var pass = 0

@@ -34,8 +34,25 @@ object Tables {
   def events(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(spark, d, "events")
+    // The nanos flag is SCOPED to the relation-creation call: it is read
+    // during schema inference only — once the DataFrame exists with its
+    // resolved schema, actions succeed with the flag restored (verified
+    // on Spark 4.1.2 against a hand-written TIMESTAMP(NANOS) file;
+    // `TablesNanosSpec` pins it). A sticky session-global set here would
+    // silently leak into any OTHER reader of genuinely-nanos parquet in
+    // the same session. Set-and-restore rather than a per-read option
+    // because the parquet source resolves this key from the session conf
+    // only — `.option(...)` variants are ignored at inference time
+    // (verified empirically, same fixture).
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    val df =
+      try table(spark, d, "events")
+      finally prev match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None => spark.conf.unset(nanosKey)
+      }
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df

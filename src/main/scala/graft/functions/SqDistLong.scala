@@ -11,7 +11,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (sum of (x−y)² over int8-quantized components fits a long with huge
   * headroom: 64 dims × 254² < 2²³), so the result is bit-identical to
   * the `aggregate(zip_with(...))` fold it replaces in ANY summation
-  * order — the native expression changes only the cost, never the value.
+  * order — FOR EQUAL-LENGTH INPUTS. On length-mismatched arrays the
+  * two deliberately diverge: the HOF fold's zip_with null-pads and the
+  * aggregate returns NULL, while this loop sums the common prefix
+  * (`min(|a|, |b|)` terms). The divergence is intentional and pinned by
+  * `SqDistLongSpec` — every caller compares vectors of one fixed `dim`,
+  * and a total (never-null) distance keeps the expression null-safe
+  * inside codegen'd ranking windows; it is NOT a general-purpose
+  * guard against dimension-mismatch data bugs (a mismatch that would
+  * have surfaced as NULL ranks upstream surfaces here as a
+  * shorter-prefix distance).
   *
   * Motivation (round 9): the recall gates' exact ground-truth baseline
   * evaluates this over panel × corpus pairs; with the statistical panels

@@ -566,19 +566,19 @@ object SimQueries {
       import spark.implicits._
       val emb = embeddings(spark, d)
       val q = emb.filter($"vec_id" < 200)
-      val exactTop1 = exactTop1Panel(emb, 200)
+      val exactTop1 = exactTop1Panel(emb, 200).cache()
+      val nq = exactTop1.count()
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = -1)
       val codes = graft.similarity.Pq
         .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
       val adc5 = graft.similarity.Pq
         .adcTopK(codes, cents, q, "vec_id", "embedding", dim = 64, m = 32, k = 5)
         .select($"qid", $"bid")
-      val hits = exactTop1.join(adc5, Seq("qid", "bid"), "left_semi")
-      exactTop1.agg(count(lit(1)).as("nq"))
-        .crossJoin(hits.agg(count(lit(1)).as("h")))
-        .select(
-          $"nq".as("n_queries"),
-          when($"h" >= 140, 1L).otherwise(0L).as("meets_recall_bar"))
+      val h = exactTop1.join(adc5, Seq("qid", "bid"), "left_semi").count()
+      exactTop1.unpersist()
+      spark.range(1).select(
+        lit(nq).as("n_queries"),
+        when(lit(h) >= 140, 1L).otherwise(0L).as("meets_recall_bar"))
   }
 
   /** DuckDB replay of [[graft.similarity.Pq.ivfAdcTopK]]: the e8
@@ -675,19 +675,19 @@ object SimQueries {
       import spark.implicits._
       val emb = embeddings(spark, d)
       val q = emb.filter($"vec_id" < 200)
-      val exactTop1 = exactTop1Panel(emb, 200)
+      val exactTop1 = exactTop1Panel(emb, 200).cache()
+      val nq = exactTop1.count()
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
       val codes = graft.similarity.Pq
         .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
       val adc5 = graft.similarity.Pq
         .adcTopK(codes, cents, q, "vec_id", "embedding", dim = 64, m = 32, k = 5)
         .select($"qid", $"bid")
-      val hits = exactTop1.join(adc5, Seq("qid", "bid"), "left_semi")
-      exactTop1.agg(count(lit(1)).as("nq"))
-        .crossJoin(hits.agg(count(lit(1)).as("h")))
-        .select(
-          $"nq".as("n_queries"),
-          when($"h" >= 120, 1L).otherwise(0L).as("meets_recall_bar"))
+      val h = exactTop1.join(adc5, Seq("qid", "bid"), "left_semi").count()
+      exactTop1.unpersist()
+      spark.range(1).select(
+        lit(nq).as("n_queries"),
+        when(lit(h) >= 120, 1L).otherwise(0L).as("meets_recall_bar"))
   }
 
   /** e12 — the composed 100 TB ANN config's RETRIEVAL QUALITY: sampled
@@ -714,7 +714,8 @@ object SimQueries {
     (spark, d) =>
       import spark.implicits._
       val emb = embeddings(spark, d)
-      val exactTop1 = exactTop1Panel(emb, 200)
+      val exactTop1 = exactTop1Panel(emb, 200).cache()
+      val nq = exactTop1.count()
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
       // Both probe widths re-read the encoded corpus — one
       // materialization instead of two narrow-encode replays.
@@ -733,12 +734,11 @@ object SimQueries {
       }
       val h2 = hitsAt(2).as[Long].head()
       val h8 = hitsAt(8).as[Long].head()
-      codes.unpersist()
-      exactTop1.agg(count(lit(1)).as("nq"))
-        .select(
-          $"nq".as("n_queries"),
-          when(lit(h8) >= 120, 1L).otherwise(0L).as("meets_bar_probe8"),
-          when(lit(h8) > lit(h2), 1L).otherwise(0L).as("probe_recovery"))
+      codes.unpersist(); exactTop1.unpersist()
+      spark.range(1).select(
+        lit(nq).as("n_queries"),
+        when(lit(h8) >= 120, 1L).otherwise(0L).as("meets_bar_probe8"),
+        when(lit(h8) > lit(h2), 1L).otherwise(0L).as("probe_recovery"))
   }
 
   /** The unsupervised coarse-quantizer init: a 3-bit sign hash on the
@@ -1132,32 +1132,39 @@ object SimQueries {
       when(element_at(col("embedding"), 2) >= 0, 2).otherwise(0) +
       when(element_at(col("embedding"), 3) >= 0, 1).otherwise(0)
 
-  /** Battery-shared unsupervised IVF lists (the [[pqMemo]] pattern):
-    * e13 and e14 derive the SAME learned lists — sign-hash init, 2
-    * engine-exact Lloyd rounds over the full corpus — so the k-means
-    * build runs once per (corpus, rounds) and both gates (and e14's
-    * two probe widths) read the collected (vec_id, list) assignment
-    * (corpus-sized but two small columns; every oracle still replays
-    * the full k-means chain in SQL).
+  /** Battery-shared unsupervised IVF lists (the [[pqMemo]] pattern,
+    * distributed variant): e13 and e14 derive the SAME learned lists —
+    * sign-hash init, 2 engine-exact Lloyd rounds over the full corpus —
+    * so the k-means build runs once per (corpus, rounds) and both gates
+    * (and e14's two probe widths) re-read the (vec_id, list) assignment
+    * from a temp-parquet memo. Unlike [[pqMemo]] (m·k codebook rows —
+    * driver-bounded by construction) this relation is CORPUS-SIZED, so
+    * it must never ride through the driver: the build writes it once as
+    * parquet and every consumer scans it distributed. A temp file, not
+    * `.cache()`/`localCheckpoint`, because Bench's inter-pass sweep
+    * unpersists every RDD on the context — a checkpoint-backed memo
+    * would be invalidated (lineage severed) mid-battery. Every oracle
+    * still replays the full k-means chain in SQL.
     */
-  private val listsMemo = scala.collection.concurrent.TrieMap[
-    (String, Int),
-    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+  private val listsMemo = scala.collection.concurrent.TrieMap[(String, Int), String]()
 
   private def sharedUnsupLists(
       spark: org.apache.spark.sql.SparkSession, d: String, kmIters: Int)
       : org.apache.spark.sql.DataFrame = {
     val dKey = s"$d|${graft.operators.Bucketing.suffix(spark, d)}"
-    val (schema, rows) = listsMemo.getOrElseUpdate((dKey, kmIters), {
+    val path = listsMemo.getOrElseUpdate((dKey, kmIters), {
       val emb = embeddings(spark, d)
       val lists = graft.similarity.Ann
         .kmeansIterate(
           emb.withColumn("ibkt", signInitCol), "vec_id", "embedding", "ibkt", kmIters)
         .select(col("vec_id"), col("list"))
-      (lists.schema, lists.collect().toSeq)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-unsup-lists-").toFile
+      dir.deleteOnExit()
+      lists.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      dir.getAbsolutePath
     })
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, schema)
+    spark.read.parquet(path)
   }
 
   /** Exact int8-L2 top-1 neighbour for the `panel` lowest vec_ids — the
@@ -1166,9 +1173,13 @@ object SimQueries {
     * loop (bit-identical to the HOF fold it replaced — integer
     * arithmetic, `SqDistLongSpec` pins the equivalence; the interpreted
     * fold was the bench's heaviest expression once the panels widened to
-    * 200). Cached: each gate references the frame two-to-three times
-    * (one per probe width, plus the final panel count), and it is at
-    * most `panel` rows.
+    * 200). NOT cached here: each gate references the frame two-to-three
+    * times (one per probe width, plus the final panel count), so callers
+    * `.cache()` it, materialize their hit counts eagerly, and
+    * `.unpersist()` before returning — cache ownership stays where the
+    * lifetime is known. (A cache owned here leaked: Verify has no
+    * inter-gate clearCache, so panels and their shuffle files
+    * accumulated across all ~120 gates.)
     */
   private def exactTop1Panel(
       emb: org.apache.spark.sql.DataFrame, panel: Int): org.apache.spark.sql.DataFrame = {
@@ -1183,7 +1194,6 @@ object SimQueries {
         graft.functions.Exprs.sqDistLong(col("a.qv"), col("b.qv")).as("d2"))
       .withColumn("r", row_number().over(w)).filter(col("r") === 1)
       .select(col("qid"), col("bid"))
-      .cache()
   }
 
   /** e13 — the UNSUPERVISED composed tier: closes round 6's one `weak`.
@@ -1246,7 +1256,8 @@ object SimQueries {
     (spark, d) =>
       import spark.implicits._
       val emb = embeddings(spark, d)
-      val exactTop1 = exactTop1Panel(emb, 200)
+      val exactTop1 = exactTop1Panel(emb, 200).cache()
+      val nq = exactTop1.count()
       val lists = sharedUnsupLists(spark, d, kmIters = 2)
       val corpus = emb.join(lists.select($"vec_id", $"list"), Seq("vec_id"))
         .select($"vec_id", $"list", $"embedding")
@@ -1268,12 +1279,11 @@ object SimQueries {
       }
       val h1 = hitsAt(1).as[Long].head()
       val h6 = hitsAt(6).as[Long].head()
-      corpus.unpersist(); codes.unpersist()
-      exactTop1.agg(count(lit(1)).as("nq"))
-        .select(
-          $"nq".as("n_queries"),
-          when(lit(h6) >= 110, 1L).otherwise(0L).as("meets_bar_probe6"),
-          when(lit(h6) > lit(h1), 1L).otherwise(0L).as("probe_recovery"))
+      corpus.unpersist(); codes.unpersist(); exactTop1.unpersist()
+      spark.range(1).select(
+        lit(nq).as("n_queries"),
+        when(lit(h6) >= 110, 1L).otherwise(0L).as("meets_bar_probe6"),
+        when(lit(h6) > lit(h1), 1L).otherwise(0L).as("probe_recovery"))
   }
 
   /** Battery-shared residual codebook + integer coarse centroids (the
@@ -1362,7 +1372,8 @@ object SimQueries {
       import spark.implicits._
       val emb = embeddings(spark, d)
       val corpus = emb.select($"vec_id", $"label", $"embedding")
-      val exactTop1 = exactTop1Panel(emb, 200)
+      val exactTop1 = exactTop1Panel(emb, 200).cache()
+      val nq = exactTop1.count()
       val panelQ = emb.filter($"vec_id" < 200)
       val (rcents, coarse) = sharedResidual(spark, d, dim = 64, m = 32, k = 16,
         iters = 4, sampleN = 200)
@@ -1393,13 +1404,12 @@ object SimQueries {
         .agg(count(lit(1))).as[Long].head()
       val r2 = residualHits(2)
       val r8 = residualHits(8)
-      rcodes.unpersist()
-      exactTop1.agg(count(lit(1)).as("nq"))
-        .select(
-          $"nq".as("n_queries"),
-          when(lit(r8) >= 120, 1L).otherwise(0L).as("meets_bar_probe8"),
-          when(lit(r8) > lit(r2), 1L).otherwise(0L).as("probe_recovery"),
-          when(lit(r8) + 1L >= lit(flat8), 1L).otherwise(0L).as("no_flat_regression"))
+      rcodes.unpersist(); exactTop1.unpersist()
+      spark.range(1).select(
+        lit(nq).as("n_queries"),
+        when(lit(r8) >= 120, 1L).otherwise(0L).as("meets_bar_probe8"),
+        when(lit(r8) > lit(r2), 1L).otherwise(0L).as("probe_recovery"),
+        when(lit(r8) + 1L >= lit(flat8), 1L).otherwise(0L).as("no_flat_regression"))
   }
 
   val all: Seq[Query] = Seq(

@@ -306,6 +306,16 @@ object Pq {
     * only valid over a dense domain. Padded entries are never READ —
     * [[encodeSv]]'s argmin only emits codes that exist in the real
     * codebook — they just hold the layout.
+    *
+    * FULL OUTER, not left: a codebook trained with k > nCodes (nCodes
+    * is a separate, easily-forgotten parameter from the training k)
+    * would under a left join be silently TRUNCATED to the first nCodes
+    * codes — and [[packLut]]'s density assert cannot catch it because
+    * the padded domain is always exactly m·nCodes, so AdcLutSum would
+    * stripe-index a LUT missing real codewords and return silently
+    * wrong distances. With the full-outer, any (sub, code) outside the
+    * dense domain survives into the frame and trips the assert loudly
+    * at LUT-build time.
     */
   private def denseCents(cents: DataFrame, m: Int, nCodes: Int, dsub: Int): DataFrame = {
     val dom = org.apache.spark.sql.SparkSession.active
@@ -314,10 +324,16 @@ object Pq {
         expr(s"id div $nCodes").as("sub"),
         (col("id") % nCodes).as("code"))
     dom
-      .join(cents, Seq("sub", "code"), "left")
+      .join(cents, Seq("sub", "code"), "full_outer")
       .withColumn(
         "centroid",
-        coalesce(col("centroid"), array_repeat(lit(0L), dsub)))
+        when(
+          assert_true(
+            col("sub") < m && col("code") < nCodes,
+            lit(s"denseCents: codebook entry outside the dense domain " +
+              s"(m=$m, nCodes=$nCodes) — was the codebook trained with " +
+              "k > nCodes?")).isNull,
+          coalesce(col("centroid"), array_repeat(lit(0L), dsub))))
   }
 
   /** Pack a DENSE (keys..., sub, code, qd) lookup table into one

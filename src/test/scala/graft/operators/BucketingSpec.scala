@@ -62,4 +62,30 @@ class BucketingSpec extends SparkSpec {
       .select(sum($"p")).as[Long].head()
     assert(dedup.select(sum($"w.price")).as[Long].head() == expected)
   }
+
+  test("REAL p20 gate plan is exchange-free on the fact side (p19 is not)") {
+    // The synthetic shape test above can pass while the actual gate
+    // regresses (an extra column, a lost bucket hint, a changed posify
+    // projection all break bucket alignment without touching the shape
+    // test) — so assert the plan of the gate the driver actually runs.
+    // p20's whole reason to exist is "p19 minus the dedup shuffle": the
+    // only exchanges allowed are the tiny month rollup and the output
+    // orderBy; the (receipt_number, item_name) fact aggregate must ride
+    // the bucketed scan.
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val p20 = graft.queries.PosQueries.p20.build(spark, d)
+    val plan20 = p20.queryExecution.executedPlan.toString
+    assert(plan20.contains("Bucketed: true"), plan20)
+    assert(
+      !plan20.contains("Exchange hashpartitioning(receipt_number"),
+      s"p20's fact-side dedup aggregate shuffles — bucketing is not being used:\n$plan20")
+    // Positive control: the same assert must FAIL on p19 (the shuffled
+    // twin), or the substring has gone stale against Spark's plan text.
+    val plan19 = graft.queries.PosQueries.p19.build(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(
+      plan19.contains("Exchange hashpartitioning(receipt_number"),
+      s"plan-text probe went stale — p19 shows no receipt_number exchange:\n$plan19")
+  }
 }
