@@ -871,7 +871,8 @@ object SimQueries {
     * comma-joined string per vector.
     */
   private def packedIndexOracleSql(
-      dim: Int, m: Int, k: Int, iters: Int, sampleN: Int): String =
+      dim: Int, m: Int, k: Int, iters: Int, sampleN: Int,
+      liveWhere: String = ""): String =
     s"""WITH ${pqSampledCtes(dim, m, k, iters, sampleN)}
        |ev AS MATERIALIZED (
        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -896,6 +897,7 @@ object SimQueries {
        |SELECT a.vec_id, v.label,
        |       string_agg(CAST(a.code AS VARCHAR), ',' ORDER BY a.sub) AS codevec
        |FROM enca a JOIN vassign v USING (vec_id)
+       |$liveWhere
        |GROUP BY 1, 2
        |ORDER BY a.vec_id""".stripMargin
 
@@ -922,6 +924,53 @@ object SimQueries {
         .centroids(emb.select($"label", $"embedding"), "label", "embedding")
       graft.streaming.AnnIndexStream
         .packBatch(emb.select($"vec_id", $"embedding"), cents, listCents, "label", 64, 32)
+        .select($"vec_id", $"label", concat_ws(",", $"codevec").as("codevec"))
+        .orderBy($"vec_id")
+  }
+
+  /** e18 — the packed index LIFECYCLE, hash-oracled: three generations
+    * of index events — full upsert (batch 0), delete every `vec_id % 7
+    * == 3` (batch 1, tombstones), re-upsert half of the deleted set
+    * (`vec_id % 14 == 3`, batch 2) — pushed through the REAL lifecycle
+    * code path ([[graft.streaming.AnnIndexStream.packEventBatch]] per
+    * generation, [[graft.streaming.AnnIndexStream.resolve]]'s
+    * latest-generation-wins merge), then the post-delete packed layout
+    * is pinned byte-for-byte. The re-upsert leg is the sharp edge: a
+    * resolution that treats "ever deleted" as dead (instead of
+    * latest-wins) drops the % 14 vectors and hash-mismatches; a
+    * resolution that ignores tombstones keeps the % 7 vectors and
+    * mismatches the other way. The oracle replays e17's packed-index
+    * SQL restricted to the live set — sound because the codebook is
+    * frozen, so a re-upserted vector's codes are bit-identical to its
+    * first encode (the determinism e17 itself pins).
+    * `AnnIndexLifecycleSpec` separately proves stream ≡ batch for the
+    * same generations plus list-local compaction
+    * ([[graft.streaming.AnnIndexStream.compact]]) and that served
+    * top-k never returns a deleted vector.
+    */
+  val indexLifecycle = Query(
+    "e18_index_lifecycle",
+    packedIndexOracleSql(dim = 64, m = 32, k = 16, iters = 4, sampleN = 200,
+      liveWhere = "WHERE vec_id % 7 <> 3 OR vec_id % 14 = 3")) {
+    (spark, d) =>
+      import spark.implicits._
+      val emb = embeddings(spark, d)
+      val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
+      val listCents = graft.similarity.Ann
+        .centroids(emb.select($"label", $"embedding"), "label", "embedding")
+      def gen(events: org.apache.spark.sql.DataFrame, batch: Long) =
+        graft.streaming.AnnIndexStream
+          .packEventBatch(events, cents, listCents, "label", 64, 32)
+          .withColumn("batch", lit(batch))
+      val g0 = gen(emb.select($"vec_id", $"embedding", lit("u").as("op")), 0L)
+      val g1 = gen(
+        emb.filter($"vec_id" % 7 === 3)
+          .select($"vec_id", $"embedding", lit("d").as("op")), 1L)
+      val g2 = gen(
+        emb.filter($"vec_id" % 14 === 3)
+          .select($"vec_id", $"embedding", lit("u").as("op")), 2L)
+      graft.streaming.AnnIndexStream
+        .resolve(g0.unionByName(g1).unionByName(g2), "label")
         .select($"vec_id", $"label", concat_ws(",", $"codevec").as("codevec"))
         .orderBy($"vec_id")
   }
@@ -1415,5 +1464,5 @@ object SimQueries {
   val all: Seq[Query] = Seq(
     knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild,
     pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall,
-    residualIvfPq, residualRecall, packedIndex)
+    residualIvfPq, residualRecall, packedIndex, indexLifecycle)
 }

@@ -34,6 +34,14 @@ object AnnIndexStream {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** Lifecycle event schema: `op` is "u" (upsert — `embedding` carries
+    * the vector) or "d" (delete — `embedding` is null and ignored).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("op", org.apache.spark.sql.types.StringType)))
+
   /** Encode + assign + pack one batch of vectors against the frozen
     * codebook and coarse centroids — shared by the stream below and the
     * spec's batch-rebuild reference.
@@ -51,6 +59,81 @@ object AnnIndexStream {
     Pq.packCodes(Pq.encode(batch, cents, "vec_id", "embedding", dim, m), "vec_id")
       .join(assigned, Seq("vec_id"))
       .select(col("vec_id"), col(listCol), col("codevec"))
+  }
+
+  /** Pack one LIFECYCLE batch: upserts are encoded exactly as
+    * [[packBatch]]; deletes become TOMBSTONE rows — `(vec_id, null
+    * list, null codevec, op="d")` — that shadow any older generation of
+    * the same vector at read time ([[resolve]]). Writer contract: at
+    * most one event per vec_id per batch (the drop-file producer's
+    * dedup responsibility, same as the lake's K5 merge contract).
+    */
+  def packEventBatch(
+      batch: DataFrame,
+      cents: DataFrame,
+      listCents: DataFrame,
+      listCol: String,
+      dim: Int,
+      m: Int): DataFrame = {
+    val ups = packBatch(
+      batch.filter(col("op") === "u").select(col("vec_id"), col("embedding")),
+      cents, listCents, listCol, dim, m)
+      .withColumn("op", lit("u"))
+    val dels = batch.filter(col("op") === "d")
+      .select(
+        col("vec_id"),
+        lit(null).cast(ups.schema(listCol).dataType).as(listCol),
+        lit(null).cast("array<long>").as("codevec"),
+        lit("d").as("op"))
+    ups.unionByName(dels)
+  }
+
+  /** Merge-on-read resolution of a stacked lifecycle index: rows are
+    * `(vec_id, listCol, codevec, op, batch)` across every generation
+    * (the `batch` partition column comes free from reading `indexDir`
+    * with partition discovery); per vector the HIGHEST batch wins, and
+    * the vector is live only if that winner is an upsert. One map-side
+    * combinable `max_by` aggregate keyed on vec_id — the read-time cost
+    * that [[compact]] exists to pay down.
+    */
+  def resolve(index: DataFrame, listCol: String): DataFrame =
+    index
+      // Partition discovery types `batch=<id>` dirs as int while a
+      // compacted base stores it as a long data column — normalize so
+      // base ∪ new-batches unions resolve cleanly.
+      .withColumn("batch", col("batch").cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col(listCol), col("codevec"), col("op")), col("batch")).as("w"))
+      .filter(col("w.op") === "u")
+      .select(col("vec_id"), col(s"w.$listCol").as(listCol), col("w.codevec").as("codevec"))
+
+  /** LIST-LOCAL compaction: resolve the whole stacked index once and
+    * rewrite it partitioned by the coarse list — each inverted list's
+    * live vectors land contiguous in their own `<listCol>=<v>/`
+    * directory, so a probe-restricted serve
+    * ([[graft.similarity.Pq.ivfAdcTopKPacked]] joining the broadcast
+    * (qid, list) probe table) can partition-prune to the probed lists
+    * instead of scanning every generation of every vector. The
+    * compacted base keeps the lifecycle contract — `op="u"` and
+    * `batch = <high-water mark>` as data columns — so later stream
+    * batches (numbered above the mark by the checkpoint) stack on top
+    * and [[resolve]] over base ∪ new batches stays correct. Returns the
+    * high-water batch id.
+    */
+  def compact(
+      spark: SparkSession,
+      indexDir: String,
+      compactDir: String,
+      listCol: String): Long = {
+    val stacked = spark.read.parquet(indexDir)
+    import spark.implicits.newLongEncoder
+    val hiBatch = stacked.agg(max(col("batch"))).as[Long].head()
+    resolve(stacked, listCol)
+      .withColumn("op", lit("u"))
+      .withColumn("batch", lit(hiBatch))
+      .write.mode("overwrite").partitionBy(listCol).parquet(compactDir)
+    hiBatch
   }
 
   /** Start the index-maintenance stream over a parquet drop directory.
@@ -75,6 +158,37 @@ object AnnIndexStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         packBatch(batch, cents, listCents, listCol, dim, m)
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The lifecycle stream: like [[run]] but over [[eventSchema]] drop
+    * files (upserts AND deletes). Each micro-batch writes its packed
+    * upserts plus delete tombstones into its own idempotent
+    * `batch=<id>` directory; serve with
+    * `resolve(spark.read.parquet(indexDir), listCol)` or compact first.
+    */
+  def runLifecycle(
+      spark: SparkSession,
+      dropDir: String,
+      indexDir: String,
+      checkpoint: String,
+      cents: DataFrame,
+      listCents: DataFrame,
+      listCol: String,
+      dim: Int,
+      m: Int,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dropDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        packEventBatch(batch, cents, listCents, listCol, dim, m)
           .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         ()
       }
