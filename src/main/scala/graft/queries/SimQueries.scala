@@ -566,7 +566,7 @@ object SimQueries {
       import spark.implicits._
       val emb = embeddings(spark, d)
       val q = emb.filter($"vec_id" < 200)
-      val exactTop1 = exactTop1Panel(emb, 200).cache()
+      val exactTop1 = exactTop1Panel(spark, d, 200)
       val nq = exactTop1.count()
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = -1)
       val codes = graft.similarity.Pq
@@ -575,7 +575,6 @@ object SimQueries {
         .adcTopK(codes, cents, q, "vec_id", "embedding", dim = 64, m = 32, k = 5)
         .select($"qid", $"bid")
       val h = exactTop1.join(adc5, Seq("qid", "bid"), "left_semi").count()
-      exactTop1.unpersist()
       spark.range(1).select(
         lit(nq).as("n_queries"),
         when(lit(h) >= 140, 1L).otherwise(0L).as("meets_recall_bar"))
@@ -675,7 +674,7 @@ object SimQueries {
       import spark.implicits._
       val emb = embeddings(spark, d)
       val q = emb.filter($"vec_id" < 200)
-      val exactTop1 = exactTop1Panel(emb, 200).cache()
+      val exactTop1 = exactTop1Panel(spark, d, 200)
       val nq = exactTop1.count()
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
       val codes = graft.similarity.Pq
@@ -684,7 +683,6 @@ object SimQueries {
         .adcTopK(codes, cents, q, "vec_id", "embedding", dim = 64, m = 32, k = 5)
         .select($"qid", $"bid")
       val h = exactTop1.join(adc5, Seq("qid", "bid"), "left_semi").count()
-      exactTop1.unpersist()
       spark.range(1).select(
         lit(nq).as("n_queries"),
         when(lit(h) >= 120, 1L).otherwise(0L).as("meets_recall_bar"))
@@ -714,7 +712,7 @@ object SimQueries {
     (spark, d) =>
       import spark.implicits._
       val emb = embeddings(spark, d)
-      val exactTop1 = exactTop1Panel(emb, 200).cache()
+      val exactTop1 = exactTop1Panel(spark, d, 200)
       val nq = exactTop1.count()
       val cents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
       // Both probe widths re-read the encoded corpus — one
@@ -734,7 +732,7 @@ object SimQueries {
       }
       val h2 = hitsAt(2).as[Long].head()
       val h8 = hitsAt(8).as[Long].head()
-      codes.unpersist(); exactTop1.unpersist()
+      codes.unpersist()
       spark.range(1).select(
         lit(nq).as("n_queries"),
         when(lit(h8) >= 120, 1L).otherwise(0L).as("meets_bar_probe8"),
@@ -1222,27 +1220,42 @@ object SimQueries {
     * loop (bit-identical to the HOF fold it replaced — integer
     * arithmetic, `SqDistLongSpec` pins the equivalence; the interpreted
     * fold was the bench's heaviest expression once the panels widened to
-    * 200). NOT cached here: each gate references the frame two-to-three
-    * times (one per probe width, plus the final panel count), so callers
-    * `.cache()` it, materialize their hit counts eagerly, and
-    * `.unpersist()` before returning — cache ownership stays where the
-    * lifetime is known. (A cache owned here leaked: Verify has no
-    * inter-gate clearCache, so panels and their shuffle files
-    * accumulated across all ~120 gates.)
+    * 200). Battery-shared via the [[pqMemo]] pattern: five gates
+    * (e9/e11/e12/e14/e16) need the SAME panel, and the memo holds only
+    * `panel` (qid, bid) rows — driver-bounded by construction, unlike
+    * the corpus-sized [[sharedUnsupLists]]. (Earlier rounds instead
+    * `.cache()`d the frame here; plan-identical calls silently shared
+    * the cache entry across gates, which was fast but leaked — Verify
+    * has no inter-gate clearCache, so panels and their shuffle files
+    * accumulated across all ~120 gates. The round-10 leak fix without
+    * this memo re-computed the quadratic exact GT once per gate,
+    * measured +1 to +2.6 s on each of the five recall gates.)
     */
+  private val panelMemo = scala.collection.concurrent.TrieMap[
+    (String, Int),
+    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+
   private def exactTop1Panel(
-      emb: org.apache.spark.sql.DataFrame, panel: Int): org.apache.spark.sql.DataFrame = {
-    val qv = graft.similarity.Ann.quantize(emb, "embedding", "qv")
-      .select(col("vec_id"), col("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("bid"))
-    qv.as("a")
-      .join(qv.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .where(col("a.vec_id") < panel)
-      .select(
-        col("a.vec_id").as("qid"), col("b.vec_id").as("bid"),
-        graft.functions.Exprs.sqDistLong(col("a.qv"), col("b.qv")).as("d2"))
-      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("qid"), col("bid"))
+      spark: org.apache.spark.sql.SparkSession, d: String, panel: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val dKey = s"$d|${graft.operators.Bucketing.suffix(spark, d)}"
+    val (schema, rows) = panelMemo.getOrElseUpdate((dKey, panel), {
+      val qv = graft.similarity.Ann
+        .quantize(embeddings(spark, d), "embedding", "qv")
+        .select(col("vec_id"), col("qv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("bid"))
+      val df = qv.as("a")
+        .join(qv.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .where(col("a.vec_id") < panel)
+        .select(
+          col("a.vec_id").as("qid"), col("b.vec_id").as("bid"),
+          graft.functions.Exprs.sqDistLong(col("a.qv"), col("b.qv")).as("d2"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("qid"), col("bid"))
+      (df.schema, df.collect().toSeq)
+    })
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** e13 — the UNSUPERVISED composed tier: closes round 6's one `weak`.
@@ -1305,7 +1318,7 @@ object SimQueries {
     (spark, d) =>
       import spark.implicits._
       val emb = embeddings(spark, d)
-      val exactTop1 = exactTop1Panel(emb, 200).cache()
+      val exactTop1 = exactTop1Panel(spark, d, 200)
       val nq = exactTop1.count()
       val lists = sharedUnsupLists(spark, d, kmIters = 2)
       val corpus = emb.join(lists.select($"vec_id", $"list"), Seq("vec_id"))
@@ -1328,7 +1341,7 @@ object SimQueries {
       }
       val h1 = hitsAt(1).as[Long].head()
       val h6 = hitsAt(6).as[Long].head()
-      corpus.unpersist(); codes.unpersist(); exactTop1.unpersist()
+      corpus.unpersist(); codes.unpersist()
       spark.range(1).select(
         lit(nq).as("n_queries"),
         when(lit(h6) >= 110, 1L).otherwise(0L).as("meets_bar_probe6"),
@@ -1421,7 +1434,7 @@ object SimQueries {
       import spark.implicits._
       val emb = embeddings(spark, d)
       val corpus = emb.select($"vec_id", $"label", $"embedding")
-      val exactTop1 = exactTop1Panel(emb, 200).cache()
+      val exactTop1 = exactTop1Panel(spark, d, 200)
       val nq = exactTop1.count()
       val panelQ = emb.filter($"vec_id" < 200)
       val (rcents, coarse) = sharedResidual(spark, d, dim = 64, m = 32, k = 16,
@@ -1453,7 +1466,7 @@ object SimQueries {
         .agg(count(lit(1))).as[Long].head()
       val r2 = residualHits(2)
       val r8 = residualHits(8)
-      rcodes.unpersist(); exactTop1.unpersist()
+      rcodes.unpersist()
       spark.range(1).select(
         lit(nq).as("n_queries"),
         when(lit(r8) >= 120, 1L).otherwise(0L).as("meets_bar_probe8"),
