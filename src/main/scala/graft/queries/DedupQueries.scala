@@ -83,6 +83,157 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** m9 — the LSH banding S-CURVE, measured: recall of the banded
+    * candidate generation (m2's exact pipeline, b=4 bands × r=2 rows)
+    * against exact n-gram-Jaccard ground truth, bucketed by true
+    * Jaccard decile. This is the dedup tier's analog of the ANN recall
+    * gates (e9/e14): the production path is the banded join — never
+    * all-pairs — and this gate is the EVIDENCE for choosing (b, r) at
+    * scale, pinning the whole curve (near-0 recall in the low buckets,
+    * rising through 1−(1−s^r)^b, saturating at the top) rather than
+    * one operating point. On this synthetic corpus the true-Jaccard
+    * distribution is bimodal (≈1.13 M near-0 pairs, a few hundred
+    * near-1, a handful between at sf0.1), so the populated buckets pin
+    * the curve's endpoints plus stragglers — stated here rather than
+    * tuned around; the gate's arithmetic covers every bucket a real
+    * corpus would populate.
+    *
+    * Exactness discipline: the decile bucket is computed in pure
+    * integer arithmetic — `least(9, (10·|A∩B|) div |A∪B|)` — so the
+    * bucket boundary never touches a float, and DuckDB's `//` agrees
+    * with Spark's `div` bit-for-bit. Recall per bucket is one final
+    * exact-integer division to DOUBLE.
+    *
+    * Scale shape: the ground-truth side (distinct-shingle inverted
+    * index self-join) is the eval harness — pair fan-out is bounded by
+    * shingle document frequency, and at 100 TB it would run df-capped
+    * (t19's discipline) over a sampled panel; the LSH side under
+    * measurement is the linear-shuffle production path.
+    */
+  val lshRecallCurve = Query(
+    "m9_lsh_recall", {
+      val bands = (0 until K / RowsPerBand).map { j =>
+        val cols = (0 until RowsPerBand).map(r => s"sig_${j * RowsPerBand + r}")
+        s"SELECT doc_id, $j AS band, ${cols.zipWithIndex.map { case (c, i) => s"$c AS v$i" }.mkString(", ")} FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""$shinglesCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |tp AS MATERIALIZED (
+         |  SELECT id_a, id_b, n_common, sa.n_sh + sb.n_sh - n_common AS u
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |),
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         $sigSelect
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |banded AS MATERIALIZED (
+         |  $bands
+         |),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+         |  WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT LEAST(9, (10 * n_common) // u) AS bucket,
+         |       COUNT(*) AS n_true,
+         |       CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |       CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+         |FROM tp
+         |LEFT JOIN cand c ON c.id_a = tp.id_a AND c.id_b = tp.id_b
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin
+    }) { (spark, d) =>
+    import spark.implicits._
+    val docs = documents(spark, d)
+    // sh feeds sizes + both inverted-index join sides (t4's shape).
+    val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select($"doc_id".as("id_a"), $"shingle")
+      .join(sh.select($"doc_id".as("id_b"), $"shingle"), Seq("shingle"))
+      .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("n_common"))
+    val tp = inter
+      .join(sizes.select($"doc_id".as("id_a"), $"n_sh".as("n_a")), Seq("id_a"))
+      .join(sizes.select($"doc_id".as("id_b"), $"n_sh".as("n_b")), Seq("id_b"))
+      .withColumn("u", $"n_a" + $"n_b" - $"n_common")
+    val sig = MinHashLSH.signatures(docs, "doc_id", "text", 3, K)
+    val cand = MinHashLSH.candidatePairs(sig, "doc_id", K, RowsPerBand)
+      .select($"id_a", $"id_b", lit(1).as("hit"))
+    tp.join(cand, Seq("id_a", "id_b"), "left")
+      .select(expr("least(9, (10 * n_common) div u)").as("bucket"), $"hit")
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", $"n_hit".cast("double") / $"n_true")
+      .orderBy($"bucket")
+  }
+
+  /** m10 — ONLINE near-dup admission: for every document, the smallest
+    * EARLIER document it would have been flagged against at arrival
+    * time (bucket mate with ≥ 4 of 8 equal signature components, i.e.
+    * est_jaccard ≥ 0.5 — the threshold is applied as an INTEGER match
+    * count, so no float gates a dedup decision). This is the batch
+    * form of the ingestion-time dedup contract: a corpus arriving as
+    * an id-ordered stream admits each doc against all of history;
+    * `streaming/NearDupStream` implements exactly that incrementally
+    * (persistent banded-bucket state table, batch-partitioned for
+    * idempotent replay) and `NearDupStreamSpec` pins stream ≡ this
+    * gate row-for-row. min() over earlier ids is order-independent
+    * within a batch, which is what makes the online result
+    * deterministic and SQL-expressible.
+    */
+  val onlineNearDup = Query(
+    "m10_online_neardup", {
+      val bands = (0 until K / RowsPerBand).map { j =>
+        val cols = (0 until RowsPerBand).map(r => s"sig_${j * RowsPerBand + r}")
+        s"SELECT doc_id, $j AS band, ${cols.zipWithIndex.map { case (c, i) => s"$c AS v$i" }.mkString(", ")} FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      val eq = (0 until K).map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""$shinglesCte,
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         $sigSelect
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |banded AS MATERIALIZED (
+         |  $bands
+         |),
+         |pairs AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+         |  WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT id_b AS doc_id, MIN(id_a) AS dup_of
+         |FROM pairs
+         |JOIN sig sa ON sa.doc_id = id_a
+         |JOIN sig sb ON sb.doc_id = id_b
+         |WHERE ($eq) >= 4
+         |GROUP BY id_b
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, d) =>
+    import spark.implicits._
+    val sig = MinHashLSH.signatures(documents(spark, d), "doc_id", "text", 3, K)
+    MinHashLSH.candidatePairs(sig, "doc_id", K, RowsPerBand)
+      // est_jaccard is matches/8 — eighths are exact dyadic doubles, so
+      // the 0.5 compare is the integer matches >= 4 test.
+      .filter($"est_jaccard" >= 0.5)
+      .groupBy($"id_b")
+      .agg(min($"id_a").as("dup_of"))
+      .select($"id_b".as("doc_id"), $"dup_of")
+      .orderBy($"doc_id")
+  }
+
   /** Fuzzy record linkage: within-brand part-name pairs at edit
     * distance ≤ 2. `levenshtein` is exact integer in both engines; the
     * brand block bounds the candidate pairs (the same blocking idea the
@@ -845,7 +996,8 @@ object DedupQueries {
   }
 
   val all: Seq[Query] = Seq(
-    minhashSignatures, lshCandidates, simhashFingerprints, simhashPairs,
+    minhashSignatures, lshCandidates, lshRecallCurve, onlineNearDup,
+    simhashFingerprints, simhashPairs,
     simhashWidePairs, mediaDecode, mediaFeatures, audioDecode, audioSamples,
     videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
     embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents,
