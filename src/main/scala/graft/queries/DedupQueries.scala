@@ -995,11 +995,113 @@ object DedupQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** x6 — LEAKAGE-SAFE train/val/test split: assignment hashes the
+    * NEAR-DUP COMPONENT id (m5's closure), never the raw doc id, so a
+    * document and all its near-duplicates land in one split and
+    * paraphrase leakage into the eval set is structurally impossible.
+    * The gate emits the per-split census (docs, components, tokens)
+    * plus `cross_split_pairs` — the count of LSH candidate pairs whose
+    * endpoints straddle splits, COMPUTED from the pair list in both
+    * engines rather than asserted; component-level hashing is exactly
+    * the construction that forces it to 0. Scale shape: banded LSH
+    * pairs (never all-pairs) → O(log n) component contraction → a
+    * narrow md5-bucket map on the component id; the census is one
+    * partial-agg groupBy.
+    */
+  val leakSafeSplit = Query(
+    "x6_leak_safe_split", {
+      val bands = (0 until K / RowsPerBand).map { j =>
+        val cols = (0 until RowsPerBand).map(r => s"sig_${j * RowsPerBand + r}")
+        s"SELECT doc_id, $j AS band, ${cols.zipWithIndex.map { case (c, i) => s"$c AS v$i" }.mkString(", ")} FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ") + "," +
+        s"""
+           |sig AS MATERIALIZED (
+           |  SELECT doc_id,
+           |         $sigSelect
+           |  FROM hashed GROUP BY doc_id
+           |),
+           |banded AS MATERIALIZED (
+           |  $bands
+           |),
+           |pairs AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a
+           |  JOIN banded b ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+           |  WHERE a.doc_id < b.doc_id
+           |),
+           |edges AS MATERIALIZED (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |),
+           |reach(v, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+           |),
+           |comp AS (
+           |  SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+           |),
+           |asg AS MATERIALIZED (
+           |  SELECT doc_id, component,
+           |         CASE WHEN CAST(concat('0x', substr(md5(concat('split1:', CAST(component AS VARCHAR))), 1, 7)) AS BIGINT) % 100 < 80 THEN 'train'
+           |              WHEN CAST(concat('0x', substr(md5(concat('split1:', CAST(component AS VARCHAR))), 1, 7)) AS BIGINT) % 100 < 90 THEN 'val'
+           |              ELSE 'test' END AS split
+           |  FROM comp
+           |),
+           |cross_pairs AS (
+           |  SELECT COUNT(*) AS n FROM pairs p
+           |  JOIN asg a ON a.doc_id = p.id_a
+           |  JOIN asg b ON b.doc_id = p.id_b
+           |  WHERE a.split <> b.split
+           |),
+           |tok AS (
+           |  SELECT doc_id,
+           |         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+           |  FROM documents
+           |)
+           |SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(COUNT(DISTINCT a.component) AS BIGINT) AS n_components,
+           |       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+           |       CAST(MAX(c.n) AS BIGINT) AS cross_split_pairs
+           |FROM asg a
+           |JOIN tok t ON t.doc_id = a.doc_id
+           |CROSS JOIN cross_pairs c
+           |GROUP BY a.split
+           |ORDER BY a.split""".stripMargin
+    }) { (spark, d) =>
+    import graft.functions.Exprs.tokenCount
+    val docs = documents(spark, d)
+    val sig = MinHashLSH.signatures(docs, "doc_id", "text", 3, K)
+    val pairs = MinHashLSH.candidatePairs(sig, "doc_id", K, RowsPerBand)
+      .select(col("id_a"), col("id_b"))
+    val comps = Components
+      .connectedComponents(docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+    val asg = graft.dedup.CorpusSplit
+      .assignByComponent(comps, "component", "split1", trainPct = 80, valPct = 10)
+    val cross = pairs
+      .join(asg.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(asg.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("cross_n"))
+    asg
+      .join(docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .crossJoin(broadcast(cross))
+      .select(col("split"), col("n_docs"), col("n_components"), col("n_tokens"),
+        col("cross_n").cast("long").as("cross_split_pairs"))
+      .orderBy(col("split"))
+  }
+
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, lshRecallCurve, onlineNearDup,
     simhashFingerprints, simhashPairs,
     simhashWidePairs, mediaDecode, mediaFeatures, audioDecode, audioSamples,
     videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
     embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents,
-    neardupDedup, imageResize, imageResizeJpeg, semDedup)
+    neardupDedup, imageResize, imageResizeJpeg, semDedup, leakSafeSplit)
 }

@@ -1474,8 +1474,123 @@ object SimQueries {
         when(lit(r8) + 1L >= lit(flat8), 1L).otherwise(0L).as("no_flat_regression"))
   }
 
+  /** e19 — k-NN GRAPH construction over the WHOLE corpus: e5's IVF
+    * search with queries = corpus, plus the mutual-edge flag. The
+    * neighbour graph is what clustering, SemDeDup-style pruning and
+    * label propagation consume; building it is the canonical
+    * "all-pairs but never quadratic" workload — per-vector candidates
+    * are bounded by the probed lists (nprobe · corpus/numLists), and
+    * the mutual check is one self-join of the N·k edge list. The
+    * oracle replays centroids → probes → candidate ranking → the
+    * reverse-edge join in SQL, so the hash pins every edge, rank,
+    * 6-dp cosine and mutuality bit.
+    */
+  val knnGraphGate = Query(
+    "e19_knn_graph",
+    """WITH ev AS MATERIALIZED (
+      |  SELECT vec_id, label,
+      |         generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |),
+      |cent AS (
+      |  SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i
+      |),
+      |qdots AS (
+      |  SELECT ev.vec_id AS qid, cent.label,
+      |         SUM(ev.v * cent.c) AS dot,
+      |         SUM(ev.v * ev.v) AS qq,
+      |         SUM(cent.c * cent.c) AS cc
+      |  FROM ev JOIN cent ON ev.i = cent.i
+      |  GROUP BY qid, cent.label
+      |),
+      |probes AS (
+      |  SELECT qid, label FROM (
+      |    SELECT qid, label,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+      |    FROM qdots)
+      |  WHERE pr <= 2
+      |),
+      |bdots AS (
+      |  SELECT p.qid, b.vec_id AS bid,
+      |         SUM(qv.v * b.v) AS dot,
+      |         SUM(qv.v * qv.v) AS qq,
+      |         SUM(b.v * b.v) AS bb
+      |  FROM probes p
+      |  JOIN ev b ON b.label = p.label
+      |  JOIN ev qv ON qv.vec_id = p.qid AND qv.i = b.i
+      |  WHERE b.vec_id <> p.qid
+      |  GROUP BY p.qid, b.vec_id
+      |),
+      |edges AS MATERIALIZED (
+      |  SELECT qid, bid, cosine, rank FROM (
+      |    SELECT qid, bid,
+      |           round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank
+      |    FROM bdots)
+      |  WHERE rank <= 3
+      |)
+      |SELECT e.qid, CAST(e.rank AS BIGINT) AS rank, e.bid, e.cosine,
+      |       CAST(CASE WHEN r.qid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS mutual
+      |FROM edges e
+      |LEFT JOIN edges r ON r.qid = e.bid AND r.bid = e.qid
+      |ORDER BY e.qid, e.rank""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.similarity.Ann
+      .knnGraph(
+        embeddings(spark, d).select($"vec_id", $"label", $"embedding"),
+        "vec_id", "embedding", "label", k = 3, nprobe = 2)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** x5 — SEMANTIC decontamination: x3/x4 catch verbatim benchmark
+    * leakage; this catches paraphrased leakage by flagging every
+    * training vector whose max cosine to ANY benchmark vector crosses
+    * the threshold. Same scale discipline as x3: the benchmark side is
+    * small BY CONSTRUCTION and broadcast, the training corpus is
+    * scanned once with a narrow map + partial max aggregation — the
+    * corpus never shuffles on anything benchmark-sized.
+    */
+  val semanticDecontam = Query(
+    "x5_semantic_decontam",
+    """WITH flat AS MATERIALIZED (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |),
+      |bench AS (SELECT * FROM flat WHERE vec_id < 20),
+      |train AS (SELECT * FROM flat WHERE vec_id >= 20),
+      |dots AS (
+      |  SELECT t.vec_id, b.vec_id AS bid,
+      |         SUM(t.v * b.v) AS dot, SUM(t.v * t.v) AS tt, SUM(b.v * b.v) AS bb
+      |  FROM train t JOIN bench b ON t.i = b.i
+      |  GROUP BY 1, 2
+      |)
+      |SELECT vec_id, MAX(round(dot / (sqrt(tt) * sqrt(bb)), 6)) AS max_cos,
+      |       CAST(CASE WHEN MAX(round(dot / (sqrt(tt) * sqrt(bb)), 6)) >= 0.3
+      |            THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM dots GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val emb = embeddings(spark, d)
+    val bench = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("bid"), $"embedding".as("bv"))
+    emb.filter($"vec_id" >= 20)
+      .select($"vec_id", $"embedding")
+      .crossJoin(broadcast(bench))
+      .select($"vec_id", round(cosine($"embedding", $"bv"), 6).as("cos"))
+      .groupBy($"vec_id")
+      .agg(max($"cos").as("max_cos"))
+      .select($"vec_id", $"max_cos",
+        when($"max_cos" >= 0.3, 1L).otherwise(0L).as("contaminated"))
+      .orderBy($"vec_id")
+  }
+
   val all: Seq[Query] = Seq(
     knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild,
     pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall,
-    residualIvfPq, residualRecall, packedIndex, indexLifecycle)
+    residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
+    semanticDecontam)
 }

@@ -1495,11 +1495,54 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** t24 — token-budget MIXTURE sampling: the run-composition operator
+    * (N tokens per domain) on top of the curation stack. Docs are
+    * ordered per domain by a salted md5 of their id — a deterministic
+    * shuffle both engines replay bit-identically — and kept while the
+    * domain's running token total is within budget, so changing one
+    * budget moves only that domain's cut line. Budgets here exercise
+    * all three regimes: src0 halved, src1 excluded outright, the rest
+    * on the default. Scale shape: one shuffle on the domain key for
+    * the running sum (the two-pass partial-sums variant has identical
+    * semantics at 1000 executors); token counting rides the scan.
+    */
+  val mixtureBudget = Query(
+    "t24_mixture_budget",
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+      |         md5(concat('mix1:', CAST(doc_id AS VARCHAR))) AS ord
+      |  FROM documents
+      |),
+      |runs AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id) AS cum_tokens
+      |  FROM toks
+      |)
+      |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM runs
+      |WHERE cum_tokens <= CASE WHEN source = 'src0' THEN 400
+      |                         WHEN source = 'src1' THEN 0
+      |                         ELSE 800 END
+      |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.operators.MixtureSampling
+      .tokenBudgetSample(
+        documents(spark, d)
+          .select($"doc_id", $"source", tokenCount($"text").as("n_tokens")),
+        "doc_id", "source", "n_tokens", "mix1",
+        Map("src0" -> 400L, "src1" -> 0L), defaultBudget = 800L)
+      .select($"doc_id", $"source", $"n_tokens".cast("long").as("n_tokens"),
+        $"cum_tokens")
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
     sequencePacking, rollingFingerprint, bm25TopK, substringSpans,
     spanRemoval, decontaminate, decontamSpans, filterPipeline,
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
-    dedupBucketedDocs, streamQuality, gopherQuality)
+    dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget)
 }

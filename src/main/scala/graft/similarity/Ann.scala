@@ -256,6 +256,36 @@ object Ann {
     assigned.select(col(idCol), col("list"), col("cosine"))
   }
 
+  /** k-NN GRAPH construction: every corpus vector is simultaneously a
+    * query and a candidate, giving the neighbour graph that clustering,
+    * SemDeDup-style pruning and label propagation all consume. Edges
+    * are the IVF top-k of each vector (probe `nprobe` nearest lists,
+    * rank candidates only from those lists); the `mutual` flag marks
+    * edges whose reverse edge also survived — the mutual-kNN subgraph
+    * is the standard noise-robust variant.
+    *
+    * Scale shape: identical to [[ivfTopK]] with queries = corpus — the
+    * centroid table stays broadcast, the candidate join shuffles on the
+    * list id (per-vector candidate count is nprobe · corpus/numLists,
+    * never the corpus), and the mutual check is one self-join of the
+    * N·k edge list on its own key. Nothing here is quadratic in the
+    * corpus.
+    */
+  def knnGraph(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val edges = ivfTopK(corpus, corpus.select(col(idCol), col(vecCol)),
+      idCol, vecCol, listCol, k, nprobe)
+    val rev = edges.select(col("bid").as("qid"), col("qid").as("bid"), lit(1L).as("__rev"))
+    edges.join(rev, Seq("qid", "bid"), "left_outer")
+      .select(col("qid"), col("rank"), col("bid"), col("cosine"),
+        when(col("__rev") === 1L, 1L).otherwise(0L).as("mutual"))
+  }
+
   /** Assign each vector to its nearest centroid (by cosine) — the other
     * half of an IVF build / k-means iteration.
     */
