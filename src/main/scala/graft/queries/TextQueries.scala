@@ -1538,11 +1538,75 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** t26 — MODEL-BASED quality filtering: the fastText-style linear
+    * classifier pass after the heuristic filters. Tokens hash into
+    * 4096 buckets; a frozen hash-derived weight vector scores each doc
+    * by summed token weights; keep = score > 0 (mean-weight threshold
+    * via cross-multiplication). Exact integer end-to-end — the oracle
+    * replays hash → bucket → weight → sum bit-for-bit. Scale shape:
+    * one codegen'd per-doc fold, zero shuffle, rides the scan; a
+    * trained weight table would swap in as a broadcast join without
+    * changing the plan class.
+    */
+  val qualityModel = Query(
+    "t26_quality_model",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |),
+      |scored AS (
+      |  SELECT doc_id,
+      |         SUM((CAST(concat('0x', substr(md5(concat('qw1:',
+      |               CAST(CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) % 4096 AS VARCHAR))), 1, 7)) AS BIGINT) % 201) - 100) AS score
+      |  FROM toks GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |       length(d.text) - length(replace(d.text, ' ', '')) + 1 AS n_tokens,
+      |       CAST(s.score AS BIGINT) AS score,
+      |       CAST(CASE WHEN s.score > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.text.QualityModel
+      .classify(documents(spark, d), "doc_id", "text", numBuckets = 4096, salt = "qw1")
+      .orderBy($"doc_id")
+  }
+
+  /** t25 — ONLINE budget admission (arrival-order prefix truncation):
+    * t24's mixture semantics at ingestion time — running per-domain
+    * token totals in `doc_id` (arrival) order, domain closed once its
+    * budget is crossed. The SAME definition drives the streaming twin
+    * (`streaming/BudgetStream`, state = one row per domain × batch;
+    * `BudgetStreamSpec` pins stream ≡ this gate across a restart and
+    * a replayed batch). Scale shape: one exchange on the domain key;
+    * the streaming side never re-scans history — its base is a sum
+    * over a domains × batches state table.
+    */
+  val onlineBudget = Query(
+    "t25_online_budget",
+    """WITH runs AS (
+      |  SELECT doc_id, source,
+      |         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+      |         SUM(length(text) - length(replace(text, ' ', '')) + 1)
+      |           OVER (PARTITION BY source ORDER BY doc_id) AS cum_tokens
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM runs
+      |WHERE cum_tokens <= 800
+      |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.streaming.BudgetStream
+      .batchAdmission(documents(spark, d), budget = 800L)
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
     sequencePacking, rollingFingerprint, bm25TopK, substringSpans,
     spanRemoval, decontaminate, decontamSpans, filterPipeline,
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
-    dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget)
+    dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget,
+    qualityModel, onlineBudget)
 }
