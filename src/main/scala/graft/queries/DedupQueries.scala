@@ -1097,11 +1097,100 @@ object DedupQueries {
       .orderBy(col("split"))
   }
 
+  /** m11 — SEMANTIC near-dup clusters from the MUTUAL-kNN graph: e19's
+    * neighbour graph, filtered to reciprocated edges above a cosine
+    * bar, contracted to connected components — the graph-based
+    * alternative to m7's cluster-bounded SemDeDup (mutual-kNN is the
+    * noise-robust construction: an edge survives only if BOTH
+    * endpoints rank each other, so hub vectors cannot chain unrelated
+    * docs into one cluster). Composition is entirely existing
+    * machinery: `Ann.knnGraph` (IVF-bounded candidates) →
+    * `Components.connectedComponents` (O(log n) contraction); the
+    * oracle replays the full chain — centroids, probes, ranking,
+    * mutuality, closure — in one recursive query.
+    */
+  val knnComponents = Query(
+    "m11_knn_components",
+    """WITH RECURSIVE ev AS MATERIALIZED (
+      |  SELECT vec_id, label,
+      |         generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |),
+      |cent AS (
+      |  SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i
+      |),
+      |qdots AS (
+      |  SELECT ev.vec_id AS qid, cent.label,
+      |         SUM(ev.v * cent.c) AS dot,
+      |         SUM(ev.v * ev.v) AS qq,
+      |         SUM(cent.c * cent.c) AS cc
+      |  FROM ev JOIN cent ON ev.i = cent.i
+      |  GROUP BY qid, cent.label
+      |),
+      |probes AS (
+      |  SELECT qid, label FROM (
+      |    SELECT qid, label,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+      |    FROM qdots)
+      |  WHERE pr <= 2
+      |),
+      |bdots AS (
+      |  SELECT p.qid, b.vec_id AS bid,
+      |         SUM(qv.v * b.v) AS dot,
+      |         SUM(qv.v * qv.v) AS qq,
+      |         SUM(b.v * b.v) AS bb
+      |  FROM probes p
+      |  JOIN ev b ON b.label = p.label
+      |  JOIN ev qv ON qv.vec_id = p.qid AND qv.i = b.i
+      |  WHERE b.vec_id <> p.qid
+      |  GROUP BY p.qid, b.vec_id
+      |),
+      |knn AS MATERIALIZED (
+      |  SELECT qid, bid, cosine FROM (
+      |    SELECT qid, bid,
+      |           round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank
+      |    FROM bdots)
+      |  WHERE rank <= 3
+      |),
+      |mutual AS MATERIALIZED (
+      |  SELECT e.qid AS id_a, e.bid AS id_b
+      |  FROM knn e JOIN knn r ON r.qid = e.bid AND r.bid = e.qid
+      |  WHERE e.cosine >= 0.3 AND e.qid < e.bid
+      |),
+      |medges AS MATERIALIZED (
+      |  SELECT id_a AS a, id_b AS b FROM mutual
+      |  UNION SELECT id_b, id_a FROM mutual
+      |),
+      |reach(v, r) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN medges e ON e.a = reach.v
+      |)
+      |SELECT v AS vec_id, MIN(r) AS component
+      |FROM reach GROUP BY v
+      |ORDER BY vec_id""".stripMargin) { (spark, d) =>
+    val emb = embeddings(spark, d)
+    val g = graft.similarity.Ann.knnGraph(
+      emb.select(col("vec_id"), col("label"), col("embedding")),
+      "vec_id", "embedding", "label", k = 3, nprobe = 2)
+    val pairs = g
+      .filter(col("mutual") === 1L && col("cosine") >= 0.3 && col("qid") < col("bid"))
+      .select(col("qid").as("id_a"), col("bid").as("id_b"))
+    Components
+      .connectedComponents(emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, lshRecallCurve, onlineNearDup,
     simhashFingerprints, simhashPairs,
     simhashWidePairs, mediaDecode, mediaFeatures, audioDecode, audioSamples,
     videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
     embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents,
-    neardupDedup, imageResize, imageResizeJpeg, semDedup, leakSafeSplit)
+    neardupDedup, imageResize, imageResizeJpeg, semDedup, leakSafeSplit,
+    knnComponents)
 }

@@ -1601,6 +1601,47 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** t27 — BPE training statistics: the adjacent-symbol pair counts of
+    * the trainer's FIRST merge round (`text/BpeTrainer`), top-20 under
+    * the trainer's exact (count DESC, left, right) determinism rule.
+    * The iterative merge loop itself is not SQL-expressible, so this
+    * gate pins the foundation both engines can replay — the word-type
+    * collapse + weighted pair statistics every round is built from —
+    * while `BpeTrainerSpec` pins the full loop merge-for-merge against
+    * a sequential reference implementation. Scale shape: the corpus
+    * collapses to word TYPES first (one map-side-combined groupBy), so
+    * pair counting is bounded by vocabulary, not corpus size.
+    */
+  val bpePairStats = Query(
+    "t27_bpe_pair_stats",
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |  ) WHERE length(w) > 0 GROUP BY w
+      |),
+      |syms AS (
+      |  SELECT n, list_append(regexp_split_to_array(w, ''), '</w>') AS s FROM words
+      |),
+      |pairs AS (
+      |  SELECT s[i] AS a, s[i + 1] AS b, SUM(n) AS cnt
+      |  FROM syms, UNNEST(range(1, len(s))) AS u(i)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pairs
+      |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.text.BpeTrainer.wordTable(documents(spark, d), "text")
+      .toDF("syms", "n")
+      .filter(size($"syms") >= 2)
+      .select($"n", explode(expr(
+        "transform(sequence(0, size(syms) - 2), " +
+          "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(sum($"n").cast("long").as("cnt"))
+      .orderBy($"cnt".desc, $"a", $"b")
+      .limit(20)
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
@@ -1608,5 +1649,5 @@ object TextQueries {
     spanRemoval, decontaminate, decontamSpans, filterPipeline,
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
     dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget,
-    qualityModel, onlineBudget)
+    qualityModel, onlineBudget, bpePairStats)
 }
