@@ -1642,6 +1642,55 @@ object TextQueries {
       .limit(20)
   }
 
+  /** t28 — CORPUS CENSUS: the per-(source, lang) report card an
+    * operator reads before and after every curation run — document and
+    * token volume, how many docs clear the quality bar, how many are
+    * exact duplicates. Pure composition of already-pinned primitives
+    * (t1 token count, t2 quality flag, t3 fingerprint dedup) into the
+    * one-shuffle summary shape: a narrow per-doc projection, one
+    * fingerprint window for dup marking, one partial-agg groupBy.
+    * Everything integer-exact.
+    */
+  val corpusCensus = Query(
+    "t28_corpus_census",
+    """WITH per_doc AS (
+      |  SELECT source, lang,
+      |         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+      |         CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) >= 30
+      |              AND len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |                  / (length(text) - length(replace(text, ' ', '')) + 1) < 0.2
+      |              THEN 1 ELSE 0 END AS quality_ok,
+      |         CASE WHEN COUNT(*) OVER (PARTITION BY md5(lower(text))) > 1
+      |              THEN 1 ELSE 0 END AS is_dup
+      |  FROM documents
+      |)
+      |SELECT source, lang,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(quality_ok) AS BIGINT) AS n_quality,
+      |       CAST(SUM(is_dup) AS BIGINT) AS n_exact_dup
+      |FROM per_doc
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val nTok = tokenCount($"text")
+    val nStop = size(filter(split($"text", " "), x => x === "the" || x === "a")).cast("long")
+    val perDoc = documents(spark, d).select(
+      $"source", $"lang",
+      nTok.as("n_tokens"),
+      when(nTok >= 30 && nStop / nTok < 0.2, 1L).otherwise(0L).as("quality_ok"),
+      when(count(lit(1)).over(Window.partitionBy(md5(lower($"text")))) > 1, 1L)
+        .otherwise(0L).as("is_dup"))
+    perDoc
+      .groupBy($"source", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("n_tokens"),
+        sum($"quality_ok").cast("long").as("n_quality"),
+        sum($"is_dup").cast("long").as("n_exact_dup"))
+      .orderBy($"source", $"lang")
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
@@ -1649,5 +1698,5 @@ object TextQueries {
     spanRemoval, decontaminate, decontamSpans, filterPipeline,
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
     dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget,
-    qualityModel, onlineBudget, bpePairStats)
+    qualityModel, onlineBudget, bpePairStats, corpusCensus)
 }
