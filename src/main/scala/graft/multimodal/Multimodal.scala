@@ -289,6 +289,72 @@ object Multimodal {
     }
   }
 
+  /** Perceptual AVERAGE-HASH per image — the content fingerprint image
+    * dedup pipelines bucket on (aHash: 8×8 grid of cell-mean vs
+    * image-mean bits). Exact integer end-to-end so the oracle can
+    * replay it: a pixel at (x, y) belongs to grid cell
+    * (x·8 div w, y·8 div h) — the SAME closed-form map both engines
+    * evaluate — and each bit compares cellSum · nPixels >
+    * totalSum · cellCount (cross-multiplication; no float mean ever
+    * materializes). The 64 bits pack row-major into two non-negative
+    * 32-bit halves (hash_hi = bits 32..63, hash_lo = bits 0..31) so no
+    * sign wrap can diverge between engines. Runs through the REAL PNG
+    * decode (inflate + unfilter), batched per partition; undecodable
+    * payloads yield sentinel -1 rows.
+    *
+    * Scale shape: a narrow per-asset map — the hash is the SHUFFLE KEY
+    * for downstream dedup, never the raster; banded Hamming pairing
+    * (the m4/m6 SimHash discipline) applies unchanged when near-dup
+    * pairs are wanted.
+    */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("hash_hi", LongType),
+      StructField("hash_lo", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("asset_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        ImageCodec.decodePng(bytes) match {
+          case Some((h, px)) =>
+            val w = h.width; val ht = h.height
+            val cs = new Array[Long](64)
+            val cn = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < ht) {
+              val cj = y * 8 / ht
+              var x = 0
+              while (x < w) {
+                val b = cj * 8 + (x * 8 / w)
+                val v = (px(y * w + x) & 0xff).toLong
+                cs(b) += v; cn(b) += 1; total += v
+                x += 1
+              }
+              y += 1
+            }
+            val npx = w.toLong * ht
+            var lo = 0L; var hi = 0L
+            var b = 0
+            while (b < 64) {
+              if (cs(b) * npx > total * cn(b)) {
+                if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+              }
+              b += 1
+            }
+            Row(r.getLong(idIdx), w, ht, hi, lo)
+          case None =>
+            Row(r.getLong(idIdx), -1, -1, -1L, -1L)
+        }
+      }
+    }
+  }
+
   /** Resize pass: nearest-neighbor downsample of each decoded raster to
     * a fixed (targetW × targetH) thumbnail — the standard pre-model
     * normalization step (every vision pipeline resizes before batching).

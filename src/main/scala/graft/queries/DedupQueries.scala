@@ -1214,6 +1214,82 @@ object DedupQueries {
       .orderBy(col("vec_id"))
   }
 
+  private val aHashCte =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS w,
+      |         CAST(8 + (doc_id * 3) % 24 AS INT) AS h
+      |  FROM documents
+      |),
+      |px AS (
+      |  SELECT doc_id, w, h, (x * 8) // w AS ci, (y * 8) // h AS cj,
+      |         (x + y + doc_id) % 256 AS v
+      |  FROM dims, UNNEST(range(0, w)) AS ux(x), UNNEST(range(0, h)) AS uy(y)
+      |),
+      |tot AS (SELECT doc_id, SUM(v) AS total, COUNT(*) AS npx FROM px GROUP BY 1),
+      |cells AS (
+      |  SELECT doc_id, MAX(w) AS w, MAX(h) AS h, ci, cj,
+      |         SUM(v) AS cs, COUNT(*) AS cn
+      |  FROM px GROUP BY doc_id, ci, cj
+      |),
+      |bits AS (
+      |  SELECT c.doc_id, c.w, c.h, c.cj * 8 + c.ci AS b,
+      |         CASE WHEN c.cs * t.npx > t.total * c.cn THEN 1 ELSE 0 END AS bit
+      |  FROM cells c JOIN tot t USING (doc_id)
+      |),
+      |hashes AS (
+      |  SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+      |         SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi,
+      |         SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo
+      |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
+
+  /** mm9 — perceptual AVERAGE-HASH per image, through the REAL PNG
+    * decode (inflate + unfilter): 8×8 grid, cell-mean vs image-mean
+    * bits by integer cross-multiplication, packed into two 32-bit
+    * halves. The oracle recomputes the hash from the analytic raster
+    * (pixel = (x + y + id) % 256), so a hash match verifies the whole
+    * decode chain AND the fingerprint arithmetic bit-for-bit. Scale
+    * shape: narrow per-asset map; the 16-byte hash — not the raster —
+    * is what shuffles downstream.
+    */
+  val imageAHash = Query(
+    "mm9_image_ahash",
+    s"""$aHashCte
+       |SELECT doc_id AS asset_id, w AS width, h AS height,
+       |       CAST(hi AS BIGINT) AS hash_hi, CAST(lo AS BIGINT) AS hash_lo
+       |FROM hashes
+       |ORDER BY asset_id""".stripMargin) { (spark, d) =>
+    Multimodal.imageAHash(Multimodal.fromDocuments(documents(spark, d)))
+      .orderBy(col("asset_id"))
+  }
+
+  /** mm10 — image dedup by aHash bucket: the t3 discipline on the
+    * perceptual fingerprint — one groupBy on the 16-byte hash, census
+    * per bucket plus the canonical (min-id) survivor. On this synthetic
+    * corpus the gradient rasters collapse to ~100 hash buckets at
+    * sf0.1, which is exactly the shape that makes BANDED Hamming
+    * pairing degenerate (max bucket ~2.7 k assets → 6 M+ candidate
+    * pairs) — so the gate pins the bucket-dedup path, and near-dup
+    * banding remains the m4/m6 SimHash discipline for corpora whose
+    * hashes actually disperse.
+    */
+  val aHashDedup = Query(
+    "mm10_ahash_dedup",
+    s"""$aHashCte
+       |SELECT CAST(hi AS BIGINT) AS hash_hi, CAST(lo AS BIGINT) AS hash_lo,
+       |       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       |       MIN(doc_id) AS canonical_id
+       |FROM hashes
+       |GROUP BY hi, lo
+       |ORDER BY hash_hi, hash_lo""".stripMargin) { (spark, d) =>
+    Multimodal.imageAHash(Multimodal.fromDocuments(documents(spark, d)))
+      .groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        min(col("asset_id")).as("canonical_id"))
+      .orderBy(col("hash_hi"), col("hash_lo"))
+  }
+
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, lshRecallCurve, onlineNearDup,
     simhashFingerprints, simhashPairs,
@@ -1221,5 +1297,5 @@ object DedupQueries {
     videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
     embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents,
     neardupDedup, imageResize, imageResizeJpeg, semDedup, leakSafeSplit,
-    knnComponents)
+    knnComponents, imageAHash, aHashDedup)
 }
