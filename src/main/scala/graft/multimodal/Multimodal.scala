@@ -194,6 +194,54 @@ object Multimodal {
     }
   }
 
+  /** Energy-band AUDIO fingerprint — [[imageAHash]]'s twin over the
+    * decoded PCM stream: 64 equal windows over the interleaved sample
+    * values (value index i → window i·64 div n, the same closed-form
+    * map), each bit comparing window |amplitude| sum against the track
+    * mean by integer cross-multiplication. Runs through the REAL WAV
+    * decode (RIFF walk + 16-bit LE PCM); the hash — never the PCM —
+    * is the downstream dedup key. Sentinel -1 rows for undecodable
+    * payloads.
+    */
+  def audioAHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("n_values", LongType),
+      StructField("hash_hi", LongType),
+      StructField("hash_lo", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("asset_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodec.decodeWavSamples(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some((_, samples)) =>
+            val n = samples.length
+            val ws = new Array[Long](64)
+            val wc = new Array[Long](64)
+            var total = 0L
+            var i = 0
+            while (i < n) {
+              val w = (i.toLong * 64 / n).toInt
+              val v = math.abs(samples(i)).toLong
+              ws(w) += v; wc(w) += 1; total += v
+              i += 1
+            }
+            var lo = 0L; var hi = 0L
+            var b = 0
+            while (b < 64) {
+              if (ws(b) * n > total * wc(b)) {
+                if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+              }
+              b += 1
+            }
+            Row(r.getLong(idIdx), n.toLong, hi, lo)
+          case None => Row(r.getLong(idIdx), -1L, -1L, -1L)
+        }
+      }
+    }
+  }
+
   /** Video container decode pass: ISO-BMFF box walk → movie header. */
   def decodeVideo(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(

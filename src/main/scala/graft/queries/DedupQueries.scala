@@ -1290,6 +1290,45 @@ object DedupQueries {
       .orderBy(col("hash_hi"), col("hash_lo"))
   }
 
+  /** mm11 — energy-band AUDIO fingerprint through the real WAV decode
+    * (RIFF walk + 16-bit LE PCM): 64 equal windows over the
+    * interleaved value stream, window-|amplitude| vs track mean by
+    * integer cross-multiplication, packed as two 32-bit halves — the
+    * audio twin of mm9. The oracle regenerates the PCM values from
+    * the closed-form ((i·7 + id) % 65536) − 32768 signal, so a hash
+    * match verifies the byte-level PCM round trip plus the
+    * fingerprint arithmetic. Scale: narrow per-asset map, the hash is
+    * the downstream dedup key.
+    */
+  val audioAHashGate = Query(
+    "mm11_audio_ahash",
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         CAST((1 + doc_id % 2) * (500 + doc_id % 250) AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |vals AS (
+      |  SELECT doc_id, n, (i * 64) // n AS wi,
+      |         abs(((i * 7 + doc_id) % 65536) - 32768) AS v
+      |  FROM dims, UNNEST(range(0, n)) AS ui(i)
+      |),
+      |tot AS (SELECT doc_id, MAX(n) AS n, SUM(v) AS total FROM vals GROUP BY 1),
+      |wins AS (SELECT doc_id, wi, SUM(v) AS ws, COUNT(*) AS wc FROM vals GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT w.doc_id, w.wi AS b,
+      |         CASE WHEN w.ws * t.n > t.total * w.wc THEN 1 ELSE 0 END AS bit
+      |  FROM wins w JOIN tot t USING (doc_id)
+      |)
+      |SELECT b.doc_id AS asset_id, t.n AS n_values,
+      |       CAST(SUM(CASE WHEN b.b >= 32 THEN b.bit * (CAST(1 AS BIGINT) << (b.b - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+      |       CAST(SUM(CASE WHEN b.b < 32 THEN b.bit * (CAST(1 AS BIGINT) << b.b) ELSE 0 END) AS BIGINT) AS hash_lo
+      |FROM bits b JOIN tot t USING (doc_id)
+      |GROUP BY b.doc_id, t.n
+      |ORDER BY asset_id""".stripMargin) { (spark, d) =>
+    Multimodal.audioAHash(Multimodal.fromDocumentsWav(documents(spark, d)))
+      .orderBy(col("asset_id"))
+  }
+
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, lshRecallCurve, onlineNearDup,
     simhashFingerprints, simhashPairs,
@@ -1297,5 +1336,5 @@ object DedupQueries {
     videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
     embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents,
     neardupDedup, imageResize, imageResizeJpeg, semDedup, leakSafeSplit,
-    knnComponents, imageAHash, aHashDedup)
+    knnComponents, imageAHash, aHashDedup, audioAHashGate)
 }

@@ -41,6 +41,31 @@ class AHashSpec extends SparkSpec {
     }
   }
 
+  /** Reference audio hash from the signal formula — codec-free. */
+  private def refAudioHash(docId: Long): (Long, Long) = {
+    val n = Multimodal.wavChannels(docId) * Multimodal.wavSamples(docId)
+    val ws = new Array[Long](64); val wc = new Array[Long](64)
+    var total = 0L
+    for (i <- 0 until n) {
+      val w = (i.toLong * 64 / n).toInt
+      val v = math.abs(((i * 7L + docId) % 65536) - 32768)
+      ws(w) += v; wc(w) += 1; total += v
+    }
+    var lo = 0L; var hi = 0L
+    for (b <- 0 until 64 if ws(b) * n > total * wc(b))
+      if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+    (hi, lo)
+  }
+
+  test("audio aHash through WAV encode/decode equals the analytic reference") {
+    val docs = Seq((0L, "x", "s"), (3L, "x", "s"), (251L, "x", "s"))
+      .toDF("doc_id", "text", "source")
+    Multimodal.audioAHash(Multimodal.fromDocumentsWav(docs))
+      .select($"asset_id", $"hash_hi", $"hash_lo")
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (id, hi, lo) => assert((hi, lo) == refAudioHash(id), s"asset $id") }
+  }
+
   test("undecodable payload yields the sentinel row") {
     val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("asset_id", "content")
     val out = Multimodal.imageAHash(junk).collect().head
