@@ -44,6 +44,45 @@ object DedupQueries {
     spark.read.parquet(path)
   }
 
+  /** Battery-shared exact n-gram-Jaccard pair table — m9's ground
+    * truth: (id_a, id_b, n_common, u) for every document pair sharing
+    * at least one 3-shingle (the inverted-index self-join, t4's
+    * shape). PAIR-SIZED (≈1.1 M rows at sf0.1), so the same
+    * temp-parquet rule as [[sharedSignatures]] applies; the shingle
+    * cache that feeds the build is unpersisted as soon as the memo
+    * lands (the eval harness must not hold corpus-sized cache entries
+    * across the battery).
+    */
+  private val gtMemo = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def sharedJaccardPairs(
+      spark: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dKey = s"$d|${graft.operators.Bucketing.suffix(spark, d)}"
+    val path = gtMemo.getOrElseUpdate(dKey, {
+      val sh = MinHashLSH.shingles(documents(spark, d), "doc_id", "text", 3).cache()
+      try {
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val inter = sh.select(col("doc_id").as("id_a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+        val tp = inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+          .withColumn("u", col("n_a") + col("n_b") - col("n_common"))
+          .select(col("id_a"), col("id_b"), col("n_common"), col("u"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-jaccard-gt-").toFile
+        dir.deleteOnExit()
+        tp.write.mode("overwrite").parquet(dir.getAbsolutePath)
+        dir.getAbsolutePath
+      } finally sh.unpersist()
+    })
+    spark.read.parquet(path)
+  }
+
   private val shinglesCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
@@ -182,18 +221,7 @@ object DedupQueries {
          |ORDER BY bucket""".stripMargin
     }) { (spark, d) =>
     import spark.implicits._
-    val docs = documents(spark, d)
-    // sh feeds sizes + both inverted-index join sides (t4's shape).
-    val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select($"doc_id".as("id_a"), $"shingle")
-      .join(sh.select($"doc_id".as("id_b"), $"shingle"), Seq("shingle"))
-      .filter($"id_a" < $"id_b")
-      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("n_common"))
-    val tp = inter
-      .join(sizes.select($"doc_id".as("id_a"), $"n_sh".as("n_a")), Seq("id_a"))
-      .join(sizes.select($"doc_id".as("id_b"), $"n_sh".as("n_b")), Seq("id_b"))
-      .withColumn("u", $"n_a" + $"n_b" - $"n_common")
+    val tp = sharedJaccardPairs(spark, d)
     val sig = sharedSignatures(spark, d)
     val cand = MinHashLSH.candidatePairs(sig, "doc_id", K, RowsPerBand)
       .select($"id_a", $"id_b", lit(1).as("hit"))
