@@ -1691,6 +1691,64 @@ object TextQueries {
       .orderBy($"source", $"lang")
   }
 
+  /** t27b — the FULL BPE merge sequence, not just round-1 statistics:
+    * 30 greedy merges hash-pinned against a DuckDB replay. The oracle
+    * is a generated chain of MATERIALIZED CTEs — per round, an argmax
+    * pair under the trainer's (count DESC, left, right) rule, then a
+    * greedy left-to-right rewrite done with SQL `replace` over a
+    * U+001F-wrapped symbol string (`.a..b.` → `.ab.` with `.` the
+    * separator; SQL replace is left-to-right
+    * non-overlapping, exactly BPE's merge order, and the double-
+    * separator wrapping makes symbol boundaries unambiguous). This
+    * closes the one gate whose oracle covered less than its operator:
+    * t27 pins the pair-stat foundation, t27b pins the merge TABLE the
+    * incremental trainer ([[graft.text.BpeTrainer.train]]) emits.
+    */
+  val bpeMergeSequence: Query = {
+    val rounds = 30
+    val sep = "chr(31)"
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT list_append(regexp_split_to_array(w, ''), '</w>') AS s, n FROM (
+        |    SELECT w, COUNT(*) AS n FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |    ) WHERE length(w) > 0 GROUP BY w
+        |  )
+        |)""".stripMargin)
+    (0 until rounds).foreach { k =>
+      sb.append(
+        s""",
+           |p$k AS MATERIALIZED (
+           |  SELECT a, b, cnt FROM (
+           |    SELECT s[i] AS a, s[i+1] AS b, SUM(n) AS cnt
+           |    FROM w$k, UNNEST(range(1, len(s))) AS u(i)
+           |    GROUP BY 1, 2
+           |  ) ORDER BY cnt DESC, a, b LIMIT 1
+           |)""".stripMargin)
+      if (k < rounds - 1) sb.append(
+        s""",
+           |w${k + 1} AS MATERIALIZED (
+           |  SELECT string_split(trim(replace(
+           |           $sep || array_to_string(s, $sep || $sep) || $sep,
+           |           $sep || a || $sep || $sep || b || $sep,
+           |           $sep || a || b || $sep), $sep), $sep || $sep) AS s, n
+           |  FROM w$k, p$k
+           |)""".stripMargin)
+    }
+    val union = (0 until rounds).map(k =>
+      s"SELECT $k AS merge_rank, a AS left_sym, b AS right_sym, CAST(cnt AS BIGINT) AS cnt FROM p$k")
+      .mkString(" UNION ALL ")
+    val sql = sb.toString + s" SELECT * FROM ($union) ORDER BY merge_rank"
+    Query("t27b_bpe_merge_sequence", sql) { (spark, d) =>
+      import spark.implicits._
+      graft.text.BpeTrainer.train(documents(spark, d), "text", rounds)
+        .map(m => (m.rank, m.left, m.right, m.cnt))
+        .toDF("merge_rank", "left_sym", "right_sym", "cnt")
+        .orderBy($"merge_rank")
+    }
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
@@ -1698,5 +1756,5 @@ object TextQueries {
     spanRemoval, decontaminate, decontamSpans, filterPipeline,
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
     dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget,
-    qualityModel, onlineBudget, bpePairStats, corpusCensus)
+    qualityModel, onlineBudget, bpePairStats, bpeMergeSequence, corpusCensus)
 }

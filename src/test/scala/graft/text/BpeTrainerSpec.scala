@@ -58,6 +58,103 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got.length == 12)
   }
 
+  test("per-round distributed fallback matches the same sequence (batched rounds)") {
+    val wordFreq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val want = referenceBpe(wordFreq, 12)
+    val got = BpeTrainer.trainPerRound(corpus, "text", 12, checkpointEvery = 3)
+      .map(m => (m.left, m.right, m.cnt))
+    assert(got == want, s"\ngot  $got\nwant $want")
+  }
+
+  test("both paths agree with the reference on the real corpus, 40 merges") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val wordFreq = docs.select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0).groupBy($"w").count()
+      .as[(String, Long)].collect().toMap
+    val want = referenceBpe(wordFreq, 40)
+    val inc = BpeTrainer.train(docs, "text", 40).map(m => (m.left, m.right, m.cnt))
+    val per = BpeTrainer.trainPerRound(docs, "text", 40).map(m => (m.left, m.right, m.cnt))
+    assert(inc == want)
+    assert(per == want)
+  }
+
+  test("non-BMP text splits on codepoints, not UTF-16 units") {
+    // U+1F600 GRINNING FACE is a surrogate pair in UTF-16; a code-unit
+    // split would produce two broken half-symbols that can never
+    // round-trip. Each emoji must be ONE initial symbol.
+    val emoji = new String(Character.toChars(0x1F600))
+    val txt = s"$emoji$emoji a $emoji a"
+    val docs = Seq((1L, txt)).toDF("doc_id", "text")
+    val wordFreq = Map(s"$emoji$emoji" -> 1L, "a" -> 2L, emoji -> 1L)
+    val want = referenceBpeCodepoints(wordFreq, 3)
+    val got = BpeTrainer.train(docs, "text", 3).map(m => (m.left, m.right, m.cnt))
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // one of the merges is (emoji, emoji) — intact codepoints
+    assert(got.exists(m => m._1 == emoji && m._2 == emoji))
+    val enc = BpeTrainer.encode(docs, "doc_id", "text", BpeTrainer.train(docs, "text", 3))
+    val toks = enc.select($"tokens").as[Seq[String]].head()
+    assert(toks.mkString("").replace(BpeTrainer.EndOfWord, " ").trim == txt)
+  }
+
+  /** Codepoint-splitting variant of the reference (for non-BMP input). */
+  private def referenceBpeCodepoints(
+      wordFreq: Map[String, Long], numMerges: Int): Seq[(String, String, Long)] = {
+    def cps(w: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp)); i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    var words: Map[Seq[String], Long] = wordFreq.map { case (w, n) =>
+      (cps(w) :+ BpeTrainer.EndOfWord, n)
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var i = 0
+    var stop = false
+    while (i < numMerges && !stop) {
+      val counts = collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ => ()
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((a, b, c))
+        words = words.toSeq.map { case (syms, n) =>
+          (BpeTrainer.mergePair(syms, a, b), n)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  test("a 100-merge train costs O(1) Spark jobs, not O(merges)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.count() // warm the scan outside the measured window
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val merges = BpeTrainer.train(docs, "text", 100)
+      Thread.sleep(500) // let queued listener events drain
+      assert(merges.length == 100)
+      // the old loop was 2 jobs per merge (argmax collect + eager
+      // checkpoint) = 200; the incremental path is the word-table
+      // collapse + one local merge loop — a handful of jobs end to end
+      assert(jobs.get() <= 10, s"expected O(1) jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("training is deterministic and encode round-trips the text") {
     val m1 = BpeTrainer.train(corpus, "text", 8)
     val m2 = BpeTrainer.train(corpus, "text", 8)
