@@ -461,43 +461,6 @@ object Multimodal {
     }
   }
 
-  /** STUB feature extraction: fixed-dim float vector folded from the
-    * bytes (stands in for a CNN embedding; batch shape is the real
-    * contract).
-    */
-  private[multimodal] def featureStub(content: Array[Byte], dim: Int): Array[Float] = {
-    // ??? real model inference goes here — deterministic fake below.
-    val acc = new Array[Float](dim)
-    var i = 0
-    while (i < content.length) {
-      acc(i % dim) += (content(i) & 0xff) / 255.0f
-      i += 1
-    }
-    acc
-  }
-
-  /** Feature-extract pass: asset_id → float[dim] embedding, batched
-    * per-partition (mini-batches of `batchSize`, mirroring accelerator
-    * batching).
-    */
-  def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType),
-      StructField("features", ArrayType(FloatType))))
-    implicit val enc = Encoders.row(outSchema)
-    val idIdx = media.schema.fieldIndex("asset_id")
-    val contentIdx = media.schema.fieldIndex("content")
-    media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        // A real kernel would run the whole batch through the model at
-        // once; the stub maps per element but preserves the batch shape.
-        batch.map { r =>
-          Row(r.getLong(idIdx), featureStub(r.getAs[Array[Byte]](contentIdx), dim).toSeq)
-        }
-      }
-    }
-  }
-
   /** Video demux pass: walk moov → trak → mdia → minf → stbl and join
     * the stts/stsc/stsz/stco sample tables into one row per media
     * sample — size, owning chunk, exact byte offset, decoding
@@ -553,28 +516,6 @@ object Multimodal {
           case (id, Some(logits)) =>
             logits.iterator.zipWithIndex.map { case (v, o) => Row(id, o, v) }
           case (id, None) => Iterator.single(Row(id, -1, -1L))
-        }
-      }
-    }
-  }
-
-  /** STUB video frame-sampling: emit one row per sampled "frame" (every
-    * `stride`-th byte stands in for a frame offset).
-    */
-  def sampleFrames(media: DataFrame, stride: Int = 32): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType),
-      StructField("frame_idx", IntegerType),
-      StructField("frame_byte", IntegerType)))
-    implicit val enc = Encoders.row(outSchema)
-    val idIdx = media.schema.fieldIndex("asset_id")
-    val contentIdx = media.schema.fieldIndex("content")
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](contentIdx)
-        // ??? real demux/decode goes here — stride sampling as the fake.
-        Iterator.range(0, bytes.length, stride).zipWithIndex.map { case (off, fi) =>
-          Row(r.getLong(idIdx), fi, bytes(off) & 0xff)
         }
       }
     }

@@ -35,9 +35,7 @@ object DedupQueries {
     val dKey = s"$d|${graft.operators.Bucketing.suffix(spark, d)}"
     val path = sigMemo.getOrElseUpdate((dKey, K), {
       val built = MinHashLSH.signatures(documents(spark, d), "doc_id", "text", 3, K)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-minhash-sig-").toFile
-      dir.deleteOnExit()
+      val dir = graft.TempDirs.create("graft-minhash-sig-").toFile
       built.write.mode("overwrite").parquet(dir.getAbsolutePath)
       dir.getAbsolutePath
     })
@@ -73,9 +71,7 @@ object DedupQueries {
           .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
           .withColumn("u", col("n_a") + col("n_b") - col("n_common"))
           .select(col("id_a"), col("id_b"), col("n_common"), col("u"))
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-jaccard-gt-").toFile
-        dir.deleteOnExit()
+        val dir = graft.TempDirs.create("graft-jaccard-gt-").toFile
         tp.write.mode("overwrite").parquet(dir.getAbsolutePath)
         dir.getAbsolutePath
       } finally sh.unpersist()
@@ -329,13 +325,23 @@ object DedupQueries {
     // the row-pair stream as a hash lookup keyed (least, greatest).
     // The inner join doubles as the WHERE dist <= 2 prune. Row pairs
     // that used to run ~8M DP evaluations at sf0.1 now run none.
+    // The distinct-name pair table rides the SAME blocked generator as
+    // d2 (aligned-word pigeonhole, FuzzyLinkage.wordBlockedPairs) —
+    // round 10 carried a V² name crossJoin here, fine at this vocab
+    // but needlessly a different shape from the documented scale path.
+    // wordBlockedPairs emits strict (key_a < key_b) pairs; the
+    // dist-0 diagonal (two ROWS sharing one name) is the trivial
+    // union below. Exactness on this corpus is oracle-enforced: d2's
+    // hash pins that word blocking loses no within-brand pair, and
+    // this gate's own oracle is the unblocked SQL.
     val names = p.select(col("p_name")).distinct()
-    val namePairs = names.select(col("p_name").as("name_x"))
-      .crossJoin(names.select(col("p_name").as("name_y")))
-      .filter(col("name_x") <= col("name_y"))
-      .filter(abs(length(col("name_x")) - length(col("name_y"))) <= 2)
-      .withColumn("dist", levenshtein(col("name_x"), col("name_y"), 2).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= 2)
+    val namePairs = graft.dedup.FuzzyLinkage
+      .wordBlockedPairs(
+        names.withColumn("__blk", lit(1)), "p_name", "__blk", "p_name", 2)
+      .toDF("name_x", "name_y", "dist")
+      .unionByName(names.select(
+        col("p_name").as("name_x"), col("p_name").as("name_y"),
+        lit(0L).as("dist")))
     val a = p.select(col("p_partkey").as("key_a"), col("p_brand"), col("p_name").as("name_a"))
     val b = p.select(col("p_partkey").as("key_b"), col("p_brand"), col("p_name").as("name_b"))
     a.join(b, "p_brand")
@@ -1357,8 +1363,100 @@ object DedupQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** t29 — the COMPOSED online-curation entry point: quality model
+    * (t26's exact scoring) → online near-dup (m10's LSH geometry over
+    * the quality-passed population) → budget admission (t25's
+    * prefix-truncation over survivors) as ONE decision per document.
+    * Lives in this file because the oracle reuses the signature SQL
+    * generators; the operator is
+    * [[graft.streaming.CurationStream.batchCuration]], whose streaming
+    * twin `CurationStreamSpec` pins row-identical across a restart and
+    * a replayed batch. All four decision classes are live at every
+    * test scale (admitted / reject_quality / reject_near_dup /
+    * reject_budget). Scale shape: the three components' own shuffles
+    * and nothing more — quality rides the scan, dedup pairs are
+    * band-bucketed (never all-pairs), budget is one domain-key
+    * exchange.
+    */
+  val onlineCuration = Query(
+    "t29_online_curation", {
+      val bands = (0 until K / RowsPerBand).map { j =>
+        val cols = (0 until RowsPerBand).map(r => s"sig_${j * RowsPerBand + r}")
+        s"SELECT doc_id, $j AS band, ${cols.zipWithIndex.map { case (c, i) => s"$c AS v$i" }.mkString(", ")} FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      val eq = (0 until K).map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+      val budget = 800L
+      s"""WITH qscored AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         SUM((CAST(concat('0x', substr(md5(concat('cur3:',
+         |               CAST(CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) % 4096 AS VARCHAR))), 1, 7)) AS BIGINT) % 201) - 100) AS score
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY doc_id
+         |),
+         |base AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, d.text,
+         |         length(d.text) - length(replace(d.text, ' ', '')) + 1 AS n_tokens,
+         |         s.score
+         |  FROM documents d JOIN qscored s USING (doc_id)
+         |),
+         |qpass AS MATERIALIZED (SELECT * FROM base WHERE score > 0),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM qpass),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 3
+         |),
+         |hashed AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+         |  FROM sh
+         |),
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         $sigSelect
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |banded AS MATERIALIZED (
+         |  $bands
+         |),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+         |  WHERE a.doc_id < b.doc_id
+         |),
+         |dups AS MATERIALIZED (
+         |  SELECT id_b AS doc_id, MIN(id_a) AS dup_of
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = id_a
+         |  JOIN sig sb ON sb.doc_id = id_b
+         |  WHERE ($eq) >= 4
+         |  GROUP BY id_b
+         |),
+         |stage3 AS MATERIALIZED (
+         |  SELECT q.doc_id, q.source, q.n_tokens,
+         |         SUM(q.n_tokens) OVER (PARTITION BY q.source ORDER BY q.doc_id) AS cum_tokens
+         |  FROM qpass q LEFT JOIN dups dp USING (doc_id) WHERE dp.dup_of IS NULL
+         |)
+         |SELECT b.doc_id, b.source, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(b.score AS BIGINT) AS score,
+         |       CASE WHEN b.score <= 0 THEN 'reject_quality'
+         |            WHEN dp.dup_of IS NOT NULL THEN 'reject_near_dup'
+         |            WHEN s3.cum_tokens <= $budget THEN 'admitted'
+         |            ELSE 'reject_budget' END AS decision,
+         |       dp.dup_of,
+         |       CAST(s3.cum_tokens AS BIGINT) AS cum_tokens
+         |FROM base b
+         |LEFT JOIN dups dp USING (doc_id)
+         |LEFT JOIN stage3 s3 USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
+    }) { (spark, d) =>
+    graft.streaming.CurationStream
+      .batchCuration(documents(spark, d), budget = 800L)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Query] = Seq(
-    minhashSignatures, lshCandidates, lshRecallCurve, onlineNearDup,
+    minhashSignatures, lshCandidates, lshRecallCurve, onlineNearDup, onlineCuration,
     simhashFingerprints, simhashPairs,
     simhashWidePairs, mediaDecode, mediaFeatures, audioDecode, audioSamples,
     videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,

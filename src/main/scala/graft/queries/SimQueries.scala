@@ -1205,9 +1205,7 @@ object SimQueries {
         .kmeansIterate(
           emb.withColumn("ibkt", signInitCol), "vec_id", "embedding", "ibkt", kmIters)
         .select(col("vec_id"), col("list"))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-unsup-lists-").toFile
-      dir.deleteOnExit()
+      val dir = graft.TempDirs.create("graft-unsup-lists-").toFile
       lists.write.mode("overwrite").parquet(dir.getAbsolutePath)
       dir.getAbsolutePath
     })

@@ -121,15 +121,6 @@ object BudgetStream {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
 
   private def ensureStateTable(spark: SparkSession, name: String): Unit =
-    if (!spark.catalog.tableExists(name)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      spark.sql(
-        s"""CREATE TABLE $name (
-           |  source STRING, seen_tokens BIGINT, batch BIGINT)
-           |USING PARQUET
-           |PARTITIONED BY (batch)""".stripMargin)
-    }
+    StateTables.ensure(spark, name,
+      "source STRING, seen_tokens BIGINT, batch BIGINT")
 }

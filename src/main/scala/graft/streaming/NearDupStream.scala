@@ -147,17 +147,7 @@ object NearDupStream {
     spark.read.parquet(outDir).select(col("doc_id"), col("dup_of"))
 
   private def ensureStateTable(spark: SparkSession, name: String): Unit =
-    if (!spark.catalog.tableExists(name)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      spark.sql(
-        s"""CREATE TABLE $name (
-           |  doc_id BIGINT, band INT, v0 BIGINT, v1 BIGINT,
-           |  sig ARRAY<BIGINT>, batch BIGINT)
-           |USING PARQUET
-           |PARTITIONED BY (batch)
-           |CLUSTERED BY (v0) SORTED BY (v0) INTO 16 BUCKETS""".stripMargin)
-    }
+    StateTables.ensure(spark, name,
+      "doc_id BIGINT, band INT, v0 BIGINT, v1 BIGINT, sig ARRAY<BIGINT>, batch BIGINT",
+      "CLUSTERED BY (v0) SORTED BY (v0) INTO 16 BUCKETS")
 }

@@ -288,6 +288,15 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 3L)), "pair with edits in two different words must survive blocking")
   }
 
+  test("d1 gate plan has no cartesian product — name pairs ride the blocked generator") {
+    val df = graft.SparkEntry.queries("d1_fuzzy_name_pairs")(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize AQE plan
+    val physical = df.queryExecution.executedPlan.toString()
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"d1 plan still contains a cross join:\n${physical.take(2000)}")
+  }
+
   test("InferenceKernel: real MLP forward matches a hand-computed reference; batch size never changes results") {
     import graft.multimodal.{IntMlpKernel, StubKernel}
     val media = Multimodal.fromDocuments(docs.select($"doc_id", $"text", $"source"))
@@ -321,11 +330,11 @@ class DedupSpec extends SparkSpec {
     assert(stubbed.length === docs.count() * StubKernel.outDim)
   }
 
-  test("Multimodal stubs: features have fixed dim; frames sample by stride") {
+  test("Multimodal test doubles: features have fixed dim; frames sample by stride") {
     val media = Multimodal.fromText(docs.select($"doc_id", $"text", $"source"))
-    val feats = Multimodal.extractFeatures(media, dim = 8, batchSize = 2).collect()
+    val feats = graft.multimodal.TestDoubles.extractFeatures(media, dim = 8, batchSize = 2).collect()
     assert(feats.forall(_.getAs[Seq[Float]]("features").length === 8))
-    val frames = Multimodal.sampleFrames(media, stride = 16)
+    val frames = graft.multimodal.TestDoubles.sampleFrames(media, stride = 16)
     assert(frames.filter($"asset_id" === 0).count() ===
       (docs.collect().head.getAs[String]("text").length + 15) / 16)
   }
