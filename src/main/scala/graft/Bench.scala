@@ -17,6 +17,36 @@ import org.apache.spark.sql.SparkSession
   *     "[info] " prefix), so the line json-parses as printed.
   */
 object Bench {
+
+  /** The 2× bar, as a pure function: gates whose measured median
+    * exceeds `factor` × their frozen baseline, with the offending
+    * ratio. Gates without a baseline entry (new this round) cannot
+    * trip. Spec-pinned (`BenchTripwireSpec`): fires on an artificially
+    * slowed gate, silent otherwise.
+    */
+  def tripwire(
+      results: Map[String, Double],
+      baseline: Map[String, Double],
+      factor: Double = 2.0): Map[String, Double] =
+    results.flatMap { case (k, v) =>
+      baseline.get(k).filter(b => b > 0 && v > factor * b).map(b => k -> v / b)
+    }
+
+  /** Write the tripwire verdict artifact: `{}` = all gates within the
+    * bar; non-empty = the named gates regressed past it.
+    */
+  def writeTripwire(path: String, offenders: Map[String, Double]): Unit = {
+    val json = offenders.toSeq.sortBy(_._1)
+      .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path), (json + "\n").getBytes("UTF-8"))
+    if (offenders.nonEmpty)
+      System.err.println(
+        s"[bench] TRIPWIRE: ${offenders.size} gate(s) past 2x baseline: " +
+          offenders.keys.toSeq.sorted.mkString(", "))
+  }
+
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - t0) / 1e9
@@ -224,6 +254,14 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
+      // Self-enforcing 2× bar: any gate whose median exceeds 2× its
+      // frozen baseline lands in _bench_failures.json — an empty {} is
+      // the positive all-clear, a non-empty map means a regression is
+      // trying to ship. Written on every emit so even a killed run
+      // leaves the verdict of its completed passes.
+      writeTripwire(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FAILURES", "_bench_failures.json"),
+        tripwire(results.toMap, baseline))
       // Printed line: collectors that keep only a stdout tail (~2 KB)
       // would truncate 100 full query names × full-precision doubles
       // (~3 KB). Compress to the gate-ID prefix (unique except the two

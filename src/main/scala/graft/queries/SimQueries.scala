@@ -1543,6 +1543,202 @@ object SimQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** e19b — the k-NN graph over LEARNED lists: e19's exact chain with
+    * the coarse lists swapped from the `label` column to the
+    * unsupervised k-means build (sign-hash init + 2 Lloyd rounds —
+    * e13's no-label recipe, the [[sharedUnsupLists]] memo). Round-10's
+    * `KnnGraphProbe` measured learned lists at ≈2× the recall of label
+    * lists for equal probe cost; this gate pins that documented
+    * composition instead of leaving it probe-only. The oracle replays
+    * k-means → probes → candidate ranking → the reverse-edge join, so
+    * the hash pins every edge, rank, 6-dp cosine and mutuality bit of
+    * the production (unsupervised) graph build.
+    */
+  val knnGraphLearnedGate = Query(
+    "e19b_knn_graph_learned", {
+      s"""WITH ${kmeansCtes(2, signInitSql)}
+         |ev AS MATERIALIZED (
+         |  SELECT f.vec_id, kl.list AS label, f.i, f.v
+         |  FROM flat f JOIN klists kl USING (vec_id)
+         |),
+         |cent AS (
+         |  SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i
+         |),
+         |qdots AS (
+         |  SELECT ev.vec_id AS qid, cent.label,
+         |         SUM(ev.v * cent.c) AS dot,
+         |         SUM(ev.v * ev.v) AS qq,
+         |         SUM(cent.c * cent.c) AS cc
+         |  FROM ev JOIN cent ON ev.i = cent.i
+         |  GROUP BY qid, cent.label
+         |),
+         |probes AS (
+         |  SELECT qid, label FROM (
+         |    SELECT qid, label,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+         |    FROM qdots)
+         |  WHERE pr <= 2
+         |),
+         |bdots AS (
+         |  SELECT p.qid, b.vec_id AS bid,
+         |         SUM(qv.v * b.v) AS dot,
+         |         SUM(qv.v * qv.v) AS qq,
+         |         SUM(b.v * b.v) AS bb
+         |  FROM probes p
+         |  JOIN ev b ON b.label = p.label
+         |  JOIN ev qv ON qv.vec_id = p.qid AND qv.i = b.i
+         |  WHERE b.vec_id <> p.qid
+         |  GROUP BY p.qid, b.vec_id
+         |),
+         |edges AS MATERIALIZED (
+         |  SELECT qid, bid, cosine, rank FROM (
+         |    SELECT qid, bid,
+         |           round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank
+         |    FROM bdots)
+         |  WHERE rank <= 3
+         |)
+         |SELECT e.qid, CAST(e.rank AS BIGINT) AS rank, e.bid, e.cosine,
+         |       CAST(CASE WHEN r.qid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS mutual
+         |FROM edges e
+         |LEFT JOIN edges r ON r.qid = e.bid AND r.bid = e.qid
+         |ORDER BY e.qid, e.rank""".stripMargin
+    }) { (spark, d) =>
+    import spark.implicits._
+    val inp = embeddings(spark, d).select($"vec_id", $"embedding")
+      .join(sharedUnsupLists(spark, d, kmIters = 2), "vec_id")
+    graft.similarity.Ann
+      .knnGraph(inp, "vec_id", "embedding", "list", k = 3, nprobe = 2)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** e20 — IVF LIST REBALANCE: the maintenance step a drifting corpus
+    * forces that the e18 lifecycle (delete + compact WITHIN lists)
+    * cannot provide — lists more than 5% over the mean population are
+    * split by [[graft.similarity.Rebalance.splitLists]]'s
+    * deterministic local 2-means (seed A = min id, seed B = farthest
+    * from A, 2 Lloyd rounds, 6-dp determinism discipline) and only
+    * those lists' vectors reassign; sub-cluster 1 moves to
+    * `list + numLists`. The oracle replays threshold → seeds → both
+    * Lloyd rounds → the final mapping, so the hash pins every
+    * post-rebalance assignment. Scale shape: the split set is
+    * broadcast and every join is keyed on the split list id — the
+    * pass shuffles O(over-full lists), not O(index);
+    * `RebalanceStress` measures bounded max-list-size under ×10
+    * drift.
+    */
+  val ivfRebalance = Query(
+    "e20_ivf_rebalance",
+    """WITH asn AS MATERIALIZED (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS list FROM embeddings
+      |),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_total, COUNT(DISTINCT list) AS n_lists FROM asn
+      |),
+      |sizes AS (SELECT list, COUNT(*) AS n FROM asn GROUP BY 1),
+      |split AS MATERIALIZED (
+      |  SELECT s.list FROM sizes s, stats
+      |  WHERE s.n > (21 * n_total) // (20 * n_lists)
+      |),
+      |flat AS MATERIALIZED (
+      |  SELECT a.list, e.vec_id,
+      |         generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings e
+      |  JOIN asn a USING (vec_id)
+      |  JOIN split s ON a.list = s.list
+      |),
+      |seed_a AS (
+      |  SELECT list, vec_id FROM (
+      |    SELECT a.list, a.vec_id,
+      |           ROW_NUMBER() OVER (PARTITION BY a.list ORDER BY a.vec_id) AS r
+      |    FROM asn a JOIN split USING (list)) WHERE r = 1
+      |),
+      |ca AS MATERIALIZED (
+      |  SELECT f.list, f.vec_id,
+      |         round(SUM(f.v * fa.v) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(fa.v * fa.v))), 6) AS ca
+      |  FROM flat f
+      |  JOIN seed_a sa ON f.list = sa.list
+      |  JOIN flat fa ON fa.vec_id = sa.vec_id AND fa.i = f.i
+      |  GROUP BY 1, 2
+      |),
+      |seed_b AS (
+      |  SELECT list, vec_id FROM (
+      |    SELECT list, vec_id,
+      |           ROW_NUMBER() OVER (PARTITION BY list ORDER BY ca, vec_id) AS r
+      |    FROM ca) WHERE r = 1
+      |),
+      |cb AS (
+      |  SELECT f.list, f.vec_id,
+      |         round(SUM(f.v * fb.v) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(fb.v * fb.v))), 6) AS cb
+      |  FROM flat f
+      |  JOIN seed_b sb ON f.list = sb.list
+      |  JOIN flat fb ON fb.vec_id = sb.vec_id AND fb.i = f.i
+      |  GROUP BY 1, 2
+      |),
+      |sub0 AS MATERIALIZED (
+      |  SELECT ca.list, ca.vec_id,
+      |         CASE WHEN ca.ca >= cb.cb THEN 0 ELSE 1 END AS sub
+      |  FROM ca JOIN cb ON ca.list = cb.list AND ca.vec_id = cb.vec_id
+      |),
+      |c1 AS (
+      |  SELECT s.list, s.sub, f.i, round(AVG(f.v), 6) AS c
+      |  FROM flat f JOIN sub0 s ON f.vec_id = s.vec_id
+      |  GROUP BY 1, 2, 3
+      |),
+      |s1 AS (
+      |  SELECT f.vec_id, f.list, c.sub,
+      |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+      |  FROM flat f JOIN c1 c ON f.list = c.list AND f.i = c.i
+      |  GROUP BY 1, 2, 3
+      |),
+      |sub1 AS MATERIALIZED (
+      |  SELECT vec_id, list, sub FROM (
+      |    SELECT vec_id, list, sub,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, sub) AS r
+      |    FROM s1) WHERE r = 1
+      |),
+      |c2 AS (
+      |  SELECT s.list, s.sub, f.i, round(AVG(f.v), 6) AS c
+      |  FROM flat f JOIN sub1 s ON f.vec_id = s.vec_id
+      |  GROUP BY 1, 2, 3
+      |),
+      |s2 AS (
+      |  SELECT f.vec_id, f.list, c.sub,
+      |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+      |  FROM flat f JOIN c2 c ON f.list = c.list AND f.i = c.i
+      |  GROUP BY 1, 2, 3
+      |),
+      |sub2 AS MATERIALIZED (
+      |  SELECT vec_id, list, sub FROM (
+      |    SELECT vec_id, list, sub,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, sub) AS r
+      |    FROM s2) WHERE r = 1
+      |)
+      |SELECT a.vec_id, a.list AS old_list,
+      |       CASE WHEN s.sub IS NULL THEN a.list
+      |            WHEN s.sub = 0 THEN a.list
+      |            ELSE a.list + n_lists END AS new_list
+      |FROM asn a
+      |LEFT JOIN sub2 s USING (vec_id), stats
+      |ORDER BY a.vec_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val e = embeddings(spark, d)
+    val asn = e.select($"vec_id", $"label".cast("long").as("list"))
+    val (nTotal, nLists) = asn
+      .agg(count(lit(1)), countDistinct($"list")).as[(Long, Long)].head()
+    val maxSz = (21L * nTotal) / (20L * nLists)
+    graft.similarity.Rebalance
+      .splitLists(asn, e.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", "list", maxSz, newListOffset = nLists, iters = 2)
+      .withColumnRenamed("list", "new_list")
+      .join(asn.withColumnRenamed("list", "old_list"), "vec_id")
+      .select($"vec_id", $"old_list", $"new_list")
+      .orderBy($"vec_id")
+  }
+
   /** x5 — SEMANTIC decontamination: x3/x4 catch verbatim benchmark
     * leakage; this catches paraphrased leakage by flagging every
     * training vector whose max cosine to ANY benchmark vector crosses
@@ -1590,5 +1786,6 @@ object SimQueries {
     knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild,
     pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall,
     residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
+    knnGraphLearnedGate, ivfRebalance,
     semanticDecontam)
 }

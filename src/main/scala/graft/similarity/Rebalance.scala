@@ -1,0 +1,90 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF list REBALANCE — the index-maintenance step the lifecycle
+  * (`AnnIndexStream`: append, tombstone-delete, list-local compaction)
+  * was missing: a drifting corpus skews list populations, and an
+  * over-full list degrades every probe that touches it (per-query cost
+  * is probed-list size). This splits each over-full list with a LOCAL
+  * deterministic 2-means and reassigns ONLY the split lists' vectors —
+  * the K5 compaction contract applied to the index itself.
+  *
+  * Determinism (the property that makes the split oracle-able and
+  * cluster-layout-independent):
+  *   - seed A = the list's minimum vector id;
+  *   - seed B = the vector farthest from A (lowest 6-dp-rounded
+  *     cosine, id tiebreak);
+  *   - init: each vector joins the closer seed (tie → A);
+  *   - then `iters` Lloyd rounds over 6-dp-rounded sub-centroids with
+  *     (cosine DESC, sub ASC) argmax — the `kmeansIterate` discipline
+  *     scoped to the split lists.
+  *
+  * Scale shape: the split-list id set is tiny and broadcast; every
+  * join in the seed/iterate chain is keyed on the list id, so the work
+  * shuffles only the over-full lists' vectors — O(drift), not O(index).
+  * Untouched lists pass through with an anti-join. The new list id is
+  * `old + newListOffset` (one split per list per pass; run the pass
+  * again if a list is still over-full after doubling).
+  */
+object Rebalance {
+
+  /** Rebalanced assignment `(idCol, listCol)` over the full input:
+    * vectors of lists larger than `maxListSize` are 2-means-split,
+    * sub-cluster 0 keeps the list id, sub-cluster 1 moves to
+    * `list + newListOffset`; all other rows pass through unchanged.
+    */
+  def splitLists(
+      assignments: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      maxListSize: Long,
+      newListOffset: Long,
+      iters: Int = 2): DataFrame = {
+    val asn = assignments.select(col(idCol), col(listCol).cast("long").as(listCol))
+    val split = asn.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxListSize).select(col(listCol))
+    val sv = asn.join(broadcast(split), Seq(listCol))
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), col(listCol), col(vecCol).as("__vec"))
+    val wA = Window.partitionBy(col(listCol)).orderBy(col(idCol))
+    val seedA = sv.withColumn("__r", row_number().over(wA)).filter(col("__r") === 1)
+      .select(col(listCol), col("__vec").as("__va"))
+    val withA = sv.join(broadcast(seedA), Seq(listCol))
+      .withColumn("__ca", round(Ann.cosine(col("__vec"), col("__va")), 6))
+    val wB = Window.partitionBy(col(listCol)).orderBy(col("__ca"), col(idCol))
+    val seedB = withA.withColumn("__r", row_number().over(wB)).filter(col("__r") === 1)
+      .select(col(listCol), col("__vec").as("__vb"))
+    var cur = withA.join(broadcast(seedB), Seq(listCol))
+      .select(col(idCol), col(listCol), col("__vec"),
+        when(col("__ca") >= round(Ann.cosine(col("__vec"), col("__vb")), 6), 0)
+          .otherwise(1).as("__sub"))
+    (1 to iters).foreach { _ =>
+      val cents = cur
+        .select(col(listCol), col("__sub"), posexplode(col("__vec")).as(Seq("__pos", "__v")))
+        .groupBy(col(listCol), col("__sub"), col("__pos"))
+        .agg(avg(col("__v").cast("double")).as("__c"))
+        .groupBy(col(listCol), col("__sub"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__c")))).as("__pc"))
+        .select(col(listCol), col("__sub"),
+          transform(col("__pc"), x => round(x.getField("__c"), 6)).as("__cent"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("__sub"))
+      cur = cur.select(col(idCol), col(listCol), col("__vec"))
+        .join(broadcast(cents), Seq(listCol))
+        .select(col(idCol), col(listCol), col("__vec"), col("__sub"),
+          round(Ann.cosine(col("__vec"), col("__cent")), 6).as("__cos"))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .select(col(idCol), col(listCol), col("__vec"), col("__sub"))
+    }
+    val moved = cur.select(col(idCol),
+      when(col("__sub") === 0, col(listCol))
+        .otherwise(col(listCol) + lit(newListOffset)).as(listCol))
+    asn.join(broadcast(split), Seq(listCol), "left_anti")
+      .select(col(idCol), col(listCol))
+      .unionByName(moved)
+  }
+}

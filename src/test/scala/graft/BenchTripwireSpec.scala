@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The self-enforcing 2× bar: a gate regressing past twice its frozen
+  * baseline must land in the failure artifact; a clean battery writes
+  * the empty all-clear.
+  */
+class BenchTripwireSpec extends AnyFunSuite {
+
+  private val baseline = Map("a1_top" -> 1.0, "m2_lsh" -> 0.5, "t19_win" -> 4.0)
+
+  test("an artificially slowed gate fires the tripwire with its ratio") {
+    val results = Map("a1_top" -> 1.1, "m2_lsh" -> 1.6, "t19_win" -> 3.9)
+    val hit = Bench.tripwire(results, baseline)
+    assert(hit.keySet == Set("m2_lsh"))
+    assert(math.abs(hit("m2_lsh") - 3.2) < 1e-9)
+  }
+
+  test("silent otherwise — at-the-bar and baseline-free gates never trip") {
+    // exactly 2.0x is within the bar (strict >); new gates have no entry
+    val results = Map("a1_top" -> 2.0, "t19_win" -> 4.2, "brand_new_gate" -> 99.0)
+    assert(Bench.tripwire(results, baseline).isEmpty)
+  }
+
+  test("artifact write: non-empty on a trip, {} all-clear, and parseable") {
+    val dir = java.nio.file.Files.createTempDirectory("tripwire")
+    val p = dir.resolve("_bench_failures.json").toString
+    Bench.writeTripwire(p, Bench.tripwire(Map("m2_lsh" -> 1.6), baseline))
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(p)).trim
+      == """{"m2_lsh":3.20}""")
+    Bench.writeTripwire(p, Bench.tripwire(Map("m2_lsh" -> 0.4), baseline))
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(p)).trim == "{}")
+  }
+}

@@ -89,8 +89,22 @@ class BpeTrainerSpec extends SparkSpec {
     val want = referenceBpeCodepoints(wordFreq, 3)
     val got = BpeTrainer.train(docs, "text", 3).map(m => (m.left, m.right, m.cnt))
     assert(got == want, s"\ngot  $got\nwant $want")
-    // one of the merges is (emoji, emoji) — intact codepoints
-    assert(got.exists(m => m._1 == emoji && m._2 == emoji))
+    // every learned symbol is a well-formed codepoint sequence — a
+    // UTF-16 code-unit split would put a lone surrogate on each side
+    def wellFormed(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        if (Character.isHighSurrogate(s.charAt(i))) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1))) return false
+          i += 2
+        } else if (Character.isLowSurrogate(s.charAt(i))) return false
+        else i += 1
+      }
+      true
+    }
+    got.foreach { case (l, r, _) =>
+      assert(wellFormed(l) && wellFormed(r), s"broken surrogate in merge ($l, $r)")
+    }
     val enc = BpeTrainer.encode(docs, "doc_id", "text", BpeTrainer.train(docs, "text", 3))
     val toks = enc.select($"tokens").as[Seq[String]].head()
     assert(toks.mkString("").replace(BpeTrainer.EndOfWord, " ").trim == txt)
