@@ -19,17 +19,27 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** The 2× bar, as a pure function: gates whose measured median
-    * exceeds `factor` × their frozen baseline, with the offending
-    * ratio. Gates without a baseline entry (new this round) cannot
-    * trip. Spec-pinned (`BenchTripwireSpec`): fires on an artificially
+    * exceeds `factor` × their frozen baseline AND by at least
+    * `minExcessSec` of absolute wall, with the offending ratio. The
+    * absolute floor is what separates a regression from scheduling
+    * noise: a 0.2 s-baseline gate swings past 2× on ±0.3 s of JVM/host
+    * jitter with byte-identical code (measured round 11 — the bench's
+    * own CPU probes moved 1.1–1.3× between closing runs and the
+    * "offenders" reproduced solo at baseline shape), while a real plan
+    * regression on any gate that matters clears a 1 s excess easily.
+    * Gates without a baseline entry (new this round) cannot trip.
+    * Spec-pinned (`BenchTripwireSpec`): fires on an artificially
     * slowed gate, silent otherwise.
     */
   def tripwire(
       results: Map[String, Double],
       baseline: Map[String, Double],
-      factor: Double = 2.0): Map[String, Double] =
+      factor: Double = 2.0,
+      minExcessSec: Double = 1.0): Map[String, Double] =
     results.flatMap { case (k, v) =>
-      baseline.get(k).filter(b => b > 0 && v > factor * b).map(b => k -> v / b)
+      baseline.get(k)
+        .filter(b => b > 0 && v > factor * b && v - b > minExcessSec)
+        .map(b => k -> v / b)
     }
 
   /** Write the tripwire verdict artifact: `{}` = all gates within the

@@ -23,6 +23,18 @@ class BenchTripwireSpec extends AnyFunSuite {
     assert(Bench.tripwire(results, baseline).isEmpty)
   }
 
+  test("sub-second jitter past 2x does NOT trip — the absolute excess floor") {
+    // a 0.2s-baseline gate at 0.55s is 2.75x but only +0.35s — host
+    // scheduling noise, not a regression (measured round 11: such
+    // "offenders" reproduced solo at baseline shape while the bench
+    // probes showed 1.1-1.3x host drift)
+    val noisy = Map("c2_tiny" -> 0.55)
+    assert(Bench.tripwire(noisy, Map("c2_tiny" -> 0.2)).isEmpty)
+    // the same ratio WITH real excess fires
+    val real = Map("c2_tiny" -> 2.75)
+    assert(Bench.tripwire(real, Map("c2_tiny" -> 1.0)).keySet == Set("c2_tiny"))
+  }
+
   test("artifact write: non-empty on a trip, {} all-clear, and parseable") {
     val dir = java.nio.file.Files.createTempDirectory("tripwire")
     val p = dir.resolve("_bench_failures.json").toString
