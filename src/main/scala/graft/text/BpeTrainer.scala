@@ -313,8 +313,62 @@ object BpeTrainer {
     merges.result()
   }
 
-  /** Tokenize a single text with a learned merge table. */
-  def encodeText(text: String, merges: Seq[Merge]): Seq[String] =
+  /** Merge ranks keyed by pair — the encode-side form of the table.
+    * Keeps the LOWEST rank per pair (a pair can pathologically be
+    * re-learned when a later merge's output collides with an earlier
+    * symbol string; first application wins in the sequential order).
+    */
+  def rankMap(merges: Seq[Merge]): Map[(String, String), Int] =
+    merges.groupMapReduce(m => (m.left, m.right))(_.rank)(math.min)
+
+  /** Encode one word by ITERATIVE LOWEST-RANK merging — the standard
+    * production encode: repeatedly merge the present pair with the
+    * lowest rank (greedy left-to-right across the word) until no
+    * adjacent pair is in the table. Cost is O(|word|² · merges
+    * APPLIED), independent of vocabulary size — the one-pass
+    * rank-order application ([[encodeTextSequential]]) costs O(M) per
+    * word, which at a production 50 k-merge table multiplies every
+    * corpus-sized encode by 50 000.
+    *
+    * Equivalence (spec-pinned): identical to applying every merge once
+    * in rank order, because a merge can only CREATE a pair whose rank
+    * is higher than its own — a learned pair's constituents are always
+    * earlier merges (the pair cannot be counted before its symbols
+    * exist), so skipping absent ranks and taking present ones in
+    * ascending order visits the same merge sequence.
+    */
+  private def encodeWord(
+      word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = initialSyms(word)
+    var done = false
+    while (!done && syms.length >= 2) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else syms = mergePair(syms, syms(bi), syms(bi + 1))
+    }
+    syms
+  }
+
+  /** Tokenize a single text with a learned merge table (rank-based
+    * encode; cost independent of merge-table size).
+    */
+  def encodeText(text: String, merges: Seq[Merge]): Seq[String] = {
+    val ranks = rankMap(merges)
+    text.split(" ").iterator.filter(_.nonEmpty)
+      .flatMap(w => encodeWord(w, ranks)).toSeq
+  }
+
+  /** The one-pass rank-order application — O(merges) per word; kept as
+    * the reference semantics the fast encode is spec-checked against.
+    */
+  private[text] def encodeTextSequential(text: String, merges: Seq[Merge]): Seq[String] =
     text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
       var syms = initialSyms(w)
       merges.foreach(m => syms = mergePair(syms, m.left, m.right))
@@ -322,7 +376,11 @@ object BpeTrainer {
     }.toSeq
 
   /** Per-document BPE tokens + token count — a narrow map (the merge
-    * table rides the closure; at scale, a broadcast).
+    * table rides the closure; at scale, a broadcast). Per-partition
+    * WORD-TYPE memoization: natural text re-uses a small type
+    * vocabulary constantly, so each partition encodes a given word
+    * once and serves repeats from a local map — the same collapse the
+    * trainer exploits, applied at encode time.
     */
   def encode(
       docs: DataFrame,
@@ -335,9 +393,15 @@ object BpeTrainer {
     docs
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val toks = encodeText(text, ms)
-        (id, toks, toks.length.toLong)
+      .mapPartitions { rows =>
+        val ranks = rankMap(ms)
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        rows.map { case (id, text) =>
+          val toks = text.split(" ").iterator.filter(_.nonEmpty)
+            .flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, ranks)))
+            .toSeq
+          (id, toks, toks.length.toLong)
+        }
       }
       .toDF(idCol, "tokens", "n_bpe_tokens")
   }

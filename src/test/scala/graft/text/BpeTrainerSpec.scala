@@ -149,6 +149,32 @@ class BpeTrainerSpec extends SparkSpec {
     out.result()
   }
 
+  test("rank-based encode equals the one-pass sequential application everywhere") {
+    // real corpus, full 100-merge table
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = BpeTrainer.train(docs, "text", 100)
+    val texts = docs.select($"text").as[String].collect()
+    texts.foreach { t =>
+      assert(BpeTrainer.encodeText(t, merges) ==
+        BpeTrainer.encodeTextSequential(t, merges), s"diverged on: ${t.take(60)}")
+    }
+    // adversarial overlap shapes: runs of one symbol, nested merges
+    val tricky = Seq((1L, "aaaa aaa aa a aaaaa"), (2L, "ababab abab ab"),
+      (3L, "xyxy xy x y yx"))
+    val df = tricky.toDF("doc_id", "text")
+    val m2 = BpeTrainer.train(df, "text", 12)
+    tricky.foreach { case (_, t) =>
+      assert(BpeTrainer.encodeText(t, m2) ==
+        BpeTrainer.encodeTextSequential(t, m2), s"diverged on: $t")
+    }
+    // encode() (memoized partition path) agrees with encodeText
+    val enc = BpeTrainer.encode(df, "doc_id", "text", m2)
+      .select($"doc_id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    tricky.foreach { case (id, t) =>
+      assert(enc(id) == BpeTrainer.encodeText(t, m2))
+    }
+  }
+
   test("a 100-merge train costs O(1) Spark jobs, not O(merges)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
