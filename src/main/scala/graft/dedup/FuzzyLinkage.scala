@@ -33,6 +33,20 @@ object FuzzyLinkage {
     * One shuffle for the block join, one for the pair distinct (a pair
     * meets in up to wordCount blocks); the bounded levenshtein runs
     * after the distinct, once per candidate pair.
+    *
+    * Single-word guard: a one-word name has no word position an edit
+    * can leave untouched, so the pigeonhole argument gives it NOTHING —
+    * "abc" vs "abd" (distance 1) share no (pos, word) block and would
+    * be silently dropped. Names of exactly one word therefore ALSO pair
+    * through a (block, length-band) key against every name in their
+    * block — banded all-pairs over the single-word subset only, which
+    * is bounded by that subset's size (zero rows on word-structured
+    * corpora like part names). This makes the operator exact for every
+    * pair involving a single-word name; the remaining lossy shape —
+    * both names multi-word with EVERY aligned word touched or
+    * word-alignment shifted by an inserted/deleted space — is
+    * spec-pinned (`FuzzyLinkageGuardSpec`) and oracle-enforced on the
+    * gate corpora (d1/d2's oracles are the unblocked semantics).
     */
   def wordBlockedPairs(
       df: DataFrame,
@@ -42,13 +56,32 @@ object FuzzyLinkage {
       maxDist: Int): DataFrame = {
     def side(k: String, n: String): DataFrame =
       df.select(col(keyCol).as(k), col(blockCol).as("__blk"), col(nameCol).as(n))
-        .select(col(k), col("__blk"), col(n), posexplode(split(col(n), " ")).as(Seq("__pos", "__word")))
     val a = side("key_a", "name_a")
     val b = side("key_b", "name_b")
-    val lev: Column = levenshtein(col("name_a"), col("name_b"), maxDist).cast("long")
-    a.join(b, Seq("__blk", "__pos", "__word"))
+    def words(s: DataFrame, k: String, n: String): DataFrame =
+      s.select(col(k), col("__blk"), col(n),
+        posexplode(split(col(n), " ")).as(Seq("__pos", "__word")))
+    val wordCands = words(a, "key_a", "name_a")
+      .join(words(b, "key_b", "name_b"), Seq("__blk", "__pos", "__word"))
       .filter(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
+    // single-word fallback: band the (small) single-word subset against
+    // every name in the block by length — |len diff| <= maxDist is
+    // implied by the edit bound, so the band loses nothing
+    def singles(s: DataFrame, n: String): DataFrame =
+      s.filter(size(split(col(n), " ")) === 1)
+        .withColumn("__len",
+          explode(sequence(length(col(n)) - maxDist, length(col(n)) + maxDist)))
+    def withLen(s: DataFrame, n: String): DataFrame =
+      s.withColumn("__len", length(col(n)))
+    val singleCands = singles(a, "name_a")
+      .join(withLen(b, "name_b"), Seq("__blk", "__len"))
+      .unionByName(
+        withLen(a, "name_a").join(singles(b, "name_b"), Seq("__blk", "__len")))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
+    val lev: Column = levenshtein(col("name_a"), col("name_b"), maxDist).cast("long")
+    wordCands.unionByName(singleCands)
       .distinct()
       // cheap implied-length prefilter so most pairs skip the DP entirely
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)

@@ -1614,6 +1614,112 @@ object SimQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** DuckDB replay of [[graft.similarity.Rebalance.splitLists]] over an
+    * assignment CTE `asnCte(vec_id, list)`: lists over 21/20 of the
+    * mean population, seed A = min id, seed B = farthest-by-6-dp-cosine
+    * (id tiebreak), two Lloyd rounds over 6-dp sub-centroids, 6-dp
+    * determinism discipline throughout. All internal CTEs are `rb_`-
+    * prefixed so the chain composes with [[kmeansCtes]] /
+    * [[pqSampledCtes]]; emits `rb_stats(n_total, n_lists)` and ends
+    * with `rb_final AS (vec_id, list)` — the post-rebalance assignment
+    * — trailing comma included. (The degenerate id-parity fallback for
+    * all-identical lists is not replayed: real embedding corpora never
+    * produce a 6-dp-cosine-identical over-full list, and the fallback
+    * is spec-pinned in `RebalanceSpec` instead.)
+    */
+  private def rebalanceCtes(asnCte: String): String =
+    s"""rb_stats AS (
+       |  SELECT COUNT(*) AS n_total, COUNT(DISTINCT list) AS n_lists FROM $asnCte
+       |),
+       |rb_sizes AS (SELECT list, COUNT(*) AS n FROM $asnCte GROUP BY 1),
+       |rb_split AS MATERIALIZED (
+       |  SELECT s.list FROM rb_sizes s, rb_stats
+       |  WHERE s.n > (21 * n_total) // (20 * n_lists)
+       |),
+       |rb_flat AS MATERIALIZED (
+       |  SELECT a.list, e.vec_id,
+       |         generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings e
+       |  JOIN $asnCte a USING (vec_id)
+       |  JOIN rb_split s ON a.list = s.list
+       |),
+       |rb_seed_a AS (
+       |  SELECT list, vec_id FROM (
+       |    SELECT a.list, a.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY a.list ORDER BY a.vec_id) AS r
+       |    FROM $asnCte a JOIN rb_split USING (list)) WHERE r = 1
+       |),
+       |rb_ca AS MATERIALIZED (
+       |  SELECT f.list, f.vec_id,
+       |         round(SUM(f.v * fa.v) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(fa.v * fa.v))), 6) AS ca
+       |  FROM rb_flat f
+       |  JOIN rb_seed_a sa ON f.list = sa.list
+       |  JOIN rb_flat fa ON fa.vec_id = sa.vec_id AND fa.i = f.i
+       |  GROUP BY 1, 2
+       |),
+       |rb_seed_b AS (
+       |  SELECT list, vec_id FROM (
+       |    SELECT list, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY list ORDER BY ca, vec_id) AS r
+       |    FROM rb_ca) WHERE r = 1
+       |),
+       |rb_cb AS (
+       |  SELECT f.list, f.vec_id,
+       |         round(SUM(f.v * fb.v) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(fb.v * fb.v))), 6) AS cb
+       |  FROM rb_flat f
+       |  JOIN rb_seed_b sb ON f.list = sb.list
+       |  JOIN rb_flat fb ON fb.vec_id = sb.vec_id AND fb.i = f.i
+       |  GROUP BY 1, 2
+       |),
+       |rb_sub0 AS MATERIALIZED (
+       |  SELECT ca.list, ca.vec_id,
+       |         CASE WHEN ca.ca >= cb.cb THEN 0 ELSE 1 END AS sub
+       |  FROM rb_ca ca JOIN rb_cb cb ON ca.list = cb.list AND ca.vec_id = cb.vec_id
+       |),
+       |rb_c1 AS (
+       |  SELECT s.list, s.sub, f.i, round(AVG(f.v), 6) AS c
+       |  FROM rb_flat f JOIN rb_sub0 s ON f.vec_id = s.vec_id
+       |  GROUP BY 1, 2, 3
+       |),
+       |rb_s1 AS (
+       |  SELECT f.vec_id, f.list, c.sub,
+       |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+       |  FROM rb_flat f JOIN rb_c1 c ON f.list = c.list AND f.i = c.i
+       |  GROUP BY 1, 2, 3
+       |),
+       |rb_sub1 AS MATERIALIZED (
+       |  SELECT vec_id, list, sub FROM (
+       |    SELECT vec_id, list, sub,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, sub) AS r
+       |    FROM rb_s1) WHERE r = 1
+       |),
+       |rb_c2 AS (
+       |  SELECT s.list, s.sub, f.i, round(AVG(f.v), 6) AS c
+       |  FROM rb_flat f JOIN rb_sub1 s ON f.vec_id = s.vec_id
+       |  GROUP BY 1, 2, 3
+       |),
+       |rb_s2 AS (
+       |  SELECT f.vec_id, f.list, c.sub,
+       |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+       |  FROM rb_flat f JOIN rb_c2 c ON f.list = c.list AND f.i = c.i
+       |  GROUP BY 1, 2, 3
+       |),
+       |rb_sub2 AS MATERIALIZED (
+       |  SELECT vec_id, list, sub FROM (
+       |    SELECT vec_id, list, sub,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, sub) AS r
+       |    FROM rb_s2) WHERE r = 1
+       |),
+       |rb_final AS MATERIALIZED (
+       |  SELECT a.vec_id,
+       |         CASE WHEN s.sub IS NULL THEN a.list
+       |              WHEN s.sub = 0 THEN a.list
+       |              ELSE a.list + n_lists END AS list
+       |  FROM $asnCte a
+       |  LEFT JOIN rb_sub2 s USING (vec_id), rb_stats
+       |),""".stripMargin
+
   /** e20 — IVF LIST REBALANCE: the maintenance step a drifting corpus
     * forces that the e18 lifecycle (delete + compact WITHIN lists)
     * cannot provide — lists more than 5% over the mean population are
@@ -1631,99 +1737,15 @@ object SimQueries {
     */
   val ivfRebalance = Query(
     "e20_ivf_rebalance",
-    """WITH asn AS MATERIALIZED (
-      |  SELECT vec_id, CAST(label AS BIGINT) AS list FROM embeddings
-      |),
-      |stats AS (
-      |  SELECT COUNT(*) AS n_total, COUNT(DISTINCT list) AS n_lists FROM asn
-      |),
-      |sizes AS (SELECT list, COUNT(*) AS n FROM asn GROUP BY 1),
-      |split AS MATERIALIZED (
-      |  SELECT s.list FROM sizes s, stats
-      |  WHERE s.n > (21 * n_total) // (20 * n_lists)
-      |),
-      |flat AS MATERIALIZED (
-      |  SELECT a.list, e.vec_id,
-      |         generate_subscripts(embedding, 1) AS i,
-      |         CAST(unnest(embedding) AS DOUBLE) AS v
-      |  FROM embeddings e
-      |  JOIN asn a USING (vec_id)
-      |  JOIN split s ON a.list = s.list
-      |),
-      |seed_a AS (
-      |  SELECT list, vec_id FROM (
-      |    SELECT a.list, a.vec_id,
-      |           ROW_NUMBER() OVER (PARTITION BY a.list ORDER BY a.vec_id) AS r
-      |    FROM asn a JOIN split USING (list)) WHERE r = 1
-      |),
-      |ca AS MATERIALIZED (
-      |  SELECT f.list, f.vec_id,
-      |         round(SUM(f.v * fa.v) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(fa.v * fa.v))), 6) AS ca
-      |  FROM flat f
-      |  JOIN seed_a sa ON f.list = sa.list
-      |  JOIN flat fa ON fa.vec_id = sa.vec_id AND fa.i = f.i
-      |  GROUP BY 1, 2
-      |),
-      |seed_b AS (
-      |  SELECT list, vec_id FROM (
-      |    SELECT list, vec_id,
-      |           ROW_NUMBER() OVER (PARTITION BY list ORDER BY ca, vec_id) AS r
-      |    FROM ca) WHERE r = 1
-      |),
-      |cb AS (
-      |  SELECT f.list, f.vec_id,
-      |         round(SUM(f.v * fb.v) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(fb.v * fb.v))), 6) AS cb
-      |  FROM flat f
-      |  JOIN seed_b sb ON f.list = sb.list
-      |  JOIN flat fb ON fb.vec_id = sb.vec_id AND fb.i = f.i
-      |  GROUP BY 1, 2
-      |),
-      |sub0 AS MATERIALIZED (
-      |  SELECT ca.list, ca.vec_id,
-      |         CASE WHEN ca.ca >= cb.cb THEN 0 ELSE 1 END AS sub
-      |  FROM ca JOIN cb ON ca.list = cb.list AND ca.vec_id = cb.vec_id
-      |),
-      |c1 AS (
-      |  SELECT s.list, s.sub, f.i, round(AVG(f.v), 6) AS c
-      |  FROM flat f JOIN sub0 s ON f.vec_id = s.vec_id
-      |  GROUP BY 1, 2, 3
-      |),
-      |s1 AS (
-      |  SELECT f.vec_id, f.list, c.sub,
-      |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
-      |  FROM flat f JOIN c1 c ON f.list = c.list AND f.i = c.i
-      |  GROUP BY 1, 2, 3
-      |),
-      |sub1 AS MATERIALIZED (
-      |  SELECT vec_id, list, sub FROM (
-      |    SELECT vec_id, list, sub,
-      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, sub) AS r
-      |    FROM s1) WHERE r = 1
-      |),
-      |c2 AS (
-      |  SELECT s.list, s.sub, f.i, round(AVG(f.v), 6) AS c
-      |  FROM flat f JOIN sub1 s ON f.vec_id = s.vec_id
-      |  GROUP BY 1, 2, 3
-      |),
-      |s2 AS (
-      |  SELECT f.vec_id, f.list, c.sub,
-      |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
-      |  FROM flat f JOIN c2 c ON f.list = c.list AND f.i = c.i
-      |  GROUP BY 1, 2, 3
-      |),
-      |sub2 AS MATERIALIZED (
-      |  SELECT vec_id, list, sub FROM (
-      |    SELECT vec_id, list, sub,
-      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, sub) AS r
-      |    FROM s2) WHERE r = 1
-      |)
-      |SELECT a.vec_id, a.list AS old_list,
-      |       CASE WHEN s.sub IS NULL THEN a.list
-      |            WHEN s.sub = 0 THEN a.list
-      |            ELSE a.list + n_lists END AS new_list
-      |FROM asn a
-      |LEFT JOIN sub2 s USING (vec_id), stats
-      |ORDER BY a.vec_id""".stripMargin) { (spark, d) =>
+    s"""WITH asn AS MATERIALIZED (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS list FROM embeddings
+       |),
+       |${rebalanceCtes("asn")}
+       |out AS (
+       |  SELECT a.vec_id, a.list AS old_list, f.list AS new_list
+       |  FROM asn a JOIN rb_final f USING (vec_id)
+       |)
+       |SELECT vec_id, old_list, new_list FROM out ORDER BY vec_id""".stripMargin) { (spark, d) =>
     import spark.implicits._
     val e = embeddings(spark, d)
     val asn = e.select($"vec_id", $"label".cast("long").as("list"))
@@ -1737,6 +1759,160 @@ object SimQueries {
       .join(asn.withColumnRenamed("list", "old_list"), "vec_id")
       .select($"vec_id", $"old_list", $"new_list")
       .orderBy($"vec_id")
+  }
+
+  /** e20b — the post-rebalance SERVABLE index: e20 pins the new
+    * assignments, but an index is only servable when the probe router
+    * has a centroid for every list — including the `old + nLists` ids
+    * the split created. This gate composes
+    * [[graft.similarity.Rebalance.splitListsServable]] (assignments +
+    * final split-list centroids in one pass) with the INCREMENTAL
+    * router refresh (untouched lists keep their existing centroids;
+    * only the O(drift) split set is replaced) and the frozen e17
+    * codebook's packed codes, and pins per vector: the packed codevec,
+    * the post-rebalance list, and a fingerprint of the row's list
+    * centroid (Σ over dims of round(6-dp-centroid · 10⁶) — an integer,
+    * so engine float formatting never enters the hash). The oracle
+    * recomputes every centroid FROM SCRATCH over the final assignment,
+    * so a hash match proves incremental refresh ≡ full rebuild —
+    * exactly the property that makes O(drift) maintenance sound at
+    * 100 TB. `RebalanceSpec` separately proves the served top-k
+    * through [[graft.similarity.Pq.ivfAdcTopKPacked]] matches a
+    * from-scratch build.
+    */
+  val rebalanceServing = Query(
+    "e20b_rebalance_serving",
+    s"""WITH asn AS MATERIALIZED (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS list FROM embeddings
+       |),
+       |${rebalanceCtes("asn")}
+       |${pqSampledCtes(dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)}
+       |rcent AS MATERIALIZED (
+       |  SELECT f2.list, u.i, round(AVG(CAST(u.v AS DOUBLE)), 6) AS c
+       |  FROM rb_final f2
+       |  JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |               generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings) u USING (vec_id)
+       |  GROUP BY 1, 2
+       |),
+       |rfp AS MATERIALIZED (
+       |  SELECT list, CAST(SUM(CAST(round(c * 1000000) AS BIGINT)) AS BIGINT) AS cent_fp
+       |  FROM rcent GROUP BY 1
+       |),
+       |pk AS MATERIALIZED (
+       |  SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codevec
+       |  FROM enca GROUP BY 1
+       |)
+       |SELECT f2.vec_id, f2.list, pk.codevec, rfp.cent_fp
+       |FROM rb_final f2
+       |JOIN pk USING (vec_id)
+       |JOIN rfp ON rfp.list = f2.list
+       |ORDER BY f2.vec_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val e = embeddings(spark, d)
+    val asn = e.select($"vec_id", $"label".cast("long").as("list"))
+    val (nTotal, nLists) = asn
+      .agg(count(lit(1)), countDistinct($"list")).as[(Long, Long)].head()
+    val maxSz = (21L * nTotal) / (20L * nLists)
+    val (newAsn, splitCents) = graft.similarity.Rebalance
+      .splitListsServable(asn, e.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", "list", maxSz, newListOffset = nLists, iters = 2)
+    // Incremental router refresh: the pre-rebalance router (6-dp label
+    // centroids) minus every list id the split touched, plus the split
+    // pass's own final centroids — O(drift) replaced, never rebuilt.
+    val oldRouter = graft.similarity.Ann
+      .centroids(e.select($"label".cast("long").as("list"), $"embedding"),
+        "list", "embedding")
+      .select($"list", transform($"centroid", x => round(x, 6)).as("centroid"))
+    val router = oldRouter
+      .join(splitCents.select($"list"), Seq("list"), "left_anti")
+      .unionByName(splitCents)
+    val fp = router.select($"list",
+      expr("aggregate(transform(centroid, x -> CAST(round(x * 1000000) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)").as("cent_fp"))
+    val cbCents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
+    val packed = graft.similarity.Pq.packCodes(
+      graft.similarity.Pq.encode(e, cbCents, "vec_id", "embedding", dim = 64, m = 32),
+      "vec_id")
+    packed
+      .join(newAsn, "vec_id")
+      .join(fp, "list")
+      .select($"vec_id", $"list", concat_ws(",", $"codevec").as("codevec"), $"cent_fp")
+      .orderBy($"vec_id")
+  }
+
+  /** e19c — the DEFAULT production kNN-graph path
+    * ([[graft.similarity.Ann.knnGraphRebalanced]]): REBALANCE the
+    * learned lists first, then build the graph. e19b's frozen-list
+    * build degrades toward N²/L on a drifted corpus (round-11 stress:
+    * 21× at ×10 corpora; 1.85× with the pre-split at −2.5 pp recall) —
+    * this gate pins the composed chain the measurement said should be
+    * the default: unsupervised k-means lists (e13's recipe) →
+    * deterministic over-full split (e20's 21/20-of-mean threshold) →
+    * IVF kNN graph with mutual flags over the POST-SPLIT lists. The
+    * oracle replays k-means → rebalance → probes → ranking → the
+    * reverse-edge join, so the hash pins every edge, rank, 6-dp cosine
+    * and mutuality bit of the production build.
+    */
+  val knnGraphRebalancedGate = Query(
+    "e19c_knn_graph_rebalanced", {
+      s"""WITH ${kmeansCtes(2, signInitSql)}
+         |${rebalanceCtes("klists")}
+         |ev AS MATERIALIZED (
+         |  SELECT f.vec_id, rf.list AS label, f.i, f.v
+         |  FROM flat f JOIN rb_final rf USING (vec_id)
+         |),
+         |cent AS (
+         |  SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i
+         |),
+         |qdots AS (
+         |  SELECT ev.vec_id AS qid, cent.label,
+         |         SUM(ev.v * cent.c) AS dot,
+         |         SUM(ev.v * ev.v) AS qq,
+         |         SUM(cent.c * cent.c) AS cc
+         |  FROM ev JOIN cent ON ev.i = cent.i
+         |  GROUP BY qid, cent.label
+         |),
+         |probes AS (
+         |  SELECT qid, label FROM (
+         |    SELECT qid, label,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+         |    FROM qdots)
+         |  WHERE pr <= 2
+         |),
+         |bdots AS (
+         |  SELECT p.qid, b.vec_id AS bid,
+         |         SUM(qv.v * b.v) AS dot,
+         |         SUM(qv.v * qv.v) AS qq,
+         |         SUM(b.v * b.v) AS bb
+         |  FROM probes p
+         |  JOIN ev b ON b.label = p.label
+         |  JOIN ev qv ON qv.vec_id = p.qid AND qv.i = b.i
+         |  WHERE b.vec_id <> p.qid
+         |  GROUP BY p.qid, b.vec_id
+         |),
+         |edges AS MATERIALIZED (
+         |  SELECT qid, bid, cosine, rank FROM (
+         |    SELECT qid, bid,
+         |           round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank
+         |    FROM bdots)
+         |  WHERE rank <= 3
+         |)
+         |SELECT e.qid, CAST(e.rank AS BIGINT) AS rank, e.bid, e.cosine,
+         |       CAST(CASE WHEN r.qid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS mutual
+         |FROM edges e
+         |LEFT JOIN edges r ON r.qid = e.bid AND r.bid = e.qid
+         |ORDER BY e.qid, e.rank""".stripMargin
+    }) { (spark, d) =>
+    import spark.implicits._
+    val inp = embeddings(spark, d).select($"vec_id", $"embedding")
+      .join(sharedUnsupLists(spark, d, kmIters = 2), "vec_id")
+    graft.similarity.Ann
+      .knnGraphRebalanced(inp, "vec_id", "embedding", "list", k = 3, nprobe = 2)
+      .orderBy($"qid", $"rank")
   }
 
   /** m11b — m11's mutual-kNN semantic clusters over the LEARNED
@@ -1874,6 +2050,6 @@ object SimQueries {
     knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild,
     pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall,
     residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
-    knnGraphLearnedGate, ivfRebalance, knnComponentsLearned,
-    semanticDecontam)
+    knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing,
+    knnComponentsLearned, semanticDecontam)
 }

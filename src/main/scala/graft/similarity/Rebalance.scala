@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   *   - then `iters` Lloyd rounds over 6-dp-rounded sub-centroids with
   *     (cosine DESC, sub ASC) argmax — the `kmeansIterate` discipline
   *     scoped to the split lists.
+  *   - DEGENERATE lists (every vector 6-dp-cosine-identical to seed A,
+  *     so no second seed exists and 2-means cannot separate anything)
+  *     fall back to an id-parity split: rows ranked by id, odd ranks
+  *     stay, even ranks move. This guarantees every pass halves an
+  *     over-full list, so the documented "run the pass again while
+  *     still over-full" loop always converges — without the fallback a
+  *     list of identical vectors would land entirely in sub-cluster 0
+  *     forever. Spec-pinned (`RebalanceSpec` identical-vector case).
   *
   * Scale shape: the split-list id set is tiny and broadcast; every
   * join in the seed/iterate chain is keyed on the list id, so the work
@@ -35,6 +43,11 @@ object Rebalance {
     * vectors of lists larger than `maxListSize` are 2-means-split,
     * sub-cluster 0 keeps the list id, sub-cluster 1 moves to
     * `list + newListOffset`; all other rows pass through unchanged.
+    *
+    * Assignment-only form of [[splitListsServable]] — callers that
+    * also need to PROBE the rebalanced index (route queries by list
+    * centroid) must use the servable form, which returns the split
+    * lists' final centroids alongside.
     */
   def splitLists(
       assignments: DataFrame,
@@ -44,7 +57,33 @@ object Rebalance {
       listCol: String,
       maxListSize: Long,
       newListOffset: Long,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    splitListsServable(
+      assignments, vectors, idCol, vecCol, listCol, maxListSize,
+      newListOffset, iters)._1
+
+  /** Rebalance AND keep the index servable: returns
+    * `(newAssignments, splitListCentroids)` where the second frame
+    * holds `(listCol, centroid)` for every list id the split touched —
+    * both the kept old ids and the `old + newListOffset` ids — with
+    * centroids recomputed from the FINAL assignment (6-dp rounded, the
+    * same discipline as `Ann.kmeansIterate`). Untouched lists keep
+    * their existing centroids, so a router refresh is
+    * `old.join(splitCents, anti) ∪ splitCents` — O(drift) work.
+    *
+    * Without the centroid half a rebalanced index cannot be probed:
+    * `Ann.ivfTopK` / `Pq.ivfAdcTopKPacked` route queries by list
+    * centroid and the new `list + offset` ids would have none.
+    */
+  def splitListsServable(
+      assignments: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      maxListSize: Long,
+      newListOffset: Long,
+      iters: Int = 2): (DataFrame, DataFrame) = {
     val asn = assignments.select(col(idCol), col(listCol).cast("long").as(listCol))
     val split = asn.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxListSize).select(col(listCol))
@@ -56,10 +95,20 @@ object Rebalance {
       .select(col(listCol), col("__vec").as("__va"))
     val withA = sv.join(broadcast(seedA), Seq(listCol))
       .withColumn("__ca", round(Ann.cosine(col("__vec"), col("__va")), 6))
+    // Degenerate lists: min 6-dp cosine to seed A is 1.0 ⇒ every vector
+    // is (rounded-)identical to the seed, 2-means cannot make progress.
+    val degen = withA.groupBy(col(listCol)).agg(min(col("__ca")).as("__mc"))
+      .filter(col("__mc") >= 1.0).select(col(listCol))
+    val degMoved = withA.join(broadcast(degen), Seq(listCol))
+      .withColumn("__r", row_number().over(wA))
+      .select(col(idCol),
+        when(pmod(col("__r"), lit(2)) === 1, col(listCol))
+          .otherwise(col(listCol) + lit(newListOffset)).as(listCol))
+    val normal = withA.join(broadcast(degen), Seq(listCol), "left_anti")
     val wB = Window.partitionBy(col(listCol)).orderBy(col("__ca"), col(idCol))
-    val seedB = withA.withColumn("__r", row_number().over(wB)).filter(col("__r") === 1)
+    val seedB = normal.withColumn("__r", row_number().over(wB)).filter(col("__r") === 1)
       .select(col(listCol), col("__vec").as("__vb"))
-    var cur = withA.join(broadcast(seedB), Seq(listCol))
+    var cur = normal.join(broadcast(seedB), Seq(listCol))
       .select(col(idCol), col(listCol), col("__vec"),
         when(col("__ca") >= round(Ann.cosine(col("__vec"), col("__vb")), 6), 0)
           .otherwise(1).as("__sub"))
@@ -83,8 +132,20 @@ object Rebalance {
     val moved = cur.select(col(idCol),
       when(col("__sub") === 0, col(listCol))
         .otherwise(col(listCol) + lit(newListOffset)).as(listCol))
-    asn.join(broadcast(split), Seq(listCol), "left_anti")
+      .unionByName(degMoved)
+    val newAsn = asn.join(broadcast(split), Seq(listCol), "left_anti")
       .select(col(idCol), col(listCol))
       .unionByName(moved)
+    // Final centroids of every list id the split touched, from the
+    // FINAL assignment (the last Lloyd round reassigns after its
+    // centroid compute, so the discarded in-loop __cent would be one
+    // round stale). One aggregation over the split lists' vectors only.
+    val splitCents = Ann
+      .centroids(
+        moved.join(sv.select(col(idCol), col("__vec").as(vecCol)), Seq(idCol)),
+        listCol, vecCol)
+      .select(col(listCol),
+        transform(col("centroid"), x => round(x, 6)).as("centroid"))
+    (newAsn, splitCents)
   }
 }

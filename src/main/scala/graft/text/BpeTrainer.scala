@@ -233,6 +233,17 @@ object BpeTrainer {
     * count, which also ranks after the prefix. The strict-> truncation
     * therefore guarantees each batch member would also have been the
     * sequential argmax at its turn.
+    *
+    * The argument above needs a stopper count whenever pairs exist
+    * BEYOND the snapshot — so the caller must fetch STRICTLY MORE rows
+    * than `maxTake` (trainPerRound fetches [[FetchLimit]] = 65 and caps
+    * maxTake at 64): if the ranking extends past the window, the
+    * `size >= maxTake` guard fires on an in-window row and its count
+    * becomes the truncation bound; if the fetch came back short, the
+    * snapshot IS the whole ranking and an un-truncated full prefix is
+    * exact. Without the extra row, ~64 mutually symbol-disjoint top
+    * pairs plus an out-of-window tie could silently diverge from the
+    * sequential merge order.
     */
   private[text] def planBatch(
       ranked: Seq[(String, String, Long)], maxTake: Int): Seq[(String, String, Long)] = {
@@ -266,6 +277,13 @@ object BpeTrainer {
     * batch. Lineage is severed every `checkpointEvery` rounds instead
     * of every merge. Merge-for-merge identical to [[train]].
     */
+  /** Pair-ranking fetch size per round: one MORE than the largest batch
+    * [[planBatch]] may take, so a full-window prefix always sees an
+    * in-window stopper whenever pairs exist beyond the window (the
+    * exactness precondition documented on [[planBatch]]).
+    */
+  private[text] val FetchLimit = 65
+
   def trainPerRound(
       docs: DataFrame,
       textCol: String,
@@ -274,6 +292,11 @@ object BpeTrainer {
     val spark = docs.sparkSession
     import spark.implicits._
     var words = wordTable(docs, textCol).localCheckpoint(true)
+    // the checkpoint actually holding blocks right now — unpersisted the
+    // moment its successor materializes, so at most two checkpoints'
+    // blocks ever coexist (the lazy `map` results in between were never
+    // persisted and need no release)
+    var lastCkpt = words
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var round = 0
@@ -287,17 +310,16 @@ object BpeTrainer {
         .groupBy($"p.a".as("a"), $"p.b".as("b"))
         .agg(sum($"n").as("cnt"))
         .orderBy($"cnt".desc, $"a", $"b")
-        .limit(64)
+        .limit(FetchLimit)
         .as[(String, String, Long)]
         .collect()
         .toSeq
       if (ranked.isEmpty) done = true
       else {
-        val batch = planBatch(ranked, maxTake = numMerges - rank)
+        val batch = planBatch(ranked, maxTake = math.min(numMerges - rank, FetchLimit - 1))
         batch.foreach { case (a, b, c) => merges += Merge(rank, a, b, c); rank += 1 }
         val bs = batch.map { case (a, b, _) => (a, b) }
-        val prev = words
-        words = prev.map { w =>
+        words = words.map { w =>
           var s = w.syms
           bs.foreach { case (a, b) => s = mergePair(s, a, b) }
           WordSyms(s, w.n)
@@ -305,11 +327,12 @@ object BpeTrainer {
         round += 1
         if (round % checkpointEvery == 0) {
           words = words.localCheckpoint(true)
-          prev.unpersist()
+          lastCkpt.unpersist()
+          lastCkpt = words
         }
       }
     }
-    words.unpersist()
+    lastCkpt.unpersist()
     merges.result()
   }
 
@@ -330,12 +353,21 @@ object BpeTrainer {
     * word, which at a production 50 k-merge table multiplies every
     * corpus-sized encode by 50 000.
     *
-    * Equivalence (spec-pinned): identical to applying every merge once
-    * in rank order, because a merge can only CREATE a pair whose rank
-    * is higher than its own — a learned pair's constituents are always
-    * earlier merges (the pair cannot be counted before its symbols
-    * exist), so skipping absent ranks and taking present ones in
-    * ascending order visits the same merge sequence.
+    * Equivalence (spec-pinned): ABSENT concat-string collisions,
+    * identical to applying every merge once in rank order, because a
+    * merge can only CREATE a pair whose rank is higher than its own — a
+    * learned pair's constituents are always earlier merges (the pair
+    * cannot be counted before its symbols exist), so skipping absent
+    * ranks and taking present ones in ascending order visits the same
+    * merge sequence. When two distinct merge paths produce the same
+    * symbol STRING (e.g. "aab" from both ("aa","b") and ("a","ab") —
+    * the case [[rankMap]]'s lowest-rank rule acknowledges), a
+    * higher-rank merge can create a pair whose rank the one-pass
+    * sequential application already passed, and the two encodes may
+    * diverge; the ITERATIVE LOWEST-RANK result is the chosen production
+    * semantics (it is what every deployed BPE encoder does), and
+    * `BpeTrainerSpec` pins a constructed collision case documenting the
+    * divergence.
     */
   private def encodeWord(
       word: String, ranks: Map[(String, String), Int]): Seq[String] = {

@@ -55,4 +55,77 @@ class RebalanceSpec extends SparkSpec {
       .orderBy($"vec_id").as[(Long, Long)].collect().toSeq
     assert(out == asn.orderBy($"vec_id").as[(Long, Long)].collect().toSeq)
   }
+
+  test("identical-vector over-full list halves by id parity (every pass makes progress)") {
+    // 2-means can't separate identical vectors: without the fallback the
+    // whole list lands in sub 0 and re-running the pass never converges.
+    val rows = (0L until 16L).map(i => (i, Array(1.0f, 0.0f, 0.0f), 0L))
+    val df = rows.toDF("vec_id", "embedding", "list")
+    val out = Rebalance.splitLists(
+      df.select($"vec_id", $"list"), df.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", "list", maxListSize = 10L, newListOffset = 1L)
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got.size == 16)
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == Map(0L -> 8, 1L -> 8), s"got $sizes")
+    // odd row_number (= even ids here, ordered by id from 0) stays
+    (0L until 16L).foreach(i => assert(got(i) == (i % 2), s"vec $i"))
+  }
+
+  test("servable form: split-list centroids equal a from-scratch rebuild's") {
+    val (asn, vecs) = mk()
+    val (newAsn, splitCents) = Rebalance.splitListsServable(
+      asn, vecs, "vec_id", "embedding", "list", maxListSize = 30L, newListOffset = 2L)
+    // touched ids are exactly the kept id and the offset id of the split list
+    val touched = splitCents.select($"list").as[Long].collect().toSet
+    assert(touched == Set(0L, 2L))
+    // incremental refresh (old router minus touched ∪ splitCents) must equal
+    // centroids recomputed from scratch over the final assignment
+    def rounded(df: org.apache.spark.sql.DataFrame) =
+      df.select($"list", transform($"centroid", x => round(x, 6)).as("centroid"))
+    val oldRouter = rounded(Ann.centroids(
+      asn.join(vecs, "vec_id").select($"list", $"embedding"), "list", "embedding"))
+    val refreshed = oldRouter.join(splitCents.select($"list"), Seq("list"), "left_anti")
+      .unionByName(splitCents)
+    val scratch = rounded(Ann.centroids(
+      newAsn.join(vecs, "vec_id").select($"list", $"embedding"), "list", "embedding"))
+    val a = refreshed.orderBy($"list").as[(Long, Seq[Double])].collect().toSeq
+    val b = scratch.orderBy($"list").as[(Long, Seq[Double])].collect().toSeq
+    assert(a == b)
+  }
+
+  test("a query probing a split list serves the same top-k as a from-scratch build") {
+    val (asn, vecs) = mk()
+    val (newAsn, splitCents) = Rebalance.splitListsServable(
+      asn, vecs, "vec_id", "embedding", "list", maxListSize = 30L, newListOffset = 2L)
+    val corpus = newAsn.join(vecs, "vec_id")
+    // PQ codebook frozen across the rebalance (dim 3 doesn't divide into
+    // the gate config — use m = 3, dsub = 1, 4 codes)
+    val cents = Pq.train(corpus, "vec_id", "embedding", dim = 3, m = 3, k = 4, iters = 2)._2
+    val packed = Pq.packCodes(
+      Pq.encode(corpus, cents, "vec_id", "embedding", dim = 3, m = 3), "vec_id")
+      .join(newAsn, "vec_id")
+    val queries = vecs.filter($"vec_id".isin(0L, 25L, 102L))
+    def rounded(df: org.apache.spark.sql.DataFrame) =
+      df.select($"list", transform($"centroid", x => round(x, 6)).as("centroid"))
+    val oldRouter = rounded(Ann.centroids(
+      asn.join(vecs, "vec_id").select($"list", $"embedding"), "list", "embedding"))
+    val refreshed = oldRouter.join(splitCents.select($"list"), Seq("list"), "left_anti")
+      .unionByName(splitCents)
+    val scratch = rounded(Ann.centroids(
+      corpus.select($"list", $"embedding"), "list", "embedding"))
+    def serve(router: org.apache.spark.sql.DataFrame) =
+      Pq.ivfAdcTopKPacked(packed, cents, router, queries,
+        "vec_id", "embedding", "list", dim = 3, m = 3, k = 3, nprobe = 1, nCodes = 4)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val viaRefreshed = serve(refreshed)
+    val viaScratch = serve(scratch)
+    assert(viaRefreshed == viaScratch)
+    assert(viaRefreshed.nonEmpty)
+    // the split list's new id must actually be served: query 25 sits in the
+    // -x cluster, which moved to list 2 — its neighbours come from there
+    val q25 = viaRefreshed.filter(_._1 == 25L).map(_._3)
+    val lists = newAsn.as[(Long, Long)].collect().toMap
+    assert(q25.nonEmpty && q25.forall(b => lists(b) == 2L))
+  }
 }

@@ -175,6 +175,42 @@ class BpeTrainerSpec extends SparkSpec {
     }
   }
 
+  test("planBatch truncates a full-window prefix against the first out-of-window count") {
+    // 64 mutually symbol-disjoint top pairs, then a 65th whose count TIES
+    // the 64th: with the old 64-row fetch the window held no stopper and
+    // the whole prefix shipped, letting the tied out-of-window pair (which
+    // wins the (left, right) tie-break) silently diverge from the
+    // sequential order. The 65-row fetch makes row 65 the stopper, so
+    // members at its count are truncated away.
+    val ranked: Seq[(String, String, Long)] =
+      (0 until 64).map(i => (s"a$i", s"b$i", (200 - i).toLong)) :+ (("z", "zz", 137L))
+    assert(ranked.length == BpeTrainer.FetchLimit)
+    val got = BpeTrainer.planBatch(ranked, maxTake = BpeTrainer.FetchLimit - 1)
+    assert(got == ranked.take(63), s"got ${got.length} members")
+    assert(got.forall(_._3 > 137L))
+    // short fetch = the whole ranking is in view: a full prefix is exact
+    // and must NOT be truncated
+    val short = ranked.take(10)
+    assert(BpeTrainer.planBatch(short, maxTake = 64) == short)
+  }
+
+  test("concat-string collision: iterative lowest-rank encode is the chosen semantics") {
+    // "abc" is producible two ways — ("a","bc") at rank 2 and ("ab","c")
+    // at rank 4 — so rank 4 can CREATE the pair ("d","abc") whose rank 3
+    // the one-pass sequential application has already passed. The two
+    // encodes legitimately diverge here; production semantics is the
+    // iterative lowest-rank result (what every deployed BPE encoder
+    // computes), as documented on encodeWord.
+    import BpeTrainer.Merge
+    val ms = Seq(
+      Merge(0, "a", "b", 9L), Merge(1, "b", "c", 8L), Merge(2, "a", "bc", 7L),
+      Merge(3, "d", "abc", 6L), Merge(4, "ab", "c", 5L))
+    assert(BpeTrainer.encodeText("dabc", ms) ==
+      Seq("dabc", BpeTrainer.EndOfWord))
+    assert(BpeTrainer.encodeTextSequential("dabc", ms) ==
+      Seq("d", "abc", BpeTrainer.EndOfWord))
+  }
+
   test("a 100-merge train costs O(1) Spark jobs, not O(merges)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
