@@ -1704,12 +1704,21 @@ object TextQueries {
     * t27 pins the pair-stat foundation, t27b pins the merge TABLE the
     * incremental trainer ([[graft.text.BpeTrainer.train]]) emits.
     */
-  val bpeMergeSequence: Query = {
-    val rounds = 30
+  /** The generated DuckDB merge-table chain shared by t27b and t30:
+    * `rounds` greedy BPE rounds over the word-type table, each an
+    * argmax CTE `p{k}` under the trainer's (count DESC, left, right)
+    * rule plus a greedy left-to-right rewrite `w{k+1}` via SQL
+    * `replace` over a U+001F-wrapped symbol string (`.a..b.` → `.ab.`
+    * with `.` the separator; replace is left-to-right non-overlapping —
+    * exactly BPE's merge order — and the double-separator wrapping
+    * makes symbol boundaries unambiguous). Emits `w0..w{rounds-1}` and
+    * `p0..p{rounds-1}`; no trailing comma.
+    */
+  private def bpeMergeChainCtes(rounds: Int): String = {
     val sep = "chr(31)"
     val sb = new StringBuilder
     sb.append(
-      """WITH w0 AS MATERIALIZED (
+      """w0 AS MATERIALIZED (
         |  SELECT list_append(regexp_split_to_array(w, ''), '</w>') AS s, n FROM (
         |    SELECT w, COUNT(*) AS n FROM (
         |      SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -1736,16 +1745,94 @@ object TextQueries {
            |  FROM w$k, p$k
            |)""".stripMargin)
     }
+    sb.toString
+  }
+
+  val bpeMergeSequence: Query = {
+    val rounds = 30
     val union = (0 until rounds).map(k =>
       s"SELECT $k AS merge_rank, a AS left_sym, b AS right_sym, CAST(cnt AS BIGINT) AS cnt FROM p$k")
       .mkString(" UNION ALL ")
-    val sql = sb.toString + s" SELECT * FROM ($union) ORDER BY merge_rank"
+    val sql = "WITH " + bpeMergeChainCtes(rounds) +
+      s" SELECT * FROM ($union) ORDER BY merge_rank"
     Query("t27b_bpe_merge_sequence", sql) { (spark, d) =>
       import spark.implicits._
       graft.text.BpeTrainer.train(documents(spark, d), "text", rounds)
         .map(m => (m.rank, m.left, m.right, m.cnt))
         .toDF("merge_rank", "left_sym", "right_sym", "cnt")
         .orderBy($"merge_rank")
+    }
+  }
+
+  /** t30 — CORPUS-SCALE BPE ENCODE: the missing half of the tokenizer
+    * loop. t27b pins the TRAINED merge table; this gate applies it to
+    * every document distributively — [[graft.text.BpeTrainer.encode]]'s
+    * narrow map (merge ranks ride the closure / a broadcast at scale,
+    * per-partition word-type memo, rank-based per-word encode whose
+    * cost is independent of merge-table size) — and hash-pins each
+    * document's FULL token sequence (U+001F-joined) plus its token
+    * count. This is the single biggest real CPU item of a 100 TB
+    * tokenization pass: train once (vocab-bounded), encode everything
+    * (one narrow pass, no shuffle).
+    *
+    * The oracle replays the t27b merge chain, then applies the 30
+    * merges IN RANK ORDER to each whole document with the same
+    * `replace()`-as-merge trick. Whole-document replay is sound
+    * because no learned pair's LEFT symbol can end in `</w>` (nothing
+    * follows the end-of-word marker inside a word, so such a pair is
+    * never counted), and every cross-word adjacency in the joined
+    * string has a `</w>`-suffixed left symbol — merges provably never
+    * cross word boundaries. The rank-order replay equals the
+    * production iterative-lowest-rank encode absent concat-string
+    * collisions (spec-pinned; the hash enforces it corpus-wide at
+    * every scale).
+    */
+  val bpeEncodeCorpus: Query = {
+    val rounds = 30
+    val sep = "chr(31)"
+    val sb = new StringBuilder
+    sb.append("WITH " + bpeMergeChainCtes(rounds))
+    sb.append(
+      s""",
+         |enc0 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         $sep || array_to_string(
+         |           list_transform(
+         |             list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |             w -> array_to_string(list_append(regexp_split_to_array(w, ''), '</w>'),
+         |                                  $sep || $sep)),
+         |           $sep || $sep) || $sep AS s
+         |  FROM documents
+         |)""".stripMargin)
+    (0 until rounds).foreach { k =>
+      sb.append(
+        s""",
+           |enc${k + 1} AS MATERIALIZED (
+           |  SELECT doc_id, replace(e.s,
+           |           $sep || p.a || $sep || $sep || p.b || $sep,
+           |           $sep || p.a || p.b || $sep) AS s
+           |  FROM enc$k e, p$k p
+           |)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT doc_id,
+         |       CASE WHEN trim(s, $sep) = '' THEN ''
+         |            ELSE array_to_string(string_split(trim(s, $sep), $sep || $sep), $sep)
+         |       END AS tokens_str,
+         |       CAST(CASE WHEN trim(s, $sep) = '' THEN 0
+         |            ELSE len(string_split(trim(s, $sep), $sep || $sep)) END AS BIGINT)
+         |         AS n_bpe_tokens
+         |FROM enc$rounds
+         |ORDER BY doc_id""".stripMargin)
+    Query("t30_bpe_encode_corpus", sb.toString) { (spark, d) =>
+      import spark.implicits._
+      val docs = documents(spark, d)
+      val merges = graft.text.BpeTrainer.train(docs, "text", rounds)
+      graft.text.BpeTrainer.encode(docs, "doc_id", "text", merges)
+        .select($"doc_id", concat_ws("\u001f", $"tokens").as("tokens_str"),
+          $"n_bpe_tokens")
+        .orderBy($"doc_id")
     }
   }
 
@@ -1756,5 +1843,6 @@ object TextQueries {
     spanRemoval, decontaminate, decontamSpans, filterPipeline,
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
     dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget,
-    qualityModel, onlineBudget, bpePairStats, bpeMergeSequence, corpusCensus)
+    qualityModel, onlineBudget, bpePairStats, bpeMergeSequence, bpeEncodeCorpus,
+    corpusCensus)
 }

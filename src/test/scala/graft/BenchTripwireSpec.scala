@@ -35,6 +35,45 @@ class BenchTripwireSpec extends AnyFunSuite {
     assert(Bench.tripwire(real, Map("c2_tiny" -> 1.0)).keySet == Set("c2_tiny"))
   }
 
+  test("a single cold pass computes NO tripwire — even with huge ratios") {
+    // the round-11 failure mode: one contended 420 s-budget pass read
+    // 2.52x with 20 phantom offenders; a lone pass must never produce a
+    // verdict
+    val onePass = Seq(Map("a1_top" -> 37.0, "m2_lsh" -> 19.0))
+    assert(Bench.tripwireStat(onePass).isEmpty)
+    // end-to-end: the artifact written from a cold pass is the empty {}
+    val dir = java.nio.file.Files.createTempDirectory("coldpass")
+    val p = dir.resolve("_bench_failures.json").toString
+    Bench.writeTripwire(p,
+      Bench.tripwireStat(onePass).map(s => Bench.tripwire(s, baseline)).getOrElse(Map.empty))
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(p)).trim == "{}")
+  }
+
+  test("two passes judge the per-gate MIN — one contended pass cannot fire it") {
+    val passes = Seq(
+      Map("a1_top" -> 37.0, "m2_lsh" -> 19.0), // contended / cold
+      Map("a1_top" -> 0.9, "m2_lsh" -> 0.45)) // quiet
+    val stat = Bench.tripwireStat(passes).get
+    assert(stat == Map("a1_top" -> 0.9, "m2_lsh" -> 0.45))
+    assert(Bench.tripwire(stat, baseline).isEmpty)
+    // a REAL regression is slow in every pass and still fires
+    val real = Seq(Map("a1_top" -> 5.0), Map("a1_top" -> 4.8))
+    assert(Bench.tripwire(Bench.tripwireStat(real).get, baseline).keySet == Set("a1_top"))
+  }
+
+  test("compact-line probe/cold fields parse as JSON") {
+    // the fields emit() appends must compose into valid JSON — pin the
+    // exact shapes here so a format change fails a test, not a round
+    val line = """{"metric":"total","value":1.23,"unit":"sec","queries":{"a1":0.10},""" +
+      """"sf":"sf0.001","iters":1,"probe":1.50,"probe_mt":1.62,""" +
+      """"cold_pass":true,"tripwire":"skipped-cold","vs_baseline":1.01}"""
+    import org.json4s._
+    val j = jackson.JsonMethods.parse(line)
+    assert((j \ "probe") == JDouble(1.5))
+    assert((j \ "cold_pass") == JBool(true))
+    assert((j \ "tripwire") == JString("skipped-cold"))
+  }
+
   test("artifact write: non-empty on a trip, {} all-clear, and parseable") {
     val dir = java.nio.file.Files.createTempDirectory("tripwire")
     val p = dir.resolve("_bench_failures.json").toString
