@@ -61,6 +61,17 @@ object Bench {
         .map(k => k -> passes.flatMap(_.get(k)).min)
         .toMap)
 
+  /** Default frozen-baseline file for a bench dir: the sf1 battery
+    * tripwires against its own frozen baseline (`BASELINE_sf1.json`,
+    * a quiet-host 3-pass run), everything else against the sf0.1 one.
+    * The loader still cross-checks the file's own "sf" field against
+    * the dir, so a mismatched override can never silently compare
+    * across scales. Spec-pinned (`BenchTripwireSpec`).
+    */
+  def defaultBaselinePath(sfDir: String): String =
+    if (sfDir.stripSuffix("/").endsWith("sf1")) "BASELINE_sf1.json"
+    else "BASELINE_sf01.json"
+
   /** Write the tripwire verdict artifact: `{}` = all gates within the
     * bar; non-empty = the named gates regressed past it.
     */
@@ -127,7 +138,7 @@ object Bench {
     // between plan regressions and corpus change. Loaded only when its
     // "sf" matches this run's dir; every emit then carries per-gate
     // ratios (this run / baseline) and a common-gate total ratio.
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_sf01.json")
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", defaultBaselinePath(sfDir))
     val baseline: Map[String, Double] = try {
       val f = new java.io.File(baselinePath)
       if (!f.isFile) Map.empty

@@ -10,6 +10,23 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.PlanCheck [sfDir] [queryName ...]
   */
 object PlanCheck {
+
+  /** The four scale-health flags of a physical plan string — shared by
+    * this tool's report and `PlanAuditSpec`, which pins them for the
+    * ten most expensive gates so a plan regression flips a test
+    * instead of a PLANS.md row. Note the recall-harness caveat: gates
+    * whose builder composes eagerly (`.head()` bound checks) return a
+    * summary DataFrame, so only the codegen flag is meaningful on
+    * their FINAL plan — the scan pushdown happened in the inner
+    * actions (documented in PLANS.md since round 6).
+    */
+  def flags(physical: String): Map[String, Boolean] = Map(
+    "pushdown" -> physical.contains("PushedFilters: ["),
+    "pruning" -> physical.contains("ReadSchema"),
+    "broadcast" -> physical.contains("BroadcastHashJoin"),
+    "codegen" -> (physical.contains("WholeStageCodegen") ||
+      "\\*\\(\\d+\\)".r.findFirstIn(physical).isDefined))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
@@ -33,13 +50,7 @@ object PlanCheck {
       df.collect()
       val physical = df.queryExecution.executedPlan.toString()
       println(physical.linesIterator.take(40).mkString("\n"))
-      val checks = Seq(
-        "PushedFilters present" -> physical.contains("PushedFilters: ["),
-        "Column pruning (ReadSchema)" -> physical.contains("ReadSchema"),
-        "BroadcastHashJoin" -> physical.contains("BroadcastHashJoin"),
-        // simple-mode plan strings mark codegen stages with "*(n)"
-        "WholeStageCodegen" -> (physical.contains("WholeStageCodegen") ||
-          "\\*\\(\\d+\\)".r.findFirstIn(physical).isDefined))
+      val checks = flags(physical)
       println("-- checks: " + checks.map { case (k, v) => s"$k=$v" }.mkString(", "))
     }
     spark.stop()

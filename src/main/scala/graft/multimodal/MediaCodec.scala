@@ -281,6 +281,55 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Encode a demuxable MP4 whose samples are REAL payload bytes laid
+    * out in an `mdat` box — MJPEG-in-MP4: each frame is a complete
+    * JPEG, the stsz sizes are the true frame byte lengths and the stco
+    * chunk offsets point INTO this file where the frames actually
+    * live, so demux → byte-slice → decode works end to end (closing
+    * the "parse the tables but can't touch the payload" gap of
+    * [[encodeMp4Track]], which carries no media data).
+    * Layout: ftyp(16) · free(8+pad) · mdat(8+Σframes) · moov.
+    */
+  def encodeMp4Mjpeg(
+      timescale: Long,
+      durationTicks: Long,
+      freePad: Int,
+      frames: Seq[Array[Byte]],
+      samplesPerChunk: Int,
+      sampleDelta: Long): Array[Byte] = {
+    require(samplesPerChunk >= 1 && frames.nonEmpty, "need frames")
+    val n = frames.length
+    val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
+    val payloadStart = 16L + (8L + freePad) + 8L
+    val sizes = frames.map(_.length)
+    val chunkOffsets = (0 until nChunks).map { c =>
+      payloadStart + sizes.take(c * samplesPerChunk).map(_.toLong).sum
+    }
+    val stts = boxBytes("stts",
+      be32Bytes(0), be32Bytes(1), be32Bytes(n.toLong), be32Bytes(sampleDelta))
+    val stsc = boxBytes("stsc",
+      be32Bytes(0), be32Bytes(1),
+      be32Bytes(1), be32Bytes(samplesPerChunk.toLong), be32Bytes(1))
+    val stsz = boxBytes("stsz",
+      Array(be32Bytes(0), be32Bytes(0), be32Bytes(n.toLong)) ++
+        sizes.map(s => be32Bytes(s.toLong)): _*)
+    val stco = boxBytes("stco",
+      Array(be32Bytes(0), be32Bytes(nChunks.toLong)) ++
+        chunkOffsets.map(be32Bytes): _*)
+    val stbl = boxBytes("stbl", stts, stsc, stsz, stco)
+    val moov = boxBytes("moov",
+      mvhdBox(timescale, durationTicks),
+      boxBytes("trak", boxBytes("mdia", boxBytes("minf", stbl))))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(boxBytes("ftyp", "isom".getBytes("US-ASCII"), be32Bytes(512)), 0, 16)
+    val free = boxBytes("free", new Array[Byte](freePad))
+    out.write(free, 0, free.length)
+    val mdat = boxBytes("mdat", frames: _*)
+    out.write(mdat, 0, mdat.length)
+    out.write(moov, 0, moov.length)
+    out.toByteArray
+  }
+
   /** Demux the sample table: moov → trak → mdia → minf → stbl, then
     * join stts (timestamps), stsc (chunk runs), stsz (sizes), stco
     * (chunk offsets) into per-sample rows — size, owning chunk, exact

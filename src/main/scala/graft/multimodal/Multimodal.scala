@@ -461,6 +461,100 @@ object Multimodal {
     }
   }
 
+  /** Deterministic MJPEG frame geometry: per (doc, frame) dims and the
+    * per-block constant raster, all closed-form for the mm7b oracle.
+    * Frame count / chunking / timing reuse the mp4* closed forms so
+    * the two video corpora stay structurally comparable.
+    */
+  private[multimodal] def mjpegFrameW(docId: Long, i: Int): Int =
+    (8 * (1 + (docId + i) % 3)).toInt
+  private[multimodal] def mjpegFrameH(docId: Long, i: Int): Int =
+    (8 * (1 + (2 * docId + i) % 3)).toInt
+  private[multimodal] def mjpegBlockVal(docId: Long, i: Int)(bx: Int, by: Int): Int =
+    ((17L * bx + 31L * by + docId + 5L * i) % 256).toInt
+
+  /** Document corpus → MP4s that CARRY their media: every sample is a
+    * real DC-baseline JPEG frame laid out in the mdat box
+    * ([[MediaCodec.encodeMp4Mjpeg]]), so the demux's (offset, size)
+    * rows point at decodable payload bytes — the last modality that
+    * previously parsed container tables without touching payload.
+    */
+  def fromDocumentsMjpeg(docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val srcIdx = docs.schema.fieldIndex("source")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val frames = (0 until mp4SampleCount(id)).map { i =>
+          ImageCodec.encodeGrayJpegDc(
+            mjpegFrameW(id, i), mjpegFrameH(id, i), mjpegBlockVal(id, i))
+        }
+        val mp4 = MediaCodec.encodeMp4Mjpeg(
+          600, mp4Duration(id), mp4FreePad(id), frames,
+          mp4SamplesPerChunk, mp4SampleDelta(id))
+        Row(id, "video", mp4, Row(r.getString(srcIdx), "video/mp4", mp4.length.toLong))
+      }
+    }
+  }
+
+  /** Video FRAME DECODE pass — demux + payload decode in one
+    * per-partition sweep: walk the sample table, byte-slice each
+    * sample out of the container, decode it as a baseline JPEG and
+    * reduce to exact integer pixel stats. One output row per frame;
+    * a sample whose bytes fall outside the file or fail the decoder
+    * yields a sentinel row (width −1) so corruption is visible in the
+    * relation instead of silently dropped. No shuffle; payloads never
+    * leave the executor.
+    */
+  def videoFrameStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("sample_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType),
+      StructField("pixel_min", IntegerType),
+      StructField("pixel_max", IntegerType),
+      StructField("dts_ticks", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("asset_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        def sentinel(idx: Int) = Row(id, idx, -1, -1, -1L, -1, -1, -1L)
+        MediaCodec.decodeMp4Samples(bytes) match {
+          case Some(samples) =>
+            samples.iterator.map { s =>
+              val lo = s.offset
+              val hi = s.offset + s.size
+              if (lo < 0 || hi > bytes.length || s.size <= 0) sentinel(s.idx)
+              else {
+                val frame = java.util.Arrays.copyOfRange(bytes, lo.toInt, hi.toInt)
+                ImageCodec.decodeJpegGrayDc(frame) match {
+                  case Some((h, px)) =>
+                    var sum = 0L; var mn = 255; var mx = 0
+                    var i = 0
+                    while (i < px.length) {
+                      val v = px(i) & 0xff
+                      sum += v
+                      if (v < mn) mn = v
+                      if (v > mx) mx = v
+                      i += 1
+                    }
+                    Row(id, s.idx, h.width, h.height, sum, mn, mx, s.dts)
+                  case None => sentinel(s.idx)
+                }
+              }
+            }
+          case None => Iterator.single(sentinel(-1))
+        }
+      }
+    }
+  }
+
   /** Video demux pass: walk moov → trak → mdia → minf → stbl and join
     * the stts/stsc/stsz/stco sample tables into one row per media
     * sample — size, owning chunk, exact byte offset, decoding

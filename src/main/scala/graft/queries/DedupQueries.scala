@@ -822,6 +822,56 @@ object DedupQueries {
       .orderBy(col("asset_id"), col("sample_idx"))
   }
 
+  /** mm7b — real video FRAME DECODE, hash-verified: the MP4s carry
+    * their media (every sample is a complete DC-baseline JPEG in the
+    * mdat box — [[graft.multimodal.MediaCodec.encodeMp4Mjpeg]]), and
+    * [[graft.multimodal.Multimodal.videoFrameStats]] demuxes the
+    * sample table, byte-slices each frame out of the container and
+    * decodes it (Huffman + dequant + level shift) to exact integer
+    * pixel stats. The oracle recomputes every frame's dims and
+    * per-block raster from the closed-form geometry — a decoder that
+    * misreads one offset, size or coefficient mismatches the hash.
+    * This closes the last "parse container tables but never decode
+    * payload" modality; no sentinel (−1) row can appear because every
+    * generated frame is in-profile, which the hash also enforces.
+    */
+  val videoFrameDecode = Query(
+    "mm7b_video_frame_decode",
+    """WITH geo AS (
+      |  SELECT doc_id,
+      |         CAST(5 + doc_id % 12 AS INT) AS n,
+      |         100 + doc_id % 24 AS delta
+      |  FROM documents
+      |),
+      |frames AS (
+      |  SELECT doc_id, i,
+      |         8 * (1 + (doc_id + i) % 3) AS w,
+      |         8 * (1 + (2 * doc_id + i) % 3) AS h,
+      |         delta
+      |  FROM geo, UNNEST(range(0, n)) AS ui(i)
+      |),
+      |blocks AS (
+      |  SELECT doc_id, i, w, h, delta,
+      |         (17 * bx + 31 * by + doc_id + 5 * i) % 256 AS bv
+      |  FROM frames,
+      |       UNNEST(range(0, w // 8)) AS ux(bx),
+      |       UNNEST(range(0, h // 8)) AS uy(by)
+      |)
+      |SELECT doc_id AS asset_id,
+      |       CAST(i AS INT) AS sample_idx,
+      |       CAST(w AS INT) AS width,
+      |       CAST(h AS INT) AS height,
+      |       CAST(SUM(64 * bv) AS BIGINT) AS pixel_sum,
+      |       CAST(MIN(bv) AS INT) AS pixel_min,
+      |       CAST(MAX(bv) AS INT) AS pixel_max,
+      |       CAST(i * delta AS BIGINT) AS dts_ticks
+      |FROM blocks
+      |GROUP BY doc_id, i, w, h, delta
+      |ORDER BY asset_id, sample_idx""".stripMargin) { (spark, d) =>
+    Multimodal.videoFrameStats(Multimodal.fromDocumentsMjpeg(documents(spark, d)))
+      .orderBy(col("asset_id"), col("sample_idx"))
+  }
+
   /** Real model inference, hash-verified: [[graft.multimodal.IntMlpKernel]]
     * decodes each PNG raster (inflate + unfilter), folds it into 16
     * integer sums and runs a 2-layer integer-weight MLP (dense → ReLU →
@@ -1459,7 +1509,7 @@ object DedupQueries {
     minhashSignatures, lshCandidates, lshRecallCurve, onlineNearDup, onlineCuration,
     simhashFingerprints, simhashPairs,
     simhashWidePairs, mediaDecode, mediaFeatures, audioDecode, audioSamples,
-    videoDecode, videoSampleDemux, mediaInference, textProfile, embeddingNearDup,
+    videoDecode, videoSampleDemux, videoFrameDecode, mediaInference, textProfile, embeddingNearDup,
     embeddingNearDupSkew, fuzzyNamePairs, fuzzyBlockedPairs, neardupComponents,
     neardupDedup, imageResize, imageResizeJpeg, semDedup, leakSafeSplit,
     knnComponents, imageAHash, aHashDedup, audioAHashGate)

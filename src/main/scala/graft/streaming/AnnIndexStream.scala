@@ -136,6 +136,66 @@ object AnnIndexStream {
     hiBatch
   }
 
+  /** PERIODIC LIST REBALANCE — the [[compact]] contract applied to the
+    * index's list structure (reference analog: K5 compaction). A
+    * drifting arrival distribution skews list populations and an
+    * over-full list degrades every probe that touches it; this
+    * maintenance step, run between stream generations:
+    *
+    *   1. resolves the stacked index to its live rows;
+    *   2. splits every list over `maxListSize` with the deterministic
+    *      local 2-means ([[graft.similarity.Rebalance.splitListsServable]])
+    *      over the RAW vectors (`vectors` — in production the durable
+    *      drop source read back; only the split lists' vectors shuffle,
+    *      O(drift) not O(index));
+    *   3. rewrites the compacted base under the NEW list ids, list-
+    *      partitioned, with the same `op`/`batch` stacking contract as
+    *      [[compact]] so later stream batches layer on top;
+    *   4. returns the high-water batch id AND the REFRESHED probe
+    *      router — untouched lists keep their centroids, the split
+    *      lists' ids (kept and `+offset`) carry the pass's final
+    *      centroids — which the restarted stream and every
+    *      [[graft.similarity.Pq.ivfAdcTopKPacked]] serve must use: the
+    *      new list ids have no centroid anywhere else, so serving the
+    *      old router would make the split lists unreachable.
+    *
+    * Stream-maintained ≡ batch-rebuilt across a restart that includes
+    * one rebalance is pinned by `AnnRebalanceStreamSpec`.
+    */
+  def rebalanceCompact(
+      spark: SparkSession,
+      indexDir: String,
+      compactDir: String,
+      vectors: DataFrame,
+      listCents: DataFrame,
+      listCol: String,
+      maxListSize: Long,
+      newListOffset: Long): (Long, DataFrame) = {
+    val stackedRaw = spark.read.parquet(indexDir)
+    // a plain [[run]] index has no lifecycle column — every row is an
+    // upsert; normalize so [[resolve]] covers both stream flavors
+    val stacked =
+      if (stackedRaw.columns.contains("op")) stackedRaw
+      else stackedRaw.withColumn("op", lit("u"))
+    import spark.implicits.newLongEncoder
+    val hiBatch = stacked.agg(max(col("batch"))).as[Long].head()
+    val live = resolve(stacked, listCol)
+    val (newAsn, splitCents) = graft.similarity.Rebalance.splitListsServable(
+      live.select(col("vec_id"), col(listCol)),
+      vectors.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", listCol, maxListSize, newListOffset)
+    live.drop(listCol).join(newAsn, Seq("vec_id"))
+      .select(col("vec_id"), col(listCol), col("codevec"))
+      .withColumn("op", lit("u"))
+      .withColumn("batch", lit(hiBatch))
+      .write.mode("overwrite").partitionBy(listCol).parquet(compactDir)
+    val router = listCents
+      .select(col(listCol), col("centroid"))
+      .join(splitCents.select(col(listCol)), Seq(listCol), "left_anti")
+      .unionByName(splitCents.select(col(listCol), col("centroid")))
+    (hiBatch, router)
+  }
+
   /** Start the index-maintenance stream over a parquet drop directory.
     * `indexDir` accumulates one `batch=<id>` directory per micro-batch;
     * read the whole index with `spark.read.parquet(indexDir)`.

@@ -61,6 +61,13 @@ class BenchTripwireSpec extends AnyFunSuite {
     assert(Bench.tripwire(Bench.tripwireStat(real).get, baseline).keySet == Set("a1_top"))
   }
 
+  test("sf1 dirs route to the sf1 frozen baseline; everything else to sf0.1's") {
+    assert(Bench.defaultBaselinePath("/root/repo/.bench/sf1") == "BASELINE_sf1.json")
+    assert(Bench.defaultBaselinePath("/root/repo/.bench/sf1/") == "BASELINE_sf1.json")
+    assert(Bench.defaultBaselinePath("/root/testdata/sf0.1") == "BASELINE_sf01.json")
+    assert(Bench.defaultBaselinePath("/root/testdata/sf0.001") == "BASELINE_sf01.json")
+  }
+
   test("compact-line probe/cold fields parse as JSON") {
     // the fields emit() appends must compose into valid JSON — pin the
     // exact shapes here so a format change fails a test, not a round

@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.{PlanCheck, SparkSpec, SparkEntry}
+
+/** The four scale-health flags ([[graft.PlanCheck.flags]]) pinned for
+  * the TEN most expensive gates (by the frozen sf0.1 baseline), so a
+  * plan regression — a lost scan pushdown, a broadcast degrading to a
+  * shuffle join, a codegen break — flips a test instead of only a
+  * manually-regenerated PLANS.md row. Two gate classes:
+  *
+  *   - RELATIONAL chains (t19, d2, x4, m11b): the final plan carries
+  *     the whole pipeline — all four flags are meaningful and pinned
+  *     true.
+  *   - RECALL HARNESSES (e11/e12/e14/e16, b1, m11): the builder
+  *     composes eagerly (`.head()` bound checks / MLlib fits), so the
+  *     FINAL plan is a summary select — only codegen is meaningful
+  *     there (the scan pushdown happens in the inner actions; PLANS.md
+  *     documents this since round 6) and the other flags are pinned at
+  *     their observed `false` so an unexpected shape change in either
+  *     direction is visible.
+  *
+  * Every audited plan is additionally asserted CartesianProduct-free —
+  * the one regression class that is catastrophic at any scale.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // (pushdown, pruning, broadcast, codegen) per gate — the PLANS.md
+  // flag table's source of truth
+  private val expected: Seq[(String, (Boolean, Boolean, Boolean, Boolean))] = Seq(
+    "e16_residual_recall" -> ((false, false, false, true)),
+    "m11b_knn_components_learned" -> ((true, true, true, true)),
+    "t19_winnowing" -> ((true, true, true, true)),
+    "d2_fuzzy_blocked" -> ((true, true, true, true)),
+    "x4_decontam_spans" -> ((true, true, true, true)),
+    "e14_unsup_recall" -> ((false, false, false, true)),
+    "b1_basket_rules" -> ((false, false, false, true)),
+    "e12_ivf_pq_recall" -> ((false, false, false, true)),
+    "e11_pq_sampled_recall" -> ((false, false, false, true)),
+    "m11_knn_components" -> ((false, false, false, true)))
+
+  expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
+    test(s"$name keeps its plan flags (and no CartesianProduct)") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // collect() (not count()) so THIS QueryExecution runs and AQE
+      // finalizes the inspected plan
+      df.collect()
+      val physical = df.queryExecution.executedPlan.toString()
+      val got = PlanCheck.flags(physical)
+      assert(got("pushdown") == pushdown, s"pushdown: $got")
+      assert(got("pruning") == pruning, s"pruning: $got")
+      assert(got("broadcast") == broadcast, s"broadcast: $got")
+      assert(got("codegen") == codegen, s"codegen: $got")
+      assert(!physical.contains("CartesianProduct"),
+        s"$name's final plan contains a CartesianProduct")
+    }
+  }
+}
