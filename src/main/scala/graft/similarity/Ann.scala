@@ -310,16 +310,35 @@ object Ann {
       k: Int,
       nprobe: Int,
       overFullNum: Long = 21L,
-      overFullDen: Long = 20L): DataFrame = {
+      overFullDen: Long = 20L,
+      maxPasses: Int = 4): DataFrame = {
     val asn = corpus.select(col(idCol), col(listCol).cast("long").as(listCol))
     val r = asn.agg(count(lit(1)), countDistinct(col(listCol))).collect()(0)
     val (nTotal, nLists) = (r.getLong(0), r.getLong(1))
     val maxSz = (overFullNum * nTotal) / (overFullDen * nLists)
-    val newAsn = Rebalance.splitLists(
-      asn, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, listCol,
-      maxSz, newListOffset = nLists, iters = 2)
+    // split TO the target: re-split while any list still exceeds it
+    // (each pass halves its over-full lists, and the degenerate
+    // fallback guarantees progress, so the loop is bounded by
+    // log2(maxList/target) — maxPasses is a safety rail, and the
+    // convergence check costs one count aggregate per pass. The gate
+    // corpora converge in one pass, which is what the e19c oracle
+    // replays; a drifted ×10 corpus takes the extra passes here.)
+    var cur = asn
+    var offset = nLists
+    var pass = 0
+    var maxNow = asn.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).collect()(0).getLong(0)
+    while (maxNow > maxSz && pass < maxPasses) {
+      cur = Rebalance.splitLists(
+        cur, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, listCol,
+        maxSz, newListOffset = offset, iters = 2)
+      maxNow = cur.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n"))).collect()(0).getLong(0)
+      offset *= 2
+      pass += 1
+    }
     knnGraph(
-      corpus.drop(listCol).join(newAsn, idCol),
+      corpus.drop(listCol).join(cur, idCol),
       idCol, vecCol, listCol, k, nprobe)
   }
 
