@@ -294,13 +294,26 @@ object Ann {
     * corpus the hot lists grow toward N and the build degrades toward
     * N²/L on exactly the vectors that probe them (round-11 stress:
     * 21× at ×10 corpora on frozen lists; 1.85× with a pre-split at
-    * −2.5 pp recall). One [[Rebalance.splitLists]] pass over lists more
-    * than `overFullNum/overFullDen` of the mean population bounds the
-    * max probed-list size before any pair work starts; the split costs
-    * O(over-full lists) — strictly less than the quadratic work it
-    * removes. Deterministic end-to-end (the split and the graph both
-    * carry the 6-dp/id-tiebreak discipline), so the composition is
-    * oracle-able — gate `e19c_knn_graph_rebalanced`.
+    * −2.5 pp recall). [[Rebalance.splitLists]] passes run until every
+    * list fits the bound; the split costs O(over-full lists) —
+    * strictly less than the quadratic work it removes. Deterministic
+    * end-to-end (the split and the graph both carry the 6-dp/
+    * id-tiebreak discipline), so the composition is oracle-able —
+    * gate `e19c_knn_graph_rebalanced`.
+    *
+    * `targetListSize` picks the bound: 0 (default) = relative, 21/20
+    * of the CURRENT mean — the skew guard the gate pins (oracle-able
+    * at every scale, one pass on the gate corpora); an explicit value
+    * = absolute — the production knob for a growing corpus, where L
+    * must grow with N (a relative bound tracks the mean, which itself
+    * grows when the list count is frozen; the ×10 stress row uses
+    * target 500, the round-11-measured 1.85× configuration).
+    *
+    * Each pass's assignment — and the final one — is eagerly
+    * localCheckpoint'ed: the graph build references its corpus several
+    * times (centroids, candidates, queries), and an un-severed split
+    * lineage would re-execute the whole Lloyd chain per reference
+    * (measured 4× the checkpointed wall at ×10).
     */
   def knnGraphRebalanced(
       corpus: DataFrame,
@@ -309,29 +322,27 @@ object Ann {
       listCol: String,
       k: Int,
       nprobe: Int,
-      overFullNum: Long = 21L,
-      overFullDen: Long = 20L,
-      maxPasses: Int = 4): DataFrame = {
+      targetListSize: Long = 0L,
+      maxPasses: Int = 8): DataFrame = {
     val asn = corpus.select(col(idCol), col(listCol).cast("long").as(listCol))
     val r = asn.agg(count(lit(1)), countDistinct(col(listCol))).collect()(0)
     val (nTotal, nLists) = (r.getLong(0), r.getLong(1))
-    val maxSz = (overFullNum * nTotal) / (overFullDen * nLists)
-    // split TO the target: re-split while any list still exceeds it
-    // (each pass halves its over-full lists, and the degenerate
-    // fallback guarantees progress, so the loop is bounded by
-    // log2(maxList/target) — maxPasses is a safety rail, and the
-    // convergence check costs one count aggregate per pass. The gate
-    // corpora converge in one pass, which is what the e19c oracle
-    // replays; a drifted ×10 corpus takes the extra passes here.)
-    var cur = asn
+    val maxSz =
+      if (targetListSize > 0L) targetListSize
+      else (21L * nTotal) / (20L * nLists)
+    var cur = asn.localCheckpoint(true)
+    var lastCkpt = cur
     var offset = nLists
     var pass = 0
-    var maxNow = asn.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
+    var maxNow = cur.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
       .agg(max(col("__n"))).collect()(0).getLong(0)
     while (maxNow > maxSz && pass < maxPasses) {
       cur = Rebalance.splitLists(
         cur, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, listCol,
         maxSz, newListOffset = offset, iters = 2)
+        .localCheckpoint(true)
+      lastCkpt.unpersist()
+      lastCkpt = cur
       maxNow = cur.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
         .agg(max(col("__n"))).collect()(0).getLong(0)
       offset *= 2

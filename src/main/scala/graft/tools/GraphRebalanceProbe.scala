@@ -96,23 +96,25 @@ object GraphRebalanceProbe {
     }
     measure(s"rebalanced_${passes}_passes", cur)
 
-    // the PRODUCTION DEFAULT (e19c, `Ann.knnGraphRebalanced`): its own
-    // 21/20-of-mean threshold + internal convergence loop, split cost
+    // the PRODUCTION path end-to-end (`Ann.knnGraphRebalanced` at the
+    // absolute target — the knob a growing corpus needs): split cost
     // INCLUDED in the wall (the two configs above time the graph alone)
     {
       val inp = emb.join(learned, Seq("vec_id")).localCheckpoint(true)
       var g = graft.similarity.Ann
-        .knnGraphRebalanced(inp, "vec_id", "embedding", "list", k, nprobe = 2)
+        .knnGraphRebalanced(inp, "vec_id", "embedding", "list", k, nprobe = 2,
+          targetListSize = target)
         .localCheckpoint(true)
       g.count(); g.unpersist()
       val t0 = System.nanoTime()
       g = graft.similarity.Ann
-        .knnGraphRebalanced(inp, "vec_id", "embedding", "list", k, nprobe = 2)
+        .knnGraphRebalanced(inp, "vec_id", "embedding", "list", k, nprobe = 2,
+          targetListSize = target)
         .localCheckpoint(true)
       val edges = g.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val hit = g.select($"qid", $"bid").join(exact, Seq("qid", "bid")).count()
-      println(f"""{"config":"default_e19c_path","n":$n,"sec":$sec%.2f,"edges":$edges,"recall_at_$k":${hit.toDouble / nExact}%.3f}""")
+      println(f"""{"config":"default_e19c_target$target","n":$n,"sec":$sec%.2f,"edges":$edges,"recall_at_$k":${hit.toDouble / nExact}%.3f}""")
       inp.unpersist(); g.unpersist()
     }
     spark.stop()
