@@ -1787,11 +1787,16 @@ object TextQueries {
     * collisions (spec-pinned; the hash enforces it corpus-wide at
     * every scale).
     */
-  val bpeEncodeCorpus: Query = {
-    val rounds = 30
+  /** The generated per-DOCUMENT encode chain shared by t30 and t32:
+    * each document symbolized into one U+001F-wrapped string, then the
+    * `rounds` merges applied IN RANK ORDER with the same
+    * `replace()`-as-merge trick as the training chain. Requires
+    * [[bpeMergeChainCtes]]'s `p0..p{rounds-1}` in scope; emits
+    * `enc0..enc{rounds}` prefixed by a comma.
+    */
+  private def bpeEncodeChainCtes(rounds: Int): String = {
     val sep = "chr(31)"
     val sb = new StringBuilder
-    sb.append("WITH " + bpeMergeChainCtes(rounds))
     sb.append(
       s""",
          |enc0 AS MATERIALIZED (
@@ -1814,7 +1819,13 @@ object TextQueries {
            |  FROM enc$k e, p$k p
            |)""".stripMargin)
     }
-    sb.append(
+    sb.toString
+  }
+
+  val bpeEncodeCorpus: Query = {
+    val rounds = 30
+    val sep = "chr(31)"
+    val sql = "WITH " + bpeMergeChainCtes(rounds) + bpeEncodeChainCtes(rounds) +
       s"""
          |SELECT doc_id,
          |       CASE WHEN trim(s, $sep) = '' THEN ''
@@ -1824,8 +1835,8 @@ object TextQueries {
          |            ELSE len(string_split(trim(s, $sep), $sep || $sep)) END AS BIGINT)
          |         AS n_bpe_tokens
          |FROM enc$rounds
-         |ORDER BY doc_id""".stripMargin)
-    Query("t30_bpe_encode_corpus", sb.toString) { (spark, d) =>
+         |ORDER BY doc_id""".stripMargin
+    Query("t30_bpe_encode_corpus", sql) { (spark, d) =>
       import spark.implicits._
       val docs = documents(spark, d)
       val merges = graft.text.BpeTrainer.train(docs, "text", rounds)
@@ -1833,6 +1844,98 @@ object TextQueries {
         .select($"doc_id", concat_ws("\u001f", $"tokens").as("tokens_str"),
           $"n_bpe_tokens")
         .orderBy($"doc_id")
+    }
+  }
+
+  /** t32 — TOKENIZE -> PACK, composed: the end of the data pipeline. A
+    * trained BPE vocabulary tokenizes every document (t30's encode),
+    * and the per-doc token counts drive t12's deterministic packing —
+    * docs laid into fixed 2048-token training bins per shard
+    * (`doc_id mod 4`), each doc's bin and in-bin offset exact. This is
+    * the composition a real pretraining data run executes last:
+    * train tokenizer -> encode corpus -> pack sequences; pinning it
+    * end-to-end catches cross-operator drift (an encode off by one
+    * token shifts every downstream offset in the shard). One narrow
+    * encode pass + one per-shard window — no corpus shuffle beyond
+    * the t12 shape.
+    */
+  val bpePackCorpus: Query = {
+    val rounds = 30
+    val sep = "chr(31)"
+    val sql = "WITH " + bpeMergeChainCtes(rounds) + bpeEncodeChainCtes(rounds) +
+      s""",
+         |nb AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN trim(s, $sep) = '' THEN 0
+         |              ELSE len(string_split(trim(s, $sep), $sep || $sep)) END AS BIGINT)
+         |           AS n_tokens
+         |  FROM enc$rounds
+         |),
+         |packed AS (
+         |  SELECT doc_id, doc_id % 4 AS shard, n_tokens,
+         |         COALESCE(SUM(n_tokens) OVER (
+         |           PARTITION BY doc_id % 4 ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM nb
+         |)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |       CAST(prior // 2048 AS BIGINT) AS bin,
+         |       CAST(prior % 2048 AS BIGINT) AS bin_offset,
+         |       n_tokens
+         |FROM packed
+         |ORDER BY doc_id""".stripMargin
+    Query("t32_bpe_pack_corpus", sql) { (spark, d) =>
+      import spark.implicits._
+      val docs = documents(spark, d)
+      val merges = graft.text.BpeTrainer.train(docs, "text", rounds)
+      val counts = graft.text.BpeTrainer.encode(docs, "doc_id", "text", merges)
+        .select($"doc_id", lit(0L).as("chunk_idx"),
+          $"n_bpe_tokens".cast("long").as("n_tokens"),
+          ($"doc_id" % 4).as("shard"))
+      graft.text.TextOps
+        .packChunks(counts, "doc_id", "chunk_idx", "n_tokens", "shard", budget = 2048)
+        .select($"doc_id", $"shard".cast("long").as("shard"),
+          $"bin".cast("long").as("bin"), $"bin_offset".cast("long").as("bin_offset"),
+          $"n_tokens")
+        .orderBy($"doc_id")
+    }
+  }
+
+  /** t31 — the SHIPPED VOCABULARY: distinct symbols after all merges
+    * with corpus frequencies ([[graft.text.BpeTrainer.vocab]]) — the
+    * third and last artifact of the tokenizer loop (t27b pins the
+    * merge table, t30 the encoded corpus, this the vocab file a
+    * deployment ships). Scale shape: the corpus-sized work is the same
+    * single word-TYPE collapse the trainer uses; the merge replay and
+    * symbol explode run over the type table (vocab-bounded), then one
+    * map-side-combinable sum. The oracle extends the t27b chain one
+    * rewrite past its last argmax (w29 + p29 → the post-30-merge word
+    * table) and unnests symbols weighted by type counts.
+    */
+  val bpeVocabGate: Query = {
+    val rounds = 30
+    val sep = "chr(31)"
+    val last = rounds - 1
+    val sql =
+      s"""WITH ${bpeMergeChainCtes(rounds)},
+         |wfin AS MATERIALIZED (
+         |  SELECT string_split(trim(replace(
+         |           $sep || array_to_string(s, $sep || $sep) || $sep,
+         |           $sep || a || $sep || $sep || b || $sep,
+         |           $sep || a || b || $sep), $sep), $sep || $sep) AS s, n
+         |  FROM w$last, p$last
+         |)
+         |SELECT sym AS symbol, CAST(SUM(n) AS BIGINT) AS freq
+         |FROM (SELECT unnest(s) AS sym, n FROM wfin)
+         |GROUP BY 1
+         |ORDER BY symbol""".stripMargin
+    Query("t31_bpe_vocab", sql) { (spark, d) =>
+      import spark.implicits._
+      val docs = documents(spark, d)
+      val merges = graft.text.BpeTrainer.train(docs, "text", rounds)
+      graft.text.BpeTrainer.vocab(docs, "text", merges)
+        .select($"symbol", $"freq".cast("long").as("freq"))
+        .orderBy($"symbol")
     }
   }
 
@@ -1844,5 +1947,5 @@ object TextQueries {
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
     dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget,
     qualityModel, onlineBudget, bpePairStats, bpeMergeSequence, bpeEncodeCorpus,
-    corpusCensus)
+    bpeVocabGate, bpePackCorpus, corpusCensus)
 }
