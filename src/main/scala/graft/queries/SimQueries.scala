@@ -1841,6 +1841,102 @@ object SimQueries {
       .orderBy($"vec_id")
   }
 
+  /** e20c — K-WAY list rebalance
+    * ([[graft.similarity.Rebalance.splitListsK]]): one pass where the
+    * 2-means ladder needs log₂(size/target) — each over-full list
+    * splits directly into ⌈size/target⌉ sub-lists (positional
+    * id-ranked init, two Lloyd rounds, 6-dp discipline; sub j moves to
+    * `list + j·nLists`). The uniform-growth remedy the ×10 stress
+    * measured the need for. The oracle replays threshold → per-list k
+    * → positional init → both Lloyd rounds → the final mapping, so
+    * the hash pins every post-split assignment.
+    */
+  val ivfRebalanceK = Query(
+    "e20c_ivf_rebalance_k",
+    """WITH asn AS MATERIALIZED (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS list FROM embeddings
+      |),
+      |rbk_stats AS (
+      |  SELECT COUNT(*) AS n_total, COUNT(DISTINCT list) AS n_lists FROM asn
+      |),
+      |rbk_msz AS (
+      |  SELECT (21 * n_total) // (20 * n_lists) AS msz, n_lists FROM rbk_stats
+      |),
+      |rbk_sizes AS (SELECT list, COUNT(*) AS n FROM asn GROUP BY 1),
+      |rbk_split AS MATERIALIZED (
+      |  SELECT s.list, s.n, (s.n + m.msz - 1) // m.msz AS k
+      |  FROM rbk_sizes s, rbk_msz m
+      |  WHERE s.n > m.msz
+      |),
+      |rbk_flat AS MATERIALIZED (
+      |  SELECT a.list, e.vec_id,
+      |         generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings e
+      |  JOIN asn a USING (vec_id)
+      |  JOIN rbk_split sp ON a.list = sp.list
+      |),
+      |rbk_init AS MATERIALIZED (
+      |  SELECT list, vec_id, ((rn - 1) * k) // n AS sub FROM (
+      |    SELECT a.list, a.vec_id, sp.n, sp.k,
+      |           ROW_NUMBER() OVER (PARTITION BY a.list ORDER BY a.vec_id) AS rn
+      |    FROM asn a JOIN rbk_split sp ON a.list = sp.list)
+      |),
+      |rbk_c1 AS (
+      |  SELECT s.list, s.sub, f.i, round(AVG(f.v), 6) AS c
+      |  FROM rbk_flat f JOIN rbk_init s ON f.vec_id = s.vec_id
+      |  GROUP BY 1, 2, 3
+      |),
+      |rbk_s1 AS (
+      |  SELECT f.vec_id, f.list, c.sub,
+      |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+      |  FROM rbk_flat f JOIN rbk_c1 c ON f.list = c.list AND f.i = c.i
+      |  GROUP BY 1, 2, 3
+      |),
+      |rbk_sub1 AS MATERIALIZED (
+      |  SELECT vec_id, list, sub FROM (
+      |    SELECT vec_id, list, sub,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, sub) AS r
+      |    FROM rbk_s1) WHERE r = 1
+      |),
+      |rbk_c2 AS (
+      |  SELECT s.list, s.sub, f.i, round(AVG(f.v), 6) AS c
+      |  FROM rbk_flat f JOIN rbk_sub1 s ON f.vec_id = s.vec_id
+      |  GROUP BY 1, 2, 3
+      |),
+      |rbk_s2 AS (
+      |  SELECT f.vec_id, f.list, c.sub,
+      |         round(SUM(f.v * c.c) / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos
+      |  FROM rbk_flat f JOIN rbk_c2 c ON f.list = c.list AND f.i = c.i
+      |  GROUP BY 1, 2, 3
+      |),
+      |rbk_sub2 AS MATERIALIZED (
+      |  SELECT vec_id, list, sub FROM (
+      |    SELECT vec_id, list, sub,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, sub) AS r
+      |    FROM rbk_s2) WHERE r = 1
+      |)
+      |SELECT a.vec_id, a.list AS old_list,
+      |       CASE WHEN s.sub IS NULL THEN a.list
+      |            ELSE a.list + s.sub * n_lists END AS new_list
+      |FROM asn a
+      |LEFT JOIN rbk_sub2 s USING (vec_id), rbk_stats
+      |ORDER BY a.vec_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val e = embeddings(spark, d)
+    val asn = e.select($"vec_id", $"label".cast("long").as("list"))
+    val (nTotal, nLists) = asn
+      .agg(count(lit(1)), countDistinct($"list")).as[(Long, Long)].head()
+    val maxSz = (21L * nTotal) / (20L * nLists)
+    graft.similarity.Rebalance
+      .splitListsK(asn, e.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", "list", maxSz, newListOffset = nLists, iters = 2)._1
+      .withColumnRenamed("list", "new_list")
+      .join(asn.withColumnRenamed("list", "old_list"), "vec_id")
+      .select($"vec_id", $"old_list", $"new_list")
+      .orderBy($"vec_id")
+  }
+
   /** e19c — the DEFAULT production kNN-graph path
     * ([[graft.similarity.Ann.knnGraphRebalanced]]): REBALANCE the
     * learned lists first, then build the graph. e19b's frozen-list
@@ -2050,6 +2146,6 @@ object SimQueries {
     knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild,
     pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall,
     residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
-    knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing,
+    knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing, ivfRebalanceK,
     knnComponentsLearned, semanticDecontam)
 }

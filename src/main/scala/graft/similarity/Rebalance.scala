@@ -62,6 +62,82 @@ object Rebalance {
       assignments, vectors, idCol, vecCol, listCol, maxListSize,
       newListOffset, iters)._1
 
+  /** K-WAY split — one pass where the 2-means ladder needs
+    * log₂(size/target): each list over `maxListSize` splits directly
+    * into ⌈size/target⌉ sub-lists. This is the UNIFORM-GROWTH remedy
+    * the ×10 stress measured the need for: when every list is over
+    * target (corpus grew, list count frozen), the 2-way ladder reworks
+    * the whole corpus per pass (~3 full passes at ×10); one k-way pass
+    * does the same job in a third of the split wall. Under sparse
+    * drift (a few hot lists) [[splitListsServable]]'s 2-way pass stays
+    * the cheaper default — it shuffles O(drift) and its seeds respect
+    * geometry better at k=2.
+    *
+    * Determinism: per-list init is positional — vectors ranked by id,
+    * sub = ⌊(rank−1)·k / size⌋ (balanced contiguous id runs; exactly
+    * mirrorable in SQL, no seed chain) — then `iters` Lloyd rounds
+    * over 6-dp sub-centroids with (cosine DESC, sub ASC) argmax, the
+    * same discipline as the 2-way path. Sub-cluster 0 keeps the list
+    * id; sub-cluster j moves to `list + j·newListOffset` (unique for
+    * list < newListOffset). Lloyd may leave a sub-list above target
+    * (it balances geometry, not counts) — callers bounding worst-case
+    * list size run one residual pass, same as the 2-way contract.
+    * Returns `(assignments, splitListCentroids)` like the servable
+    * form.
+    */
+  def splitListsK(
+      assignments: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      maxListSize: Long,
+      newListOffset: Long,
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    val asn = assignments.select(col(idCol), col(listCol).cast("long").as(listCol))
+    val split = asn.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxListSize)
+      .select(col(listCol), col("__n"),
+        expr(s"(__n + ${maxListSize - 1}) DIV $maxListSize").as("__k"))
+    val sv = asn.join(broadcast(split), Seq(listCol))
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), col(listCol), col("__n"), col("__k"), col(vecCol).as("__vec"))
+    val wId = Window.partitionBy(col(listCol)).orderBy(col(idCol))
+    var cur = sv
+      .withColumn("__r", row_number().over(wId))
+      .select(col(idCol), col(listCol), col("__vec"),
+        expr("((CAST(__r AS BIGINT) - 1) * __k) DIV __n").as("__sub"))
+    (1 to iters).foreach { _ =>
+      val cents = cur
+        .select(col(listCol), col("__sub"), posexplode(col("__vec")).as(Seq("__pos", "__v")))
+        .groupBy(col(listCol), col("__sub"), col("__pos"))
+        .agg(avg(col("__v").cast("double")).as("__c"))
+        .groupBy(col(listCol), col("__sub"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__c")))).as("__pc"))
+        .select(col(listCol), col("__sub"),
+          transform(col("__pc"), x => round(x.getField("__c"), 6)).as("__cent"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("__sub"))
+      cur = cur.select(col(idCol), col(listCol), col("__vec"))
+        .join(broadcast(cents), Seq(listCol))
+        .select(col(idCol), col(listCol), col("__vec"), col("__sub"),
+          round(Ann.cosine(col("__vec"), col("__cent")), 6).as("__cos"))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .select(col(idCol), col(listCol), col("__vec"), col("__sub"))
+    }
+    val moved = cur.select(col(idCol),
+      (col(listCol) + col("__sub") * lit(newListOffset)).as(listCol))
+    val newAsn = asn.join(broadcast(split.select(col(listCol))), Seq(listCol), "left_anti")
+      .select(col(idCol), col(listCol))
+      .unionByName(moved)
+    val splitCents = Ann
+      .centroids(
+        moved.join(sv.select(col(idCol), col("__vec").as(vecCol)), Seq(idCol)),
+        listCol, vecCol)
+      .select(col(listCol),
+        transform(col("centroid"), x => round(x, 6)).as("centroid"))
+    (newAsn, splitCents)
+  }
+
   /** Rebalance AND keep the index servable: returns
     * `(newAssignments, splitListCentroids)` where the second frame
     * holds `(listCol, centroid)` for every list id the split touched —

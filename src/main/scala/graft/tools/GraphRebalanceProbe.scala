@@ -81,9 +81,11 @@ object GraphRebalanceProbe {
 
     measure("frozen_8_lists", learned)
 
-    // rebalance to the target list size (L grows with N)
+    // rebalance to the target list size (L grows with N), 2-way ladder
+    val t2w = System.nanoTime()
     var cur = learned
     var offset = cur.select($"list").distinct().count()
+    val nLists0 = offset
     var passes = 0
     var maxNow = Long.MaxValue
     while (maxNow > target && passes < 8) {
@@ -94,7 +96,29 @@ object GraphRebalanceProbe {
       offset *= 2
       passes += 1
     }
+    val split2wSec = (System.nanoTime() - t2w) / 1e9
+    println(f"""{"config":"split_2way_ladder","passes":$passes,"split_sec":$split2wSec%.2f}""")
     measure(s"rebalanced_${passes}_passes", cur)
+
+    // K-WAY: one pass splits each list into ceil(size/target) sub-lists
+    val tkw = System.nanoTime()
+    var kAsn = graft.similarity.Rebalance
+      .splitListsK(learned, emb, "vec_id", "embedding", "list", target, nLists0)
+      ._1.localCheckpoint(true)
+    var kMax = kAsn.groupBy($"list").count().agg(max($"count")).as[Long].head()
+    var kPasses = 1
+    // residual 2-way pass only if Lloyd left a sub-list over target
+    if (kMax > target) {
+      kAsn = graft.similarity.Rebalance
+        .splitLists(kAsn, emb, "vec_id", "embedding", "list", target,
+          nLists0 * 16)
+        .localCheckpoint(true)
+      kMax = kAsn.groupBy($"list").count().agg(max($"count")).as[Long].head()
+      kPasses += 1
+    }
+    val splitKSec = (System.nanoTime() - tkw) / 1e9
+    println(f"""{"config":"split_kway","passes":$kPasses,"split_sec":$splitKSec%.2f,"max_list":$kMax}""")
+    measure("rebalanced_kway", kAsn)
 
     // the PRODUCTION path end-to-end (`Ann.knnGraphRebalanced` at the
     // absolute target — the knob a growing corpus needs): split cost

@@ -72,6 +72,30 @@ class RebalanceSpec extends SparkSpec {
     (0L until 16L).foreach(i => assert(got(i) == (i % 2), s"vec $i"))
   }
 
+  test("k-way split separates three clusters in ONE pass (2-way would need two)") {
+    val rows = (0L until 60L).map { i =>
+      val vec =
+        if (i < 20L) Array(1.0f, 0.1f * (i % 5), 0.0f)
+        else if (i < 40L) Array(-1.0f, 0.0f, 0.1f * (i % 5))
+        else Array(0.0f, 1.0f, 0.1f * (i % 5))
+      (i, vec, 0L)
+    }
+    val df = rows.toDF("vec_id", "embedding", "list")
+    // 60 > 25 ⇒ k = ceil(60/25) = 3 sub-lists in one pass
+    val (out, cents) = Rebalance.splitListsK(
+      df.select($"vec_id", $"list"), df.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", "list", maxListSize = 25L, newListOffset = 1L)
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got.size == 60)
+    // cluster-pure: positional init aligns with the id-contiguous
+    // clusters and Lloyd keeps them
+    (0L until 20L).foreach(i => assert(got(i) == 0L, s"vec $i"))
+    (20L until 40L).foreach(i => assert(got(i) == 1L, s"vec $i"))
+    (40L until 60L).foreach(i => assert(got(i) == 2L, s"vec $i"))
+    // servable: one centroid per produced sub-list
+    assert(cents.select($"list").as[Long].collect().toSet == Set(0L, 1L, 2L))
+  }
+
   test("servable form: split-list centroids equal a from-scratch rebuild's") {
     val (asn, vecs) = mk()
     val (newAsn, splitCents) = Rebalance.splitListsServable(
