@@ -2099,6 +2099,94 @@ object SimQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** m11c — the production clustering over the PRODUCTION graph:
+    * m11b's mutual-kNN components re-pointed at the REBALANCED
+    * learned-list build ([[graft.similarity.Ann.knnGraphRebalanced]],
+    * e19c's default path) — so the operator the pipeline actually
+    * clusters with is the one whose N²/L cliff the rebalance removed,
+    * not the frozen-list build the stress rows retired. The oracle
+    * replays k-means → rebalance → probes → ranking → mutuality → the
+    * recursive closure in one query; components are contracted with
+    * the O(log n) large-small-star (m11b's >20-hop lesson).
+    */
+  val knnComponentsRebalanced = Query(
+    "m11c_knn_components_rebalanced", {
+      s"""WITH RECURSIVE ${kmeansCtes(2, signInitSql)}
+         |${rebalanceCtes("klists")}
+         |ev AS MATERIALIZED (
+         |  SELECT f.vec_id, rf.list AS label, f.i, f.v
+         |  FROM flat f JOIN rb_final rf USING (vec_id)
+         |),
+         |cent AS (
+         |  SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i
+         |),
+         |qdots AS (
+         |  SELECT ev.vec_id AS qid, cent.label,
+         |         SUM(ev.v * cent.c) AS dot,
+         |         SUM(ev.v * ev.v) AS qq,
+         |         SUM(cent.c * cent.c) AS cc
+         |  FROM ev JOIN cent ON ev.i = cent.i
+         |  GROUP BY qid, cent.label
+         |),
+         |probes AS (
+         |  SELECT qid, label FROM (
+         |    SELECT qid, label,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+         |    FROM qdots)
+         |  WHERE pr <= 2
+         |),
+         |bdots AS (
+         |  SELECT p.qid, b.vec_id AS bid,
+         |         SUM(qv.v * b.v) AS dot,
+         |         SUM(qv.v * qv.v) AS qq,
+         |         SUM(b.v * b.v) AS bb
+         |  FROM probes p
+         |  JOIN ev b ON b.label = p.label
+         |  JOIN ev qv ON qv.vec_id = p.qid AND qv.i = b.i
+         |  WHERE b.vec_id <> p.qid
+         |  GROUP BY p.qid, b.vec_id
+         |),
+         |knn AS MATERIALIZED (
+         |  SELECT qid, bid, cosine FROM (
+         |    SELECT qid, bid,
+         |           round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank
+         |    FROM bdots)
+         |  WHERE rank <= 3
+         |),
+         |mutual AS MATERIALIZED (
+         |  SELECT e.qid AS id_a, e.bid AS id_b
+         |  FROM knn e JOIN knn r ON r.qid = e.bid AND r.bid = e.qid
+         |  WHERE e.cosine >= 0.3 AND e.qid < e.bid
+         |),
+         |medges AS MATERIALIZED (
+         |  SELECT id_a AS a, id_b AS b FROM mutual
+         |  UNION SELECT id_b, id_a FROM mutual
+         |),
+         |reach(v, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN medges e ON e.a = reach.v
+         |)
+         |SELECT v AS vec_id, MIN(r) AS component
+         |FROM reach GROUP BY v
+         |ORDER BY vec_id""".stripMargin
+    }) { (spark, d) =>
+    val emb = embeddings(spark, d)
+    val inp = emb.select(col("vec_id"), col("embedding"))
+      .join(sharedUnsupLists(spark, d, kmIters = 2), "vec_id")
+    val g = graft.similarity.Ann.knnGraphRebalanced(
+      inp, "vec_id", "embedding", "list", k = 3, nprobe = 2)
+    val pairs = g
+      .filter(col("mutual") === 1L && col("cosine") >= 0.3 && col("qid") < col("bid"))
+      .select(col("qid").as("id_a"), col("bid").as("id_b"))
+    graft.dedup.Components
+      .largeSmallStar(emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+      .orderBy(col("vec_id"))
+  }
+
   /** x5 — SEMANTIC decontamination: x3/x4 catch verbatim benchmark
     * leakage; this catches paraphrased leakage by flagging every
     * training vector whose max cosine to ANY benchmark vector crosses
@@ -2147,5 +2235,5 @@ object SimQueries {
     pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall,
     residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
     knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing, ivfRebalanceK,
-    knnComponentsLearned, semanticDecontam)
+    knnComponentsLearned, knnComponentsRebalanced, semanticDecontam)
 }
