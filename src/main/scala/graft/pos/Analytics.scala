@@ -259,7 +259,14 @@ object Analytics {
       .agg(
         sum(col("total_money")).as("revenue"),
         countDistinct(col("receipt_number")).as("receipts"))
-    val w = Window.orderBy(col("month"))
+    // Single-partition window BY DESIGN: the input is the post-aggregate
+    // month relation — O(#months) rows, bounded by the calendar, never
+    // by data volume — and the lag needs a total order over it. The
+    // explicit lit(1) partition documents that the serialization is
+    // intentional (this is the only unpartitioned window in the repo);
+    // were the key ever data-scaled, compute lag via a self-join on
+    // month − 1 instead.
+    val w = Window.partitionBy(lit(1)).orderBy(col("month"))
     monthly
       .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
       .withColumn(
