@@ -1937,6 +1937,101 @@ object SimQueries {
       .orderBy($"vec_id")
   }
 
+  /** e20d — SERVE the rebalanced index end-to-end: the query-side
+    * proof that the e20b maintenance loop is closed. A 20-query panel
+    * routes through the INCREMENTALLY refreshed router (old centroids
+    * minus the split set ∪ [[graft.similarity.Rebalance.splitListsServable]]'s
+    * final centroids — the new `list+offset` ids are reachable only
+    * through them), then ADC-scores packed codes restricted to the
+    * probed post-rebalance lists
+    * ([[graft.similarity.Pq.ivfAdcTopKPacked]], frozen e17 codebook).
+    * The oracle replays rebalance → from-scratch centroid recompute →
+    * probe → LUT → ADC → ranking, so the hash pins every served
+    * (rank, id, distance) of the post-rebalance index — a router
+    * missing a split list, a stale centroid, or a mis-assigned packed
+    * row all mismatch.
+    */
+  val rebalanceProbe = Query(
+    "e20d_rebalance_probe",
+    s"""WITH asn AS MATERIALIZED (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS list FROM embeddings
+       |),
+       |${rebalanceCtes("asn")}
+       |${pqSampledCtes(dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)}
+       |rcent AS MATERIALIZED (
+       |  SELECT f2.list, u.i, round(AVG(u.v), 6) AS c
+       |  FROM rb_final f2
+       |  JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |               generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings) u USING (vec_id)
+       |  GROUP BY 1, 2
+       |),
+       |qf AS MATERIALIZED (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings WHERE vec_id % 100 = 0
+       |),
+       |qdots AS (
+       |  SELECT qf.vec_id AS qid, rcent.list,
+       |         SUM(qf.v * rcent.c) AS dot,
+       |         SUM(qf.v * qf.v) AS qq,
+       |         SUM(rcent.c * rcent.c) AS cc
+       |  FROM qf JOIN rcent ON qf.i = rcent.i
+       |  GROUP BY 1, 2
+       |),
+       |probes AS (
+       |  SELECT qid, list FROM (
+       |    SELECT qid, list,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, list) AS pr
+       |    FROM qdots)
+       |  WHERE pr <= 2
+       |),
+       |lut AS (
+       |  SELECT vec_id AS qid, sub, code, dist AS qd FROM encd WHERE vec_id % 100 = 0
+       |),
+       |adc AS (
+       |  SELECT p.qid, a.vec_id AS bid, CAST(SUM(lut.qd) AS BIGINT) AS adist
+       |  FROM probes p
+       |  JOIN rb_final l ON l.list = p.list
+       |  JOIN enca a ON a.vec_id = l.vec_id
+       |  JOIN lut ON lut.qid = p.qid AND lut.sub = a.sub AND lut.code = a.code
+       |  WHERE a.vec_id <> p.qid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid, rank, bid, adist FROM (
+       |  SELECT qid, bid, adist,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, bid) AS rank
+       |  FROM adc) WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val e = embeddings(spark, d)
+    val asn = e.select($"vec_id", $"label".cast("long").as("list"))
+    val (nTotal, nLists) = asn
+      .agg(count(lit(1)), countDistinct($"list")).as[(Long, Long)].head()
+    val maxSz = (21L * nTotal) / (20L * nLists)
+    val (newAsn, splitCents) = graft.similarity.Rebalance
+      .splitListsServable(asn, e.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", "list", maxSz, newListOffset = nLists, iters = 2)
+    val oldRouter = graft.similarity.Ann
+      .centroids(e.select($"label".cast("long").as("list"), $"embedding"),
+        "list", "embedding")
+      .select($"list", transform($"centroid", x => round(x, 6)).as("centroid"))
+    val router = oldRouter
+      .join(splitCents.select($"list"), Seq("list"), "left_anti")
+      .unionByName(splitCents)
+    val cbCents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
+    val index = graft.similarity.Pq.packCodes(
+      graft.similarity.Pq.encode(e, cbCents, "vec_id", "embedding", dim = 64, m = 32),
+      "vec_id")
+      .join(newAsn, "vec_id")
+    graft.similarity.Pq
+      .ivfAdcTopKPacked(index, cbCents, router,
+        e.filter($"vec_id" % 100 === 0).select($"vec_id", $"embedding"),
+        "vec_id", "embedding", "list", dim = 64, m = 32, k = 5, nprobe = 2)
+      .orderBy($"qid", $"rank")
+  }
+
   /** e19c — the DEFAULT production kNN-graph path
     * ([[graft.similarity.Ann.knnGraphRebalanced]]): REBALANCE the
     * learned lists first, then build the graph. e19b's frozen-list
@@ -2234,6 +2329,6 @@ object SimQueries {
     knnBrute, labelCentroids, bucketedKnn, basketRules, ivfKnn, quantizedKnn, ivfBuild,
     pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall,
     residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
-    knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing, ivfRebalanceK,
+    knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing, ivfRebalanceK, rebalanceProbe,
     knnComponentsLearned, knnComponentsRebalanced, semanticDecontam)
 }
