@@ -1939,6 +1939,81 @@ object TextQueries {
     }
   }
 
+  /** t33 — CCNet-style LM perplexity filtering (`text/NgramLm`): a
+    * word-trigram stupid-backoff LM trained on the trusted `src0`
+    * slice scores every document in exact integer micro-nats;
+    * head/middle/tail perplexity terciles keep head+middle. The
+    * per-path token counts (`n_tri`/`n_bi`/`n_uni`) make each backoff
+    * decision class oracle-visible. Scale shape: LM tables are
+    * vocab-bounded broadcasts; scoring is a doc-local context explode
+    * + broadcast joins + one map-side-combinable re-agg; only the
+    * final tercile assignment is global (percentile cutoffs + range
+    * join at corpus scale — scaladoc'd in NgramLm).
+    */
+  val lmPerplexity = Query(
+    "t33_lm_perplexity",
+    """WITH ref_toks AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents WHERE source='src0'),
+      |uni AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM ref_toks GROUP BY tok),
+      |tot AS MATERIALIZED (SELECT COUNT(*) AS n, COUNT(DISTINCT tok) AS v FROM ref_toks),
+      |bi AS MATERIALIZED (
+      |  SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c
+      |  FROM ref_toks a JOIN ref_toks b ON a.doc_id=b.doc_id AND b.pos=a.pos+1 GROUP BY 1,2),
+      |tri AS MATERIALIZED (
+      |  SELECT a.tok AS t1, b.tok AS t2, c.tok AS t3, COUNT(*) AS c
+      |  FROM ref_toks a JOIN ref_toks b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+      |                  JOIN ref_toks c ON a.doc_id=c.doc_id AND c.pos=a.pos+2
+      |  GROUP BY 1,2,3),
+      |ctx AS MATERIALIZED (
+      |  SELECT doc_id, pos, tok,
+      |         lag(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+      |         lag(tok,2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+      |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |               generate_subscripts(string_split(text,' '),1) AS pos
+      |        FROM documents)),
+      |scored AS MATERIALIZED (
+      |  SELECT c.doc_id,
+      |    CASE WHEN c.p2 IS NOT NULL AND tr.c IS NOT NULL
+      |           THEN CAST(round(ln(CAST(tr.c AS DOUBLE) / bctx.c) * 1000000) AS BIGINT)
+      |         WHEN c.p1 IS NOT NULL AND b2.c IS NOT NULL
+      |           THEN CAST(round(ln(0.4 * b2.c / u1.c) * 1000000) AS BIGINT)
+      |         WHEN uw.c IS NOT NULL
+      |           THEN CAST(round(ln(0.16 * uw.c / tot.n) * 1000000) AS BIGINT)
+      |         ELSE CAST(round(ln(0.16 / (tot.n + tot.v)) * 1000000) AS BIGINT)
+      |    END AS micronats,
+      |    CASE WHEN c.p2 IS NOT NULL AND tr.c IS NOT NULL THEN 'tri'
+      |         WHEN c.p1 IS NOT NULL AND b2.c IS NOT NULL THEN 'bi'
+      |         ELSE 'uni' END AS path
+      |  FROM ctx c
+      |  LEFT JOIN tri tr ON tr.t1=c.p2 AND tr.t2=c.p1 AND tr.t3=c.tok
+      |  LEFT JOIN bi bctx ON bctx.t1=c.p2 AND bctx.t2=c.p1
+      |  LEFT JOIN bi b2 ON b2.t1=c.p1 AND b2.t2=c.tok
+      |  LEFT JOIN uni u1 ON u1.tok=c.p1
+      |  LEFT JOIN uni uw ON uw.tok=c.tok
+      |  CROSS JOIN tot),
+      |per_doc AS MATERIALIZED (
+      |  SELECT doc_id, COUNT(*) AS n_toks,
+      |         -SUM(micronats) AS score_micro,
+      |         COUNT(*) FILTER (WHERE path='tri') AS n_tri,
+      |         COUNT(*) FILTER (WHERE path='bi') AS n_bi,
+      |         COUNT(*) FILTER (WHERE path='uni') AS n_uni
+      |  FROM scored GROUP BY doc_id),
+      |bucketed AS (
+      |  SELECT *, CAST(NTILE(3) OVER (ORDER BY CAST(score_micro AS DOUBLE)/n_toks, doc_id) AS BIGINT) AS ppl_bucket
+      |  FROM per_doc)
+      |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, CAST(n_tri AS BIGINT) AS n_tri,
+      |       CAST(n_bi AS BIGINT) AS n_bi, CAST(n_uni AS BIGINT) AS n_uni,
+      |       CAST(score_micro AS BIGINT) AS score_micro, ppl_bucket,
+      |       CAST(CASE WHEN ppl_bucket <= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM bucketed ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.text.NgramLm
+      .perplexityBuckets(documents(spark, d), "doc_id", "text", "source", "src0")
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
@@ -1947,5 +2022,5 @@ object TextQueries {
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
     dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget,
     qualityModel, onlineBudget, bpePairStats, bpeMergeSequence, bpeEncodeCorpus,
-    bpeVocabGate, bpePackCorpus, corpusCensus)
+    bpeVocabGate, bpePackCorpus, corpusCensus, lmPerplexity)
 }

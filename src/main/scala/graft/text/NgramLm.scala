@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity filtering — the CCNet-style pass
+  * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+  * Datasets from Web Crawl Data") every web-scale curation stack runs
+  * after the heuristic filters: train a small LM on a trusted reference
+  * corpus (there: Wikipedia; here: the `src0` slice), score every
+  * document by per-token log-likelihood, and split the corpus into
+  * head / middle / tail perplexity terciles, dropping the tail.
+  *
+  * The LM is a word-trigram model with stupid backoff (Brants et al.
+  * 2007): p(w|u,v) = c(uvw)/c(uv) when the trigram was seen, else
+  * 0.4·c(vw)/c(v) when the bigram was seen, else 0.16·c(w)/N (closed
+  * vocab; an 0.16/(N+V) floor covers true OOV for open vocabs).
+  * Scores are exact integers end-to-end: each token's log-prob is
+  * rounded to MICRO-NATS (·10⁶) before the per-document sum, so the
+  * aggregate is order-independent and the oracle replays it
+  * bit-for-bit (the only doubles are ln() of small-count rationals,
+  * identical IEEE expressions on both engines).
+  *
+  * Scale shape: the LM tables are bounded by (observed) vocab³, not
+  * corpus size — they train on the reference slice only (one
+  * map-side-combined groupBy each) and BROADCAST to the scoring side,
+  * exactly how CCNet ships its pruned KenLM to every worker. Scoring
+  * is a doc-local context explode (a higher-order transform over the
+  * token array — no per-doc window shuffle) + broadcast hash joins +
+  * one map-side-combinable re-aggregation on doc_id. The tercile
+  * split is the one global window (same class as the a15 NTILE gate);
+  * at 100 TB you'd lift the two cutoffs from an approx-percentile
+  * aggregate and bucket with a broadcast range join instead — the
+  * scores themselves never reshuffle.
+  */
+object NgramLm {
+
+  /** Trained trigram LM: count tables plus corpus scalars. The three
+    * DataFrames are vocab-bounded (broadcast-sized by construction).
+    */
+  final case class Lm(uni: DataFrame, bi: DataFrame, tri: DataFrame,
+                      nTokens: Long, vocab: Long)
+
+  /** Doc-local (pos, tok, p1, p2) context rows — one transform over
+    * the token array then a single explode; positions 1-based, p1/p2
+    * null at the document start. No window, no shuffle.
+    */
+  def contexts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(1), size(toks)), i =>
+          struct(
+            i.as("pos"),
+            element_at(toks, i).as("tok"),
+            when(i > 1, element_at(toks, i - 1)).as("p1"),
+            when(i > 2, element_at(toks, i - 2)).as("p2")))).as("c"))
+      .select(col("doc_id"), col("c.pos"), col("c.tok"), col("c.p1"), col("c.p2"))
+  }
+
+  /** Train the trigram LM from a reference corpus (one context explode,
+    * three map-side-combined groupBys, one two-scalar aggregate).
+    */
+  def train(ref: DataFrame, idCol: String, textCol: String): Lm = {
+    val ctx = contexts(ref, idCol, textCol)
+    val uni = ctx.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = ctx.where(col("p1").isNotNull)
+      .groupBy(col("p1").as("t1"), col("tok").as("t2"))
+      .agg(count(lit(1)).as("c"))
+    val tri = ctx.where(col("p2").isNotNull)
+      .groupBy(col("p2").as("t1"), col("p1").as("t2"), col("tok").as("t3"))
+      .agg(count(lit(1)).as("c"))
+    val Array(n, v) = uni.agg(sum(col("c")), count(lit(1))).head()
+      .toSeq.map(x => x.asInstanceOf[Long]).toArray
+    Lm(uni, bi, tri, n, v)
+  }
+
+  /** Per-document integer score (negated summed micro-nats — larger =
+    * higher perplexity) plus per-backoff-path token counts.
+    */
+  def scoreDocs(docs: DataFrame, lm: Lm, idCol: String, textCol: String): DataFrame = {
+    val ctx = contexts(docs, idCol, textCol)
+    val scored = ctx
+      .join(broadcast(lm.tri.select(col("t1"), col("t2"), col("t3"), col("c").as("tri_c"))),
+        col("p2") === col("t1") && col("p1") === col("t2") && col("tok") === col("t3"), "left")
+      .drop("t1", "t2", "t3")
+      .join(broadcast(lm.bi.select(col("t1"), col("t2"), col("c").as("bictx_c"))),
+        col("p2") === col("t1") && col("p1") === col("t2"), "left")
+      .drop("t1", "t2")
+      .join(broadcast(lm.bi.select(col("t1"), col("t2"), col("c").as("bi_c"))),
+        col("p1") === col("t1") && col("tok") === col("t2"), "left")
+      .drop("t1", "t2")
+      .join(broadcast(lm.uni.select(col("tok").as("u1_tok"), col("c").as("u1_c"))),
+        col("p1") === col("u1_tok"), "left")
+      .join(broadcast(lm.uni.select(col("tok").as("uw_tok"), col("c").as("uw_c"))),
+        col("tok") === col("uw_tok"), "left")
+    val micro = lit(1000000d)
+    val triHit = col("p2").isNotNull && col("tri_c").isNotNull
+    val biHit = col("p1").isNotNull && col("bi_c").isNotNull
+    val micronats =
+      when(triHit, round(log(col("tri_c").cast("double") / col("bictx_c")) * micro).cast("long"))
+        .when(biHit, round(log(lit(0.4) * col("bi_c") / col("u1_c")) * micro).cast("long"))
+        .when(col("uw_c").isNotNull,
+          round(log(lit(0.16) * col("uw_c") / lit(lm.nTokens)) * micro).cast("long"))
+        .otherwise(lit(math.round(math.log(0.16 / (lm.nTokens + lm.vocab)) * 1000000d)))
+    val path = when(triHit, "tri").when(biHit, "bi").otherwise("uni")
+    scored
+      .select(col("doc_id"), micronats.as("micronats"), path.as("path"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        (-sum(col("micronats"))).as("score_micro"),
+        sum(when(col("path") === "tri", 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("path") === "bi", 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("path") === "uni", 1L).otherwise(0L)).as("n_uni"))
+  }
+
+  /** The full CCNet split: score every document under the LM trained
+    * on `refSource` docs, then head/middle/tail perplexity terciles
+    * (bucket 1 = lowest perplexity); `kept` drops the tail.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, refSource: String): DataFrame = {
+    val lm = train(docs.where(col(sourceCol) === refSource), idCol, textCol)
+    val perDoc = scoreDocs(docs, lm, idCol, textCol)
+    // Global tercile window — see the scaladoc scale note (percentile
+    // cutoffs + broadcast range join at corpus scale).
+    val w = Window.orderBy(col("score_micro").cast("double") / col("n_toks"), col("doc_id"))
+    perDoc.select(
+      col("doc_id"), col("n_toks"), col("n_tri"), col("n_bi"), col("n_uni"),
+      col("score_micro"),
+      ntile(3).over(w).cast("long").as("ppl_bucket"))
+      .withColumn("kept", when(col("ppl_bucket") <= 2, 1L).otherwise(0L))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the CCNet-style trigram stupid-backoff scorer: exact
+  * micro-nat log-probs for each backoff path on a hand-computed
+  * corpus, path liveness, and the head/middle/tail split.
+  */
+class NgramLmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Reference doc: "a b c a b d" — trigrams: abc, bca, cab, abd;
+  // bigrams: ab(2) bc bd ca; unigrams: a(2) b(2) c d; N=6 V=4.
+  private val docs = Seq(
+    (0L, "a b c a b d", "src0"),
+    (1L, "a b c x y z", "web"), // trigram hit (abc), then OOV tail
+    (2L, "d c b a d c", "web")  // seen words, unseen bigrams/trigrams
+  ).toDF("doc_id", "text", "source")
+
+  private def micro(p: Double): Long = math.round(math.log(p) * 1e6)
+
+  test("each backoff path scores its exact micro-nat log-prob") {
+    val lm = NgramLm.train(docs.where($"source" === "src0"), "doc_id", "text")
+    assert(lm.nTokens == 6L && lm.vocab == 4L)
+    val scored = NgramLm.scoreDocs(docs, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // Doc 0 (the reference itself): pos1 'a' -> uni path 0.16*2/6;
+    // pos2 'b' -> bigram 0.4*c(ab)/c(a)=0.4*2/2; pos3.. trigrams c=1
+    // over their context bigram counts: abc/ab=1/2, bca/bc=1, cab/ca=1,
+    // abd/ab=1/2.
+    val d0 = scored(0L)
+    val expected0 = -(micro(0.16 * 2 / 6) + micro(0.4 * 2 / 2) +
+      micro(1.0 / 2) + micro(1.0) + micro(1.0) + micro(1.0 / 2))
+    assert(d0.getAs[Long]("score_micro") == expected0)
+    assert(d0.getAs[Long]("n_tri") == 4 && d0.getAs[Long]("n_bi") == 1 &&
+      d0.getAs[Long]("n_uni") == 1)
+
+    // Doc 1: 'a'(uni) 'b'(bi) 'c'(tri abc) then x,y,z = true-OOV floor
+    // 0.16/(N+V) three times.
+    val d1 = scored(1L)
+    val expected1 = -(micro(0.16 * 2 / 6) + micro(0.4 * 2 / 2) + micro(1.0 / 2) +
+      3 * micro(0.16 / 10))
+    assert(d1.getAs[Long]("score_micro") == expected1)
+    assert(d1.getAs[Long]("n_uni") == 4) // OOV tokens count as the uni path
+
+    // Doc 2: every bigram unseen -> all uni-path: d(1/6) c(1/6) b(2/6)
+    // a(2/6) d c — in-vocab so 0.16*c/N each.
+    val d2 = scored(2L)
+    val expected2 = -(2 * micro(0.16 * 1 / 6) + micro(0.16 * 1 / 6) +
+      micro(0.16 * 2 / 6) + micro(0.16 * 2 / 6) + micro(0.16 * 1 / 6))
+    assert(d2.getAs[Long]("score_micro") == expected2)
+    assert(d2.getAs[Long]("n_tri") == 0 && d2.getAs[Long]("n_bi") == 0 &&
+      d2.getAs[Long]("n_uni") == 6)
+  }
+
+  test("terciles order by avg nats: reference doc is head, noise is tail") {
+    val out = NgramLm.perplexityBuckets(docs, "doc_id", "text", "source", "src0")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // avg nats/token: doc0 0.87 (head), doc1 2.82 (middle), doc2 3.39 (tail)
+    assert(out(0L).getAs[Long]("ppl_bucket") == 1 && out(0L).getAs[Long]("kept") == 1)
+    assert(out(1L).getAs[Long]("ppl_bucket") == 2 && out(1L).getAs[Long]("kept") == 1)
+    assert(out(2L).getAs[Long]("ppl_bucket") == 3 && out(2L).getAs[Long]("kept") == 0)
+  }
+}
