@@ -2014,6 +2014,86 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** One trained-LM per-doc scoring chain of the t34 oracle (tagged
+    * CTE names so the target-slice and raw-pool LMs coexist); the
+    * scoring CASE mirrors t33's backoff exactly.
+    */
+  private def dsirScoredSql(tag: String, filt: String): String =
+    s"""toks_$tag AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+       |         generate_subscripts(string_split(text,' '),1) AS pos
+       |  FROM documents $filt),
+       |uni_$tag AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM toks_$tag GROUP BY tok),
+       |tot_$tag AS MATERIALIZED (SELECT COUNT(*) AS n, COUNT(DISTINCT tok) AS v FROM toks_$tag),
+       |bi_$tag AS MATERIALIZED (
+       |  SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c
+       |  FROM toks_$tag a JOIN toks_$tag b ON a.doc_id=b.doc_id AND b.pos=a.pos+1 GROUP BY 1,2),
+       |tri_$tag AS MATERIALIZED (
+       |  SELECT a.tok AS t1, b.tok AS t2, c.tok AS t3, COUNT(*) AS c
+       |  FROM toks_$tag a JOIN toks_$tag b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+       |                   JOIN toks_$tag c ON a.doc_id=c.doc_id AND c.pos=a.pos+2
+       |  GROUP BY 1,2,3),
+       |per_doc_$tag AS MATERIALIZED (
+       |  SELECT c.doc_id, COUNT(*) AS n_toks,
+       |         -SUM(CASE WHEN c.p2 IS NOT NULL AND tr.c IS NOT NULL
+       |                THEN CAST(round(ln(CAST(tr.c AS DOUBLE) / bctx.c) * 1000000) AS BIGINT)
+       |              WHEN c.p1 IS NOT NULL AND b2.c IS NOT NULL
+       |                THEN CAST(round(ln(0.4 * b2.c / u1.c) * 1000000) AS BIGINT)
+       |              WHEN uw.c IS NOT NULL
+       |                THEN CAST(round(ln(0.16 * uw.c / tot_$tag.n) * 1000000) AS BIGINT)
+       |              ELSE CAST(round(ln(0.16 / (tot_$tag.n + tot_$tag.v)) * 1000000) AS BIGINT)
+       |         END) AS score_micro
+       |  FROM ctx c
+       |  LEFT JOIN tri_$tag tr ON tr.t1=c.p2 AND tr.t2=c.p1 AND tr.t3=c.tok
+       |  LEFT JOIN bi_$tag bctx ON bctx.t1=c.p2 AND bctx.t2=c.p1
+       |  LEFT JOIN bi_$tag b2 ON b2.t1=c.p1 AND b2.t2=c.tok
+       |  LEFT JOIN uni_$tag u1 ON u1.tok=c.p1
+       |  LEFT JOIN uni_$tag uw ON uw.tok=c.tok
+       |  CROSS JOIN tot_$tag
+       |  GROUP BY c.doc_id)""".stripMargin
+
+  /** t34 — DSIR importance resampling (`NgramLm.importanceSelection`):
+    * rank every document by log p_target − log p_raw under two
+    * trigram stupid-backoff LMs (target = the trusted `src0` slice,
+    * raw = the whole pool) and keep the most target-like 8000 tokens
+    * by prefix-truncation in ratio order. Exact integer micro-nats
+    * end-to-end, so the DuckDB replay is bit-for-bit. Scale shape:
+    * two broadcast-LM scoring scans + a doc-granular join; only the
+    * final ranked budget cut is global (percentile-lift note in the
+    * NgramLm scaladoc).
+    */
+  val dsirSelection = Query(
+    "t34_dsir_selection",
+    s"""WITH ctx AS MATERIALIZED (
+       |  SELECT doc_id, pos, tok,
+       |         lag(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+       |         lag(tok,2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+       |               generate_subscripts(string_split(text,' '),1) AS pos
+       |        FROM documents)),
+       |${dsirScoredSql("tgt", "WHERE source='src0'")},
+       |${dsirScoredSql("raw", "")},
+       |weighted AS MATERIALIZED (
+       |  SELECT t.doc_id, t.n_toks, t.score_micro AS score_tgt_micro,
+       |         r.score_micro AS score_raw_micro,
+       |         r.score_micro - t.score_micro AS logratio_micro
+       |  FROM per_doc_tgt t JOIN per_doc_raw r ON t.doc_id = r.doc_id),
+       |ranked AS (
+       |  SELECT *, SUM(n_toks) OVER (ORDER BY logratio_micro DESC, doc_id) AS cum_toks
+       |  FROM weighted)
+       |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       |       CAST(score_tgt_micro AS BIGINT) AS score_tgt_micro,
+       |       CAST(score_raw_micro AS BIGINT) AS score_raw_micro,
+       |       CAST(logratio_micro AS BIGINT) AS logratio_micro,
+       |       CAST(cum_toks AS BIGINT) AS cum_toks,
+       |       CAST(CASE WHEN cum_toks <= 8000 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM ranked ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.text.NgramLm
+      .importanceSelection(documents(spark, d), "doc_id", "text", "source", "src0", 8000L)
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
@@ -2022,5 +2102,5 @@ object TextQueries {
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
     dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget,
     qualityModel, onlineBudget, bpePairStats, bpeMergeSequence, bpeEncodeCorpus,
-    bpeVocabGate, bpePackCorpus, corpusCensus, lmPerplexity)
+    bpeVocabGate, bpePackCorpus, corpusCensus, lmPerplexity, dsirSelection)
 }

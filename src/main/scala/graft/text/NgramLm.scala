@@ -116,6 +116,41 @@ object NgramLm {
         sum(when(col("path") === "uni", 1L).otherwise(0L)).as("n_uni"))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document under TWO LMs — one trained on the trusted target
+    * slice, one on the raw pool — and rank by the per-doc
+    * log-likelihood ratio log p_target(x) − log p_raw(x) (exact
+    * integer micro-nats: the difference of the two summed scores).
+    * Selection is prefix-truncation under a token budget in ratio
+    * order (t24's running-sum semantics), so the output is the most
+    * target-like `budgetToks` tokens of the pool.
+    *
+    * Scale shape: both LM tables are vocab-bounded broadcasts; the
+    * two scoring passes are independent scans (broadcast joins + one
+    * doc_id re-agg each) joined doc_id-to-doc_id at doc granularity.
+    * The ranking window is the one global op — at corpus scale the
+    * budget cut lifts from an approx-percentile of logratio weighted
+    * by n_toks, leaving the scores un-reshuffled (same note as
+    * [[perplexityBuckets]]).
+    */
+  def importanceSelection(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, targetSource: String,
+                          budgetToks: Long): DataFrame = {
+    val lmT = train(docs.where(col(sourceCol) === targetSource), idCol, textCol)
+    val lmR = train(docs, idCol, textCol)
+    val st = scoreDocs(docs, lmT, idCol, textCol)
+      .select(col("doc_id"), col("n_toks"), col("score_micro").as("score_tgt_micro"))
+    val sr = scoreDocs(docs, lmR, idCol, textCol)
+      .select(col("doc_id"), col("score_micro").as("score_raw_micro"))
+    val weighted = st.join(sr, "doc_id")
+      .withColumn("logratio_micro", col("score_raw_micro") - col("score_tgt_micro"))
+    val w = Window.orderBy(col("logratio_micro").desc, col("doc_id"))
+    weighted
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .withColumn("kept", when(col("cum_toks") <= budgetToks, 1L).otherwise(0L))
+  }
+
   /** The full CCNet split: score every document under the LM trained
     * on `refSource` docs, then head/middle/tail perplexity terciles
     * (bucket 1 = lowest perplexity); `kept` drops the tail.

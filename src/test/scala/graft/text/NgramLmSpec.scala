@@ -56,6 +56,28 @@ class NgramLmSpec extends SparkSpec {
       d2.getAs[Long]("n_uni") == 6)
   }
 
+  test("DSIR selection ranks the target-like doc first and cuts at the budget") {
+    // logratio = score_raw - score_tgt: doc0 (the target slice itself)
+    // must rank above the OOV-tailed doc1 and the bigram-less doc2.
+    val out = NgramLm
+      .importanceSelection(docs, "doc_id", "text", "source", "src0", budgetToks = 7L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("logratio_micro") > out(1L).getAs[Long]("logratio_micro"))
+    assert(out(0L).getAs[Long]("logratio_micro") > out(2L).getAs[Long]("logratio_micro"))
+    // Budget 7 fits doc0 (6 toks) but not doc0+next (12): prefix cut.
+    assert(out(0L).getAs[Long]("kept") == 1)
+    assert(out(1L).getAs[Long]("kept") == 0 && out(2L).getAs[Long]("kept") == 0)
+    // The ratio is exactly the difference of the two scoreDocs runs.
+    val lmT = NgramLm.train(docs.where($"source" === "src0"), "doc_id", "text")
+    val lmR = NgramLm.train(docs, "doc_id", "text")
+    val st = NgramLm.scoreDocs(docs, lmT, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("score_micro")).toMap
+    val sr = NgramLm.scoreDocs(docs, lmR, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("score_micro")).toMap
+    for (id <- Seq(0L, 1L, 2L))
+      assert(out(id).getAs[Long]("logratio_micro") == sr(id) - st(id))
+  }
+
   test("terciles order by avg nats: reference doc is head, noise is tail") {
     val out = NgramLm.perplexityBuckets(docs, "doc_id", "text", "source", "src0")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
