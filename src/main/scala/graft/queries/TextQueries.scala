@@ -2094,6 +2094,97 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Shared CTE chain of t35/t36: per-source add-1-smoothed unigram KL
+    * vs the `src0` target slice, in exact scaled micro-nats, then
+    * inverse-KL integer budgets over an 8000-token total (see
+    * `text/DomainMixture`).
+    */
+  private val domainKlSql: String =
+    """toksd AS MATERIALIZED (
+      |  SELECT source, unnest(string_split(text,' ')) AS tok FROM documents),
+      |csw AS MATERIALIZED (SELECT source, tok, COUNT(*) AS c FROM toksd GROUP BY 1,2),
+      |nsd AS MATERIALIZED (SELECT source, COUNT(*) AS n FROM toksd GROUP BY 1),
+      |vocab AS MATERIALIZED (SELECT DISTINCT tok FROM toksd),
+      |vv AS MATERIALIZED (SELECT COUNT(*) AS v FROM vocab),
+      |ntv AS MATERIALIZED (SELECT n + v AS ntv FROM nsd, vv WHERE source='src0'),
+      |grid AS MATERIALIZED (
+      |  SELECT s.source, w.tok,
+      |         COALESCE(cs.c, 0) + 1 AS cs1, COALESCE(ct.c, 0) + 1 AS ct1,
+      |         nsd.n + vv.v AS nsv, ntv.ntv AS ntv
+      |  FROM (SELECT DISTINCT source FROM toksd) s
+      |  CROSS JOIN vocab w
+      |  LEFT JOIN csw cs ON cs.source = s.source AND cs.tok = w.tok
+      |  LEFT JOIN (SELECT tok, c FROM csw WHERE source='src0') ct ON ct.tok = w.tok
+      |  JOIN nsd ON nsd.source = s.source
+      |  CROSS JOIN vv CROSS JOIN ntv),
+      |kl AS MATERIALIZED (
+      |  SELECT source,
+      |         SUM(cs1 * CAST(round(ln(CAST(cs1 AS DOUBLE) * ntv / (ct1 * nsv)) * 1000000) AS BIGINT)) AS kl_scaled_micro
+      |  FROM grid GROUP BY source),
+      |invw AS MATERIALIZED (
+      |  SELECT k.source, nsd.n AS n_toks, k.kl_scaled_micro,
+      |         1000000000000 // (1000000 + k.kl_scaled_micro) AS inv_w
+      |  FROM kl k JOIN nsd ON nsd.source = k.source),
+      |budgets AS MATERIALIZED (
+      |  SELECT source, n_toks, kl_scaled_micro, inv_w,
+      |         (8000 * inv_w) // (SELECT SUM(inv_w) FROM invw) AS budget_toks
+      |  FROM invw)""".stripMargin
+
+  /** t35 — DOMAIN-MIXTURE WEIGHTS from distributional distance
+    * (`DomainMixture.klBudgets`): add-1-smoothed unigram
+    * KL(domain ‖ target) over the union vocab, exact scaled
+    * micro-nats, inverted and integer-normalized into per-domain token
+    * budgets — the principled input to t24's mixture sampler. Scale
+    * shape: vocab-bounded count tables, a domains × vocab scoring grid
+    * (domains broadcast), |domains| output rows; the only corpus-wide
+    * op is the token scan.
+    */
+  val domainKlWeights = Query(
+    "t35_domain_kl",
+    s"""WITH $domainKlSql
+       |SELECT source, CAST(n_toks AS BIGINT) AS n_toks,
+       |       CAST(kl_scaled_micro AS BIGINT) AS kl_scaled_micro,
+       |       CAST(inv_w AS BIGINT) AS inv_w,
+       |       CAST(budget_toks AS BIGINT) AS budget_toks
+       |FROM budgets ORDER BY source""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.text.DomainMixture
+      .klBudgets(documents(spark, d), "text", "source", "src0", totalBudget = 8000L)
+      .select($"source", $"n_toks", $"kl_scaled_micro", $"inv_w", $"budget_toks")
+      .orderBy($"source")
+  }
+
+  /** t36 — the COMPOSED mixture pass (`DomainMixture.klMixtureSample`):
+    * t35's KL-derived budgets drive the deterministic token-budget
+    * sampler (t24 semantics, salt `klmix1`), closing the
+    * weigh-domains → cut-mixture loop one engine call runs end to end.
+    */
+  val klMixture = Query(
+    "t36_kl_mixture",
+    s"""WITH $domainKlSql,
+       |toksn AS (
+       |  SELECT doc_id, source,
+       |         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+       |         md5(concat('klmix1:', CAST(doc_id AS VARCHAR))) AS ord
+       |  FROM documents),
+       |runs AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id) AS cum_tokens
+       |  FROM toksn)
+       |SELECT r.doc_id, r.source, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(r.cum_tokens AS BIGINT) AS cum_tokens
+       |FROM runs r JOIN budgets b ON b.source = r.source
+       |WHERE r.cum_tokens <= b.budget_toks
+       |ORDER BY r.doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.text.DomainMixture
+      .klMixtureSample(documents(spark, d), "doc_id", "text", "source", "src0",
+        totalBudget = 8000L, salt = "klmix1")
+      .select($"doc_id", $"source", $"n_tokens".cast("long").as("n_tokens"),
+        $"cum_tokens")
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
@@ -2102,5 +2193,6 @@ object TextQueries {
     segmentDedup, winnowing, ngramAffinity, gopherRepetition,
     dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget,
     qualityModel, onlineBudget, bpePairStats, bpeMergeSequence, bpeEncodeCorpus,
-    bpeVocabGate, bpePackCorpus, corpusCensus, lmPerplexity, dsirSelection)
+    bpeVocabGate, bpePackCorpus, corpusCensus, lmPerplexity, dsirSelection,
+    domainKlWeights, klMixture)
 }

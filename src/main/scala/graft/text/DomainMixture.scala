@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Principled domain-mixture weighting — the DoReMi-adjacent step
+  * (Xie et al. 2023 use learned proxy weights; production stacks
+  * commonly fall back to distributional distance) that turns "how
+  * unlike the trusted slice is each domain?" into per-domain token
+  * budgets for the mixture sampler ([[graft.operators.MixtureSampling]]).
+  *
+  * Distance is add-1-smoothed unigram KL(p_domain ‖ p_target) over the
+  * UNION vocabulary, kept exact-integer end-to-end: each vocabulary
+  * term contributes `(c_s+1) · round(ln(p_s/p_t)·10⁶)` micro-nats
+  * scaled by `N_s+V` (the smoothed denominator), so the per-domain sum
+  * is order-independent and the oracle replays it bit-for-bit. Budget
+  * derivation stays in BIGINT arithmetic: inverse weights
+  * `10¹² div (10⁶ + kl)` (the 10⁶ floor keeps the target domain
+  * itself — KL = 0 — finite) normalized to the total token budget by
+  * integer division.
+  *
+  * Scale shape: the count tables are vocab-bounded aggregates
+  * (map-side combinable), the scoring grid is |domains| × |vocab| —
+  * domains broadcast over the partitioned vocab — and the final
+  * relation is |domains| rows. Nothing here is corpus-sized after the
+  * first groupBy; the one corpus-wide op is the token-count scan.
+  */
+object DomainMixture {
+
+  /** Per-domain smoothed unigram KL vs the target domain:
+    * `(source, n_toks, kl_scaled_micro)`, exact integers.
+    */
+  def domainKl(docs: DataFrame, textCol: String, sourceCol: String,
+               targetSource: String): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val csw = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val ns = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val vocab = toks.select(col("tok")).distinct()
+    // Bounded scalars: |vocab| and the target slice's token count.
+    val v = vocab.count()
+    val nt = ns.where(col("source") === targetSource).head().getLong(1)
+    val ntv = nt + v
+    val grid = vocab
+      .crossJoin(broadcast(ns)) // domains are few; vocab stays partitioned
+      .join(csw, Seq("source", "tok"), "left")
+      .join(broadcast(csw.where(col("source") === targetSource)
+        .select(col("tok"), col("c").as("ct"))), Seq("tok"), "left")
+      .select(col("source"),
+        (coalesce(col("c"), lit(0L)) + 1L).as("cs1"),
+        (coalesce(col("ct"), lit(0L)) + 1L).as("ct1"),
+        (col("n") + v).as("nsv"))
+    grid
+      .groupBy(col("source"))
+      .agg(sum(col("cs1") *
+        round(log(col("cs1").cast("double") * ntv / (col("ct1") * col("nsv"))) * 1000000d)
+          .cast("long")).as("kl_scaled_micro"))
+      .join(broadcast(ns.select(col("source"), col("n").as("n_toks"))), Seq("source"))
+      .select(col("source"), col("n_toks"), col("kl_scaled_micro"))
+  }
+
+  /** KL → per-domain token budgets: inverse-KL integer weights
+    * normalized to `totalBudget` tokens.
+    */
+  def klBudgets(docs: DataFrame, textCol: String, sourceCol: String,
+                targetSource: String, totalBudget: Long): DataFrame = {
+    val kl = domainKl(docs, textCol, sourceCol, targetSource)
+      .withColumn("inv_w", expr("1000000000000 div (1000000 + kl_scaled_micro)"))
+    kl.crossJoin(broadcast(kl.agg(sum(col("inv_w")).as("sum_inv"))))
+      .withColumn("budget_toks", expr(s"($totalBudget * inv_w) div sum_inv"))
+      .drop("sum_inv")
+  }
+
+  /** The composed mixture pass: derive budgets from domain KL, then
+    * run the deterministic token-budget sampler under them. The budget
+    * map collected to the driver is |domains|-bounded (the same class
+    * as a codebook collect).
+    */
+  def klMixtureSample(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, targetSource: String,
+                      totalBudget: Long, salt: String): DataFrame = {
+    val budgets = klBudgets(docs, textCol, sourceCol, targetSource, totalBudget)
+      .select(col("source"), col("budget_toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.operators.MixtureSampling.tokenBudgetSample(
+      docs.select(col(idCol), col(sourceCol),
+        graft.functions.Exprs.tokenCount(col(textCol)).as("n_tokens")),
+      idCol, sourceCol, "n_tokens", salt, budgets, defaultBudget = 0L)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the KL-to-budget mixture weighting: hand-computed smoothed KL
+  * on a tiny corpus, the zero-KL target identity, integer budget
+  * normalization, and the composed sampler's budget obedience.
+  */
+class DomainMixtureSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Union vocab {a,b,c}: tgt has a,a,b (N=3); web has c,c,c (N=3);
+  // mid has a,b,c (N=3). V=3, so every smoothed denom is 6.
+  private val docs = Seq(
+    (0L, "a a b", "tgt"),
+    (1L, "c c c", "web"),
+    (2L, "a b c", "mid")
+  ).toDF("doc_id", "text", "source")
+
+  private def term(cs: Long, ct: Long): Long =
+    cs * math.round(math.log(cs.toDouble * 6 / (ct * 6)) * 1e6)
+
+  test("smoothed KL is exact micro-nats; the target domain scores zero") {
+    val kl = DomainMixture.domainKl(docs, "text", "source", "tgt")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("kl_scaled_micro")).toMap
+    assert(kl("tgt") == 0L)
+    // web: counts (a=0,b=0,c=3)+1 vs tgt (a=2,b=1,c=0)+1 over equal denoms.
+    assert(kl("web") == term(1, 3) + term(1, 2) + term(4, 1))
+    assert(kl("mid") == term(2, 3) + term(2, 2) + term(2, 1))
+    assert(kl("web") > kl("mid")) // the more target-like domain is closer
+  }
+
+  test("budgets normalize inverse-KL weights in pure integer arithmetic") {
+    val rows = DomainMixture.klBudgets(docs, "text", "source", "tgt", totalBudget = 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val inv = rows.map { case (s, r) => s -> r.getAs[Long]("inv_w") }
+    assert(inv("tgt") == 1000000L) // 1e12 div (1e6 + 0)
+    val sumInv = inv.values.sum
+    for ((s, r) <- rows)
+      assert(r.getAs[Long]("budget_toks") == 100L * inv(s) / sumInv)
+    assert(rows("tgt").getAs[Long]("budget_toks") >
+      rows("mid").getAs[Long]("budget_toks"))
+  }
+
+  test("composed sampler never exceeds a domain's derived budget") {
+    val out = DomainMixture.klMixtureSample(
+      docs.union(Seq((3L, "a b a", "tgt"), (4L, "c b c", "web")).toDF(
+        "doc_id", "text", "source")),
+      "doc_id", "text", "source", "tgt", totalBudget = 6L, salt = "s1")
+    val budgets = DomainMixture.klBudgets(
+      docs.union(Seq((3L, "a b a", "tgt"), (4L, "c b c", "web")).toDF(
+        "doc_id", "text", "source")),
+      "text", "source", "tgt", totalBudget = 6L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("budget_toks")).toMap
+    for (r <- out.collect())
+      assert(r.getAs[Long]("cum_tokens") <= budgets(r.getAs[String]("source")))
+  }
+}
