@@ -32,11 +32,17 @@ object DomainMixture {
     */
   def domainKl(docs: DataFrame, textCol: String, sourceCol: String,
                targetSource: String): DataFrame = {
+    // ONE token-explode scan and one shuffle: the (source, tok) count
+    // table is eagerly checkpointed (vocab × |domains| bounded) and
+    // every other relation — per-domain totals, the vocabulary, the
+    // target slice, both scalars — derives from it, so no consumer
+    // re-executes the corpus scan.
     val toks = docs.select(col(sourceCol).as("source"),
       explode(split(col(textCol), " ")).as("tok"))
     val csw = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
-    val ns = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val vocab = toks.select(col("tok")).distinct()
+      .localCheckpoint(true)
+    val ns = csw.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vocab = csw.select(col("tok")).distinct()
     // Bounded scalars: |vocab| and the target slice's token count.
     val v = vocab.count()
     val nt = ns.where(col("source") === targetSource).head().getLong(1)
@@ -64,8 +70,11 @@ object DomainMixture {
     */
   def klBudgets(docs: DataFrame, textCol: String, sourceCol: String,
                 targetSource: String, totalBudget: Long): DataFrame = {
+    // |domains| rows, consumed twice (sum + join): checkpoint so the
+    // grid aggregation runs once.
     val kl = domainKl(docs, textCol, sourceCol, targetSource)
       .withColumn("inv_w", expr("1000000000000 div (1000000 + kl_scaled_micro)"))
+      .localCheckpoint(true)
     kl.crossJoin(broadcast(kl.agg(sum(col("inv_w")).as("sum_inv"))))
       .withColumn("budget_toks", expr(s"($totalBudget * inv_w) div sum_inv"))
       .drop("sum_inv")

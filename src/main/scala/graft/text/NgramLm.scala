@@ -47,9 +47,13 @@ object NgramLm {
     * null at the document start. No window, no shuffle.
     */
   def contexts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // Materialize the split ONCE per row before the per-position
+    // transform — inlined, the regex split would re-evaluate for every
+    // element_at reference (4 × tokens per doc).
+    val toks = col("__toks")
     docs
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(toks)), i =>
           struct(
             i.as("pos"),
@@ -59,54 +63,80 @@ object NgramLm {
       .select(col("doc_id"), col("c.pos"), col("c.tok"), col("c.p1"), col("c.p2"))
   }
 
-  /** Train the trigram LM from a reference corpus (one context explode,
-    * three map-side-combined groupBys, one two-scalar aggregate).
+  /** Train the trigram LM from a reference corpus in ONE scan and ONE
+    * shuffle: every context row emits its tagged uni/bi/tri gram
+    * (kind, t1, t2, t3), a single map-side-combined groupBy counts
+    * them all, and the combined table — vocab-bounded, the thing a
+    * real run would write to the lake — is eagerly `localCheckpoint`ed
+    * so the three per-order views and every scoring-side broadcast
+    * read it directly instead of re-executing the corpus scan per
+    * consumer (5 broadcasts in [[scoreDocs]], 10 in a DSIR pass).
     */
   def train(ref: DataFrame, idCol: String, textCol: String): Lm = {
-    val ctx = contexts(ref, idCol, textCol)
-    val uni = ctx.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val bi = ctx.where(col("p1").isNotNull)
-      .groupBy(col("p1").as("t1"), col("tok").as("t2"))
+    val nullTok = lit(null).cast("string")
+    val counts = contexts(ref, idCol, textCol)
+      .select(explode(array(
+        struct(lit(1).as("kind"), col("tok").as("t1"), nullTok.as("t2"), nullTok.as("t3")),
+        struct(lit(2).as("kind"), col("p1").as("t1"), col("tok").as("t2"), nullTok.as("t3")),
+        struct(lit(3).as("kind"), col("p2").as("t1"), col("p1").as("t2"), col("tok").as("t3"))))
+        .as("g"))
+      // A bi at the doc start / tri in the first two positions has a
+      // null leading token: not a gram.
+      .where(col("g.t1").isNotNull)
+      .groupBy(col("g.kind").as("kind"), col("g.t1").as("t1"),
+        col("g.t2").as("t2"), col("g.t3").as("t3"))
       .agg(count(lit(1)).as("c"))
-    val tri = ctx.where(col("p2").isNotNull)
-      .groupBy(col("p2").as("t1"), col("p1").as("t2"), col("tok").as("t3"))
-      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val uni = counts.where(col("kind") === 1).select(col("t1").as("tok"), col("c"))
+    val bi = counts.where(col("kind") === 2).select(col("t1"), col("t2"), col("c"))
+    val tri = counts.where(col("kind") === 3)
+      .select(col("t1"), col("t2"), col("t3"), col("c"))
     val Array(n, v) = uni.agg(sum(col("c")), count(lit(1))).head()
       .toSeq.map(x => x.asInstanceOf[Long]).toArray
     Lm(uni, bi, tri, n, v)
   }
 
-  /** Per-document integer score (negated summed micro-nats — larger =
-    * higher perplexity) plus per-backoff-path token counts.
+  /** Join one LM's broadcast count tables onto a context relation and
+    * add `micronats<sfx>` / `path<sfx>` columns (suffix keeps two LMs
+    * composable in ONE scoring scan — see [[scoreDocsDual]]).
     */
-  def scoreDocs(docs: DataFrame, lm: Lm, idCol: String, textCol: String): DataFrame = {
-    val ctx = contexts(docs, idCol, textCol)
-    val scored = ctx
-      .join(broadcast(lm.tri.select(col("t1"), col("t2"), col("t3"), col("c").as("tri_c"))),
+  private def withScore(ctxDf: DataFrame, lm: Lm, sfx: String): DataFrame = {
+    val scored = ctxDf
+      .join(broadcast(lm.tri.select(col("t1"), col("t2"), col("t3"), col("c").as(s"tri_c$sfx"))),
         col("p2") === col("t1") && col("p1") === col("t2") && col("tok") === col("t3"), "left")
       .drop("t1", "t2", "t3")
-      .join(broadcast(lm.bi.select(col("t1"), col("t2"), col("c").as("bictx_c"))),
+      .join(broadcast(lm.bi.select(col("t1"), col("t2"), col("c").as(s"bictx_c$sfx"))),
         col("p2") === col("t1") && col("p1") === col("t2"), "left")
       .drop("t1", "t2")
-      .join(broadcast(lm.bi.select(col("t1"), col("t2"), col("c").as("bi_c"))),
+      .join(broadcast(lm.bi.select(col("t1"), col("t2"), col("c").as(s"bi_c$sfx"))),
         col("p1") === col("t1") && col("tok") === col("t2"), "left")
       .drop("t1", "t2")
-      .join(broadcast(lm.uni.select(col("tok").as("u1_tok"), col("c").as("u1_c"))),
-        col("p1") === col("u1_tok"), "left")
-      .join(broadcast(lm.uni.select(col("tok").as("uw_tok"), col("c").as("uw_c"))),
-        col("tok") === col("uw_tok"), "left")
+      .join(broadcast(lm.uni.select(col("tok").as(s"u1_tok$sfx"), col("c").as(s"u1_c$sfx"))),
+        col("p1") === col(s"u1_tok$sfx"), "left")
+      .join(broadcast(lm.uni.select(col("tok").as(s"uw_tok$sfx"), col("c").as(s"uw_c$sfx"))),
+        col("tok") === col(s"uw_tok$sfx"), "left")
     val micro = lit(1000000d)
-    val triHit = col("p2").isNotNull && col("tri_c").isNotNull
-    val biHit = col("p1").isNotNull && col("bi_c").isNotNull
+    val triHit = col("p2").isNotNull && col(s"tri_c$sfx").isNotNull
+    val biHit = col("p1").isNotNull && col(s"bi_c$sfx").isNotNull
     val micronats =
-      when(triHit, round(log(col("tri_c").cast("double") / col("bictx_c")) * micro).cast("long"))
-        .when(biHit, round(log(lit(0.4) * col("bi_c") / col("u1_c")) * micro).cast("long"))
-        .when(col("uw_c").isNotNull,
-          round(log(lit(0.16) * col("uw_c") / lit(lm.nTokens)) * micro).cast("long"))
+      when(triHit, round(log(col(s"tri_c$sfx").cast("double") / col(s"bictx_c$sfx")) * micro).cast("long"))
+        .when(biHit, round(log(lit(0.4) * col(s"bi_c$sfx") / col(s"u1_c$sfx")) * micro).cast("long"))
+        .when(col(s"uw_c$sfx").isNotNull,
+          round(log(lit(0.16) * col(s"uw_c$sfx") / lit(lm.nTokens)) * micro).cast("long"))
         .otherwise(lit(math.round(math.log(0.16 / (lm.nTokens + lm.vocab)) * 1000000d)))
     val path = when(triHit, "tri").when(biHit, "bi").otherwise("uni")
     scored
-      .select(col("doc_id"), micronats.as("micronats"), path.as("path"))
+      .withColumn(s"micronats$sfx", micronats)
+      .withColumn(s"path$sfx", path)
+      .drop(s"tri_c$sfx", s"bictx_c$sfx", s"bi_c$sfx",
+        s"u1_tok$sfx", s"u1_c$sfx", s"uw_tok$sfx", s"uw_c$sfx")
+  }
+
+  /** Per-document integer score (negated summed micro-nats — larger =
+    * higher perplexity) plus per-backoff-path token counts.
+    */
+  def scoreDocs(docs: DataFrame, lm: Lm, idCol: String, textCol: String): DataFrame =
+    withScore(contexts(docs, idCol, textCol), lm, "")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_toks"),
@@ -114,7 +144,20 @@ object NgramLm {
         sum(when(col("path") === "tri", 1L).otherwise(0L)).as("n_tri"),
         sum(when(col("path") === "bi", 1L).otherwise(0L)).as("n_bi"),
         sum(when(col("path") === "uni", 1L).otherwise(0L)).as("n_uni"))
-  }
+
+  /** Score every document under TWO LMs in one corpus scan — ten
+    * broadcast joins in a single plan, one doc_id re-aggregation. At
+    * 100 TB a second scoring pass is a second full-corpus read, so
+    * the DSIR path must (and does) fuse them.
+    */
+  def scoreDocsDual(docs: DataFrame, lmT: Lm, lmR: Lm,
+                    idCol: String, textCol: String): DataFrame =
+    withScore(withScore(contexts(docs, idCol, textCol), lmT, "_t"), lmR, "_r")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        (-sum(col("micronats_t"))).as("score_tgt_micro"),
+        (-sum(col("micronats_r"))).as("score_raw_micro"))
 
   /** DSIR-style importance resampling (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
@@ -139,11 +182,7 @@ object NgramLm {
                           budgetToks: Long): DataFrame = {
     val lmT = train(docs.where(col(sourceCol) === targetSource), idCol, textCol)
     val lmR = train(docs, idCol, textCol)
-    val st = scoreDocs(docs, lmT, idCol, textCol)
-      .select(col("doc_id"), col("n_toks"), col("score_micro").as("score_tgt_micro"))
-    val sr = scoreDocs(docs, lmR, idCol, textCol)
-      .select(col("doc_id"), col("score_micro").as("score_raw_micro"))
-    val weighted = st.join(sr, "doc_id")
+    val weighted = scoreDocsDual(docs, lmT, lmR, idCol, textCol)
       .withColumn("logratio_micro", col("score_raw_micro") - col("score_tgt_micro"))
     val w = Window.orderBy(col("logratio_micro").desc, col("doc_id"))
     weighted
