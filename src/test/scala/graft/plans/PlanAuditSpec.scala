@@ -38,7 +38,15 @@ class PlanAuditSpec extends SparkSpec {
     "b1_basket_rules" -> ((false, false, false, true)),
     "e12_ivf_pq_recall" -> ((false, false, false, true)),
     "e11_pq_sampled_recall" -> ((false, false, false, true)),
-    "m11_knn_components" -> ((false, false, false, true)))
+    "m11_knn_components" -> ((false, false, false, true)),
+    // Round-12 LM family: t33/t34 are relational chains (broadcast-LM
+    // scoring rides the scan); t35's final plan reads the eagerly
+    // checkpointed KL table (harness class); t36's sampler inlines the
+    // collected budget map as a literal when-chain (no join at all).
+    "t33_lm_perplexity" -> ((true, true, true, true)),
+    "t34_dsir_selection" -> ((true, true, true, true)),
+    "t35_domain_kl" -> ((false, false, false, true)),
+    "t36_kl_mixture" -> ((true, true, false, true)))
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {

@@ -21,7 +21,10 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # Spark-written tables (e.g. the derived sf1 dir) are DIRECTORIES
+    # of part files; DuckDB needs the inner glob.
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 n_pass = n_fail = 0
