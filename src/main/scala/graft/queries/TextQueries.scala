@@ -2185,6 +2185,44 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** t37 — TRAINING-SHARD LAYOUT: the last mile of the curation
+    * pipeline. Docs are deterministically shuffled (salted md5 of id —
+    * the t24 order contract) and dealt round-robin into 8 shards, so
+    * every shard is an equal-size unbiased sample and a re-run lays
+    * out byte-identical shards. The global rank comes from
+    * `operators/GlobalRank` — the TWO-PASS range-partition + broadcast
+    * prefix-offset form (no single-partition window), i.e. the
+    * 1000-executor shape the one-window gates scaladoc; `GlobalRankSpec`
+    * pins it ≡ the window form.
+    */
+  val corpusShards = Query(
+    "t37_corpus_shards",
+    """WITH ordd AS (
+      |  SELECT doc_id,
+      |         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+      |         md5(concat('shard1:', CAST(doc_id AS VARCHAR))) AS ord
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, n_tokens,
+      |         ROW_NUMBER() OVER (ORDER BY ord, doc_id) - 1 AS rk
+      |  FROM ordd)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(rk % 8 AS BIGINT) AS shard,
+      |       CAST(rk // 8 AS BIGINT) AS pos_in_shard
+      |FROM ranked ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val ordd = documents(spark, d).select(
+      $"doc_id",
+      tokenCount($"text").cast("long").as("n_tokens"),
+      md5(concat(lit("shard1:"), $"doc_id".cast("string"))).as("ord"))
+    graft.operators.GlobalRank
+      .withGlobalRank(ordd, "rk1", nParts = 32, col("ord"), col("doc_id"))
+      .select($"doc_id", $"n_tokens",
+        (($"rk1" - 1) % 8).as("shard"),
+        (($"rk1" - 1) / 8).cast("long").as("pos_in_shard"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
@@ -2194,5 +2232,5 @@ object TextQueries {
     dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget,
     qualityModel, onlineBudget, bpePairStats, bpeMergeSequence, bpeEncodeCorpus,
     bpeVocabGate, bpePackCorpus, corpusCensus, lmPerplexity, dsirSelection,
-    domainKlWeights, klMixture)
+    domainKlWeights, klMixture, corpusShards)
 }

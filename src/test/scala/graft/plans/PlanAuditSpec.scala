@@ -46,7 +46,10 @@ class PlanAuditSpec extends SparkSpec {
     "t33_lm_perplexity" -> ((true, true, true, true)),
     "t34_dsir_selection" -> ((true, true, true, true)),
     "t35_domain_kl" -> ((false, false, false, true)),
-    "t36_kl_mixture" -> ((true, true, false, true)))
+    "t36_kl_mixture" -> ((true, true, false, true)),
+    // t37's final plan reads the checkpointed range-sorted run (the
+    // scan flags live in pass 1); broadcast = the prefix-offset join.
+    "t37_corpus_shards" -> ((false, false, true, true)))
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {
