@@ -20,6 +20,20 @@ object PlanCheck {
     * their FINAL plan — the scan pushdown happened in the inner
     * actions (documented in PLANS.md since round 6).
     */
+  /** True when the plan contains a GLOBAL window — a `Window` operator
+    * fed by an `Exchange SinglePartition` (the whole relation sorted
+    * through one task: the scale-killer shape `operators/GlobalRank`
+    * exists to replace). Scalar aggregates also exchange to a single
+    * partition but carry no Window, so they don't trip this.
+    */
+  def hasSinglePartitionWindow(physical: String): Boolean = {
+    val lines = physical.linesIterator.toArray
+    lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("Window ") &&
+        lines.slice(i + 1, i + 4).exists(_.contains("Exchange SinglePartition"))
+    }
+  }
+
   def flags(physical: String): Map[String, Boolean] = Map(
     "pushdown" -> physical.contains("PushedFilters: ["),
     "pruning" -> physical.contains("ReadSchema"),

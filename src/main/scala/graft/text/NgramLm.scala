@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** N-gram language-model perplexity filtering — the CCNet-style pass
@@ -28,13 +27,21 @@ import org.apache.spark.sql.functions._
   * exactly how CCNet ships its pruned KenLM to every worker. Scoring
   * is a doc-local context explode (a higher-order transform over the
   * token array — no per-doc window shuffle) + broadcast hash joins +
-  * one map-side-combinable re-aggregation on doc_id. The tercile
-  * split is the one global window (same class as the a15 NTILE gate);
-  * at 100 TB you'd lift the two cutoffs from an approx-percentile
-  * aggregate and bucket with a broadcast range join instead — the
-  * scores themselves never reshuffle.
+  * one map-side-combinable re-aggregation on doc_id. The final global
+  * cuts (terciles here, the budget prefix in [[importanceSelection]])
+  * ride `operators/GlobalRank`'s two-pass range-partition shape — one
+  * range shuffle of the doc-granular score relation, |partitions|-row
+  * offsets broadcast, per-partition finish in parallel. No
+  * single-partition window anywhere (PlanAuditSpec pins this).
   */
 object NgramLm {
+
+  /** Range partitions for the two-pass global cuts — the doc-score
+    * relation is doc-granular (tiny vs the corpus), so the session
+    * shuffle-partition count is the right parallelism at every scale.
+    */
+  private def rankParts(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
 
   /** Trained trigram LM: count tables plus corpus scalars. The three
     * DataFrames are vocab-bounded (broadcast-sized by construction).
@@ -172,10 +179,10 @@ object NgramLm {
     * Scale shape: both LM tables are vocab-bounded broadcasts; the
     * two scoring passes are independent scans (broadcast joins + one
     * doc_id re-agg each) joined doc_id-to-doc_id at doc granularity.
-    * The ranking window is the one global op — at corpus scale the
-    * budget cut lifts from an approx-percentile of logratio weighted
-    * by n_toks, leaving the scores un-reshuffled (same note as
-    * [[perplexityBuckets]]).
+    * The ranked budget cut is `GlobalRank.withGlobalPrefixSum` — one
+    * range shuffle of the doc-granular scores, broadcast prefix
+    * offsets, parallel per-partition running sums (same two-pass
+    * shape as [[perplexityBuckets]]'s terciles).
     */
   def importanceSelection(docs: DataFrame, idCol: String, textCol: String,
                           sourceCol: String, targetSource: String,
@@ -184,9 +191,12 @@ object NgramLm {
     val lmR = train(docs, idCol, textCol)
     val weighted = scoreDocsDual(docs, lmT, lmR, idCol, textCol)
       .withColumn("logratio_micro", col("score_raw_micro") - col("score_tgt_micro"))
-    val w = Window.orderBy(col("logratio_micro").desc, col("doc_id"))
-    weighted
-      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+    // The ranked budget cut rides the TWO-PASS prefix sum (range
+    // partition + broadcast offsets, `operators/GlobalRank`) — no
+    // single-partition window; `NgramLmSpec` pins it ≡ the window form.
+    graft.operators.GlobalRank
+      .withGlobalPrefixSum(weighted, "cum_toks", col("n_toks"), rankParts(weighted),
+        col("logratio_micro").desc, col("doc_id"))
       .withColumn("kept", when(col("cum_toks") <= budgetToks, 1L).otherwise(0L))
   }
 
@@ -198,13 +208,16 @@ object NgramLm {
                         sourceCol: String, refSource: String): DataFrame = {
     val lm = train(docs.where(col(sourceCol) === refSource), idCol, textCol)
     val perDoc = scoreDocs(docs, lm, idCol, textCol)
-    // Global tercile window — see the scaladoc scale note (percentile
-    // cutoffs + broadcast range join at corpus scale).
-    val w = Window.orderBy(col("score_micro").cast("double") / col("n_toks"), col("doc_id"))
-    perDoc.select(
-      col("doc_id"), col("n_toks"), col("n_tri"), col("n_bi"), col("n_uni"),
-      col("score_micro"),
-      ntile(3).over(w).cast("long").as("ppl_bucket"))
+    // Global terciles via the TWO-PASS rank (range partition +
+    // broadcast prefix offsets, `operators/GlobalRank.withGlobalNtile`
+    // — exactly NTILE(3) semantics, no single-partition window;
+    // `NgramLmSpec` pins it ≡ the window form).
+    graft.operators.GlobalRank
+      .withGlobalNtile(perDoc, "ppl_bucket", 3, rankParts(perDoc),
+        col("score_micro").cast("double") / col("n_toks"), col("doc_id"))
+      .select(
+        col("doc_id"), col("n_toks"), col("n_tri"), col("n_bi"), col("n_uni"),
+        col("score_micro"), col("ppl_bucket"))
       .withColumn("kept", when(col("ppl_bucket") <= 2, 1L).otherwise(0L))
   }
 }

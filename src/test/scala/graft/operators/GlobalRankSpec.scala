@@ -34,4 +34,41 @@ class GlobalRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
+
+  test("two-pass ntile equals the single-window NTILE, remainder and tiny totals included") {
+    // 100 % 3 = 1 (one wide bucket), 99 % 9 = 0, 5 < 7 (fewer rows
+    // than buckets), 100 % 7 = 2 — every NTILE remainder class.
+    for ((rows, n) <- Seq((100, 3), (99, 9), (5, 7), (100, 7))) {
+      val df = (1 to rows).map(i => (i.toLong, (i * 37 % rows).toLong))
+        .toDF("id", "key")
+      val want = df
+        .withColumn("b", ntile(n).over(
+          Window.orderBy(col("key"), col("id"))).cast("long"))
+        .orderBy(col("id")).select(col("id"), col("b"))
+        .as[(Long, Long)].collect().toSeq
+      val got = GlobalRank
+        .withGlobalNtile(df, "b", n, nParts = 13, col("key"), col("id"))
+        .orderBy(col("id")).select(col("id"), col("b"))
+        .as[(Long, Long)].collect().toSeq
+      assert(got == want, s"ntile($n) over $rows rows")
+    }
+  }
+
+  test("two-pass prefix sum equals the single-window running sum under skewed duplicates") {
+    val df = (1L to 500L)
+      .map(i => (i, if (i % 7 == 0) s"k$i" else "a", i % 13 + 1))
+      .toDF("id", "key", "v")
+    val want = df
+      .withColumn("cum", sum(col("v")).over(
+        Window.orderBy(col("key").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("id")).select(col("id"), col("cum"))
+      .as[(Long, Long)].collect().toSeq
+    val got = GlobalRank
+      .withGlobalPrefixSum(df, "cum", col("v"), nParts = 13,
+        col("key").desc, col("id"))
+      .orderBy(col("id")).select(col("id"), col("cum"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want)
+  }
 }

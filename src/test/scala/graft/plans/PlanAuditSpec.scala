@@ -39,17 +39,25 @@ class PlanAuditSpec extends SparkSpec {
     "e12_ivf_pq_recall" -> ((false, false, false, true)),
     "e11_pq_sampled_recall" -> ((false, false, false, true)),
     "m11_knn_components" -> ((false, false, false, true)),
-    // Round-12 LM family: t33/t34 are relational chains (broadcast-LM
-    // scoring rides the scan); t35's final plan reads the eagerly
-    // checkpointed KL table (harness class); t36's sampler inlines the
-    // collected budget map as a literal when-chain (no join at all).
-    "t33_lm_perplexity" -> ((true, true, true, true)),
-    "t34_dsir_selection" -> ((true, true, true, true)),
+    // Round-12/13 LM family: t33/t34's final ranked cuts now ride
+    // `GlobalRank`'s two-pass shape, so their FINAL plan reads the
+    // checkpointed range-sorted run (scan flags live in pass 1, like
+    // t37; broadcast = the prefix-offset join). t35's final plan reads
+    // the eagerly checkpointed KL table (harness class); t36's sampler
+    // inlines the collected budget map as a literal when-chain.
+    "t33_lm_perplexity" -> ((false, false, true, true)),
+    "t34_dsir_selection" -> ((false, false, true, true)),
     "t35_domain_kl" -> ((false, false, false, true)),
     "t36_kl_mixture" -> ((true, true, false, true)),
     // t37's final plan reads the checkpointed range-sorted run (the
     // scan flags live in pass 1); broadcast = the prefix-offset join.
     "t37_corpus_shards" -> ((false, false, true, true)))
+
+  // Gates whose whole point is avoiding the global-window shape: any
+  // `Window` fed by an `Exchange SinglePartition` in their final plan
+  // is a regression back onto the single-task sort.
+  private val noGlobalWindow =
+    Set("t33_lm_perplexity", "t34_dsir_selection", "t37_corpus_shards")
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {
@@ -65,6 +73,9 @@ class PlanAuditSpec extends SparkSpec {
       assert(got("codegen") == codegen, s"codegen: $got")
       assert(!physical.contains("CartesianProduct"),
         s"$name's final plan contains a CartesianProduct")
+      if (noGlobalWindow(name))
+        assert(!PlanCheck.hasSinglePartitionWindow(physical),
+          s"$name's final plan sorts the relation through a single-partition window")
     }
   }
 }

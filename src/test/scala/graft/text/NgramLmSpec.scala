@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pins the CCNet-style trigram stupid-backoff scorer: exact
@@ -76,6 +77,51 @@ class NgramLmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("score_micro")).toMap
     for (id <- Seq(0L, 1L, 2L))
       assert(out(id).getAs[Long]("logratio_micro") == sr(id) - st(id))
+  }
+
+  test("two-pass ranked cuts equal the window form on LM scores (120-doc corpus)") {
+    // A corpus big enough that terciles/budget cut spread across many
+    // range partitions: deterministic word soup over a 12-word vocab,
+    // `src0` = the cleanest third.
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val corpus = (0L until 120L).map { i =>
+      val len = 5 + (i % 7).toInt
+      val text = (0 until len)
+        .map(j => words(((i * 31 + j * (1 + (i % 5))) % words.length).toInt))
+        .mkString(" ")
+      (i, text, if (i % 3 == 0) "src0" else "web")
+    }.toDF("doc_id", "text", "source")
+
+    // Terciles: two-pass NTILE ≡ the window NTILE on the same scores.
+    val lm = NgramLm.train(corpus.where($"source" === "src0"), "doc_id", "text")
+    val perDoc = NgramLm.scoreDocs(corpus, lm, "doc_id", "text").localCheckpoint(true)
+    val wantBuckets = perDoc
+      .withColumn("b", ntile(3).over(Window.orderBy(
+        $"score_micro".cast("double") / $"n_toks", $"doc_id")).cast("long"))
+      .select($"doc_id", $"b").orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    val gotBuckets = NgramLm
+      .perplexityBuckets(corpus, "doc_id", "text", "source", "src0")
+      .select($"doc_id", $"ppl_bucket").orderBy($"doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(gotBuckets == wantBuckets)
+
+    // Budget prefix: two-pass running sum ≡ the window running sum.
+    val sel = NgramLm
+      .importanceSelection(corpus, "doc_id", "text", "source", "src0", budgetToks = 300L)
+      .localCheckpoint(true)
+    val wantCum = sel
+      .withColumn("wc", sum($"n_toks").over(
+        Window.orderBy($"logratio_micro".desc, $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"doc_id", $"wc").orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    val gotCum = sel.select($"doc_id", $"cum_toks").orderBy($"doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(gotCum == wantCum)
+    // And the cut keeps exactly the prefix under the budget.
+    val kept = sel.select($"cum_toks", $"kept").as[(Long, Long)].collect()
+    assert(kept.forall { case (c, k) => (c <= 300L) == (k == 1L) })
+    assert(kept.exists(_._2 == 1L) && kept.exists(_._2 == 0L))
   }
 
   test("terciles order by avg nats: reference doc is head, noise is tail") {
