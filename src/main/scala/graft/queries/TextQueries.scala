@@ -2119,14 +2119,16 @@ object TextQueries {
       |  CROSS JOIN vv CROSS JOIN ntv),
       |kl AS MATERIALIZED (
       |  SELECT source,
-      |         SUM(cs1 * CAST(round(ln(CAST(cs1 AS DOUBLE) * ntv / (ct1 * nsv)) * 1000000) AS BIGINT)) AS kl_scaled_micro
+      |         SUM(cs1 * CAST(round(ln(CAST(cs1 AS DOUBLE) * ntv / (ct1 * nsv)) * 1000000) AS BIGINT)) AS kl_scaled_micro,
+      |         MAX(nsv) AS nsv
       |  FROM grid GROUP BY source),
       |invw AS MATERIALIZED (
       |  SELECT k.source, nsd.n AS n_toks, k.kl_scaled_micro,
-      |         1000000000000 // (1000000 + k.kl_scaled_micro) AS inv_w
+      |         k.kl_scaled_micro // k.nsv AS kl_micro,
+      |         1000000000000 // (1000000 + (k.kl_scaled_micro // k.nsv)) AS inv_w
       |  FROM kl k JOIN nsd ON nsd.source = k.source),
       |budgets AS MATERIALIZED (
-      |  SELECT source, n_toks, kl_scaled_micro, inv_w,
+      |  SELECT source, n_toks, kl_scaled_micro, kl_micro, inv_w,
       |         (8000 * inv_w) // (SELECT SUM(inv_w) FROM invw) AS budget_toks
       |  FROM invw)""".stripMargin
 
@@ -2144,13 +2146,15 @@ object TextQueries {
     s"""WITH $domainKlSql
        |SELECT source, CAST(n_toks AS BIGINT) AS n_toks,
        |       CAST(kl_scaled_micro AS BIGINT) AS kl_scaled_micro,
+       |       CAST(kl_micro AS BIGINT) AS kl_micro,
        |       CAST(inv_w AS BIGINT) AS inv_w,
        |       CAST(budget_toks AS BIGINT) AS budget_toks
        |FROM budgets ORDER BY source""".stripMargin) { (spark, d) =>
     import spark.implicits._
     graft.text.DomainMixture
       .klBudgets(documents(spark, d), "text", "source", "src0", totalBudget = 8000L)
-      .select($"source", $"n_toks", $"kl_scaled_micro", $"inv_w", $"budget_toks")
+      .select($"source", $"n_toks", $"kl_scaled_micro", $"kl_micro", $"inv_w",
+        $"budget_toks")
       .orderBy($"source")
   }
 

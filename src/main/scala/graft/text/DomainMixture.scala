@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   * UNION vocabulary, kept exact-integer end-to-end: each vocabulary
   * term contributes `(c_s+1) · round(ln(p_s/p_t)·10⁶)` micro-nats
   * scaled by `N_s+V` (the smoothed denominator), so the per-domain sum
-  * is order-independent and the oracle replays it bit-for-bit. Budget
-  * derivation stays in BIGINT arithmetic: inverse weights
-  * `10¹² div (10⁶ + kl)` (the 10⁶ floor keeps the target domain
-  * itself — KL = 0 — finite) normalized to the total token budget by
-  * integer division.
+  * is order-independent and the oracle replays it bit-for-bit. Before
+  * inverting, the sum is NORMALIZED back to per-token micro-nats
+  * (`kl_micro = kl_scaled_micro div (N_s+V)`, still exact integer) so
+  * the weight depends on distributional distance alone, not domain
+  * size — unnormalized, a 10× larger domain at equal true KL scored a
+  * 10× larger distance and realistic domain sizes underflowed every
+  * non-target weight to zero (spec-pinned in `DomainMixtureSpec`'s
+  * unequal-size case). Budget derivation stays in BIGINT arithmetic:
+  * inverse weights `10¹² div (10⁶ + kl_micro)` (the 10⁶ floor — one
+  * nat per token — keeps the target domain itself, KL = 0, finite)
+  * normalized to the total token budget by integer division.
   *
   * Scale shape: the count tables are vocab-bounded aggregates
   * (map-side combinable), the scoring grid is |domains| × |vocab| —
@@ -28,7 +34,9 @@ import org.apache.spark.sql.functions._
 object DomainMixture {
 
   /** Per-domain smoothed unigram KL vs the target domain:
-    * `(source, n_toks, kl_scaled_micro)`, exact integers.
+    * `(source, n_toks, kl_scaled_micro, kl_micro)`, exact integers —
+    * `kl_micro` is the per-token normalization (div by the smoothed
+    * denominator `N_s+V`) that weight derivation uses.
     */
   def domainKl(docs: DataFrame, textCol: String, sourceCol: String,
                targetSource: String): DataFrame = {
@@ -58,11 +66,16 @@ object DomainMixture {
         (col("n") + v).as("nsv"))
     grid
       .groupBy(col("source"))
-      .agg(sum(col("cs1") *
-        round(log(col("cs1").cast("double") * ntv / (col("ct1") * col("nsv"))) * 1000000d)
-          .cast("long")).as("kl_scaled_micro"))
+      .agg(
+        sum(col("cs1") *
+          round(log(col("cs1").cast("double") * ntv / (col("ct1") * col("nsv"))) * 1000000d)
+            .cast("long")).as("kl_scaled_micro"),
+        // nsv is constant within a domain: carry it out for the
+        // per-token normalization.
+        max(col("nsv")).as("nsv"))
       .join(broadcast(ns.select(col("source"), col("n").as("n_toks"))), Seq("source"))
-      .select(col("source"), col("n_toks"), col("kl_scaled_micro"))
+      .select(col("source"), col("n_toks"), col("kl_scaled_micro"),
+        expr("kl_scaled_micro div nsv").as("kl_micro"))
   }
 
   /** KL → per-domain token budgets: inverse-KL integer weights
@@ -73,7 +86,7 @@ object DomainMixture {
     // |domains| rows, consumed twice (sum + join): checkpoint so the
     // grid aggregation runs once.
     val kl = domainKl(docs, textCol, sourceCol, targetSource)
-      .withColumn("inv_w", expr("1000000000000 div (1000000 + kl_scaled_micro)"))
+      .withColumn("inv_w", expr("1000000000000 div (1000000 + kl_micro)"))
       .localCheckpoint(true)
     kl.crossJoin(broadcast(kl.agg(sum(col("inv_w")).as("sum_inv"))))
       .withColumn("budget_toks", expr(s"($totalBudget * inv_w) div sum_inv"))

@@ -44,6 +44,32 @@ class DomainMixtureSpec extends SparkSpec {
       rows("mid").getAs[Long]("budget_toks"))
   }
 
+  test("weights track per-token distance, not domain size (unequal-size domains)") {
+    // Two domains with the SAME token distribution ("p p q") but 10×
+    // different size, against a disjoint-vocab target. The scaled sum
+    // grows ~10× with size; the per-token kl_micro (what weights
+    // invert) must not — unnormalized, the big domain's weight
+    // underflowed toward zero at equal true distance.
+    val big = Seq.tabulate(330)(i => (1000L + i, "p p q", "dbig"))
+    val small = Seq.tabulate(33)(i => (2000L + i, "p p q", "dsmall"))
+    val tgt = Seq.tabulate(66)(i => (3000L + i, "t t u", "tgt"))
+    val corpus = (big ++ small ++ tgt).toDF("doc_id", "text", "source")
+    val rows = DomainMixture.klBudgets(corpus, "text", "source", "tgt",
+      totalBudget = 10000L).collect().map(r => r.getString(0) -> r).toMap
+    val scaledB = rows("dbig").getAs[Long]("kl_scaled_micro")
+    val scaledS = rows("dsmall").getAs[Long]("kl_scaled_micro")
+    val microB = rows("dbig").getAs[Long]("kl_micro")
+    val microS = rows("dsmall").getAs[Long]("kl_micro")
+    assert(scaledB > 5 * scaledS, s"scaled sum should grow with size: $scaledB vs $scaledS")
+    assert(math.abs(microB - microS).toDouble / math.max(microB, microS) < 0.25,
+      s"per-token KL should be ~size-free: $microB vs $microS")
+    val bB = rows("dbig").getAs[Long]("budget_toks")
+    val bS = rows("dsmall").getAs[Long]("budget_toks")
+    assert(bB > 0 && bS > 0, s"no underflow-collapsed budgets: $bB, $bS")
+    assert(math.abs(bB - bS).toDouble / math.max(bB, bS) < 0.1,
+      s"equal-distance domains get ~equal budgets regardless of size: $bB vs $bS")
+  }
+
   test("composed sampler never exceeds a domain's derived budget") {
     val out = DomainMixture.klMixtureSample(
       docs.union(Seq((3L, "a b a", "tgt"), (4L, "c b c", "web")).toDF(
