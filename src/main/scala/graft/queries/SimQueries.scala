@@ -2102,7 +2102,10 @@ object SimQueries {
     val inp = embeddings(spark, d).select($"vec_id", $"embedding")
       .join(sharedUnsupLists(spark, d, kmIters = 2), "vec_id")
     graft.similarity.Ann
-      .knnGraphRebalanced(inp, "vec_id", "embedding", "list", k = 3, nprobe = 2)
+      // the oracle replays EXACTLY one 2-way pass — fail loudly (not
+      // hash-diverge) if a regenerated corpus ever needs more
+      .knnGraphRebalanced(inp, "vec_id", "embedding", "list", k = 3, nprobe = 2,
+        assertPasses = 1)
       .orderBy($"qid", $"rank")
   }
 
@@ -2273,7 +2276,8 @@ object SimQueries {
     val inp = emb.select(col("vec_id"), col("embedding"))
       .join(sharedUnsupLists(spark, d, kmIters = 2), "vec_id")
     val g = graft.similarity.Ann.knnGraphRebalanced(
-      inp, "vec_id", "embedding", "list", k = 3, nprobe = 2)
+      // one 2-way pass pinned: m11c's oracle replays rebalanceCtes once
+      inp, "vec_id", "embedding", "list", k = 3, nprobe = 2, assertPasses = 1)
     val pairs = g
       .filter(col("mutual") === 1L && col("cosine") >= 0.3 && col("qid") < col("bid"))
       .select(col("qid").as("id_a"), col("bid").as("id_b"))

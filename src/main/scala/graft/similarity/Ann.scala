@@ -294,12 +294,18 @@ object Ann {
     * corpus the hot lists grow toward N and the build degrades toward
     * N²/L on exactly the vectors that probe them (round-11 stress:
     * 21× at ×10 corpora on frozen lists; 1.85× with a pre-split at
-    * −2.5 pp recall). [[Rebalance.splitLists]] passes run until every
-    * list fits the bound; the split costs O(over-full lists) —
-    * strictly less than the quadratic work it removes. Deterministic
-    * end-to-end (the split and the graph both carry the 6-dp/
-    * id-tiebreak discipline), so the composition is oracle-able —
-    * gate `e19c_knn_graph_rebalanced`.
+    * −2.5 pp recall). Split passes run until every list fits the
+    * bound; the split costs O(over-full lists) — strictly less than
+    * the quadratic work it removes. Each pass routes by the worst
+    * list's required fan-out k = ⌈max-list/target⌉: sparse drift
+    * (k ≤ 2) takes [[Rebalance.splitLists]]'s seeded 2-means (cheapest,
+    * geometry-respecting at k=2); uniform growth (k > 2) takes
+    * [[Rebalance.splitListsK]]'s one-pass k-way split — measured at
+    * ×10 uniform growth: 47.8 s vs the 2-way ladder's 62.6 s one-shot
+    * at equal-or-better recall (PLANS.md round-12 k-way row).
+    * Deterministic end-to-end (both split paths and the graph carry
+    * the 6-dp/id-tiebreak discipline), so the composition is
+    * oracle-able — gate `e19c_knn_graph_rebalanced`.
     *
     * `targetListSize` picks the bound: 0 (default) = relative, 21/20
     * of the CURRENT mean — the skew guard the gate pins (oracle-able
@@ -314,6 +320,12 @@ object Ann {
     * times (centroids, candidates, queries), and an un-severed split
     * lineage would re-execute the whole Lloyd chain per reference
     * (measured 4× the checkpointed wall at ×10).
+    *
+    * `assertPasses` > 0 makes the composition fail LOUDLY if the
+    * corpus needs more than that many split passes, or a k-way
+    * (k > 2) pass: the oracle gates replay EXACTLY one 2-way pass, so
+    * a corpus that outgrows that shape must error with the reason —
+    * not silently hash-diverge. Production callers leave it 0.
     */
   def knnGraphRebalanced(
       corpus: DataFrame,
@@ -323,7 +335,8 @@ object Ann {
       k: Int,
       nprobe: Int,
       targetListSize: Long = 0L,
-      maxPasses: Int = 8): DataFrame = {
+      maxPasses: Int = 8,
+      assertPasses: Int = 0): DataFrame = {
     val asn = corpus.select(col(idCol), col(listCol).cast("long").as(listCol))
     val r = asn.agg(count(lit(1)), countDistinct(col(listCol))).collect()(0)
     val (nTotal, nLists) = (r.getLong(0), r.getLong(1))
@@ -337,15 +350,32 @@ object Ann {
     var maxNow = cur.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
       .agg(max(col("__n"))).collect()(0).getLong(0)
     while (maxNow > maxSz && pass < maxPasses) {
-      cur = Rebalance.splitLists(
-        cur, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, listCol,
-        maxSz, newListOffset = offset, iters = 2)
+      val kMax = (maxNow + maxSz - 1) / maxSz
+      if (assertPasses > 0 && pass >= assertPasses)
+        throw new IllegalStateException(
+          s"knnGraphRebalanced: corpus needs a pass ${pass + 1} (max list " +
+            s"$maxNow > bound $maxSz) but the caller pinned $assertPasses — " +
+            "the oracle replays exactly that many; extend it before widening")
+      if (assertPasses > 0 && kMax > 2)
+        throw new IllegalStateException(
+          s"knnGraphRebalanced: corpus needs a k=$kMax split (max list " +
+            s"$maxNow > bound $maxSz) but the caller pinned a 2-way oracle")
+      cur = (if (kMax > 2)
+        Rebalance.splitListsK(
+          cur, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, listCol,
+          maxSz, newListOffset = offset, iters = 2)._1
+      else
+        Rebalance.splitLists(
+          cur, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, listCol,
+          maxSz, newListOffset = offset, iters = 2))
         .localCheckpoint(true)
       lastCkpt.unpersist()
       lastCkpt = cur
       maxNow = cur.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
         .agg(max(col("__n"))).collect()(0).getLong(0)
-      offset *= 2
+      // next pass's ids must clear this pass's: 2-way produced ids
+      // < 2·offset, a k-way pass ids < kMax·offset
+      offset *= math.max(2L, kMax)
       pass += 1
     }
     knnGraph(

@@ -82,8 +82,13 @@ object Rebalance {
     * list < newListOffset). Lloyd may leave a sub-list above target
     * (it balances geometry, not counts) — callers bounding worst-case
     * list size run one residual pass, same as the 2-way contract.
-    * Returns `(assignments, splitListCentroids)` like the servable
-    * form.
+    * DEGENERATE lists (every vector 6-dp-cosine-identical to the
+    * list's first-by-id vector) skip the Lloyd rounds and keep the
+    * balanced positional init: the (cosine DESC, sub ASC) argmax ties
+    * every identical row back to sub 0, which would undo the init and
+    * leave the list unsplit forever — the same non-progress the 2-way
+    * path's id-parity fallback closes. Returns
+    * `(assignments, splitListCentroids)` like the servable form.
     */
   def splitListsK(
       assignments: DataFrame,
@@ -103,10 +108,23 @@ object Rebalance {
       .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol), col(listCol), col("__n"), col("__k"), col(vecCol).as("__vec"))
     val wId = Window.partitionBy(col(listCol)).orderBy(col(idCol))
-    var cur = sv
+    val init = sv
       .withColumn("__r", row_number().over(wId))
       .select(col(idCol), col(listCol), col("__vec"),
         expr("((CAST(__r AS BIGINT) - 1) * __k) DIV __n").as("__sub"))
+    // Degenerate lists (min 6-dp cosine to the first-by-id vector is
+    // 1.0 ⇒ all vectors rounded-identical): Lloyd's tie-break would
+    // collapse every row to sub 0 — keep the balanced positional init.
+    val seedA = sv.withColumn("__r", row_number().over(wId)).filter(col("__r") === 1)
+      .select(col(listCol), col("__vec").as("__va"))
+    val degen = sv.join(broadcast(seedA), Seq(listCol))
+      .groupBy(col(listCol))
+      .agg(min(round(Ann.cosine(col("__vec"), col("__va")), 6)).as("__mc"))
+      .filter(col("__mc") >= 1.0).select(col(listCol))
+    val degInit = init.join(broadcast(degen), Seq(listCol))
+      .select(col(idCol), col(listCol), col("__vec"), col("__sub"))
+    var cur = init.join(broadcast(degen), Seq(listCol), "left_anti")
+      .select(col(idCol), col(listCol), col("__vec"), col("__sub"))
     (1 to iters).foreach { _ =>
       val cents = cur
         .select(col(listCol), col("__sub"), posexplode(col("__vec")).as(Seq("__pos", "__v")))
@@ -124,7 +142,7 @@ object Rebalance {
         .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
         .select(col(idCol), col(listCol), col("__vec"), col("__sub"))
     }
-    val moved = cur.select(col(idCol),
+    val moved = cur.unionByName(degInit).select(col(idCol),
       (col(listCol) + col("__sub") * lit(newListOffset)).as(listCol))
     val newAsn = asn.join(broadcast(split.select(col(listCol))), Seq(listCol), "left_anti")
       .select(col(idCol), col(listCol))

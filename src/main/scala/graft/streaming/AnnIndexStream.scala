@@ -143,11 +143,16 @@ object AnnIndexStream {
     * maintenance step, run between stream generations:
     *
     *   1. resolves the stacked index to its live rows;
-    *   2. splits every list over `maxListSize` with the deterministic
-    *      local 2-means ([[graft.similarity.Rebalance.splitListsServable]])
-    *      over the RAW vectors (`vectors` — in production the durable
-    *      drop source read back; only the split lists' vectors shuffle,
-    *      O(drift) not O(index));
+    *   2. splits every list over `maxListSize` over the RAW vectors
+    *      (`vectors` — in production the durable drop source read
+    *      back; only the split lists' vectors shuffle, O(drift) not
+    *      O(index)), routing by the worst list's required fan-out
+    *      k = ⌈max-list/maxListSize⌉: sparse drift (k ≤ 2) takes the
+    *      seeded 2-means ([[graft.similarity.Rebalance.splitListsServable]]),
+    *      uniform growth (k > 2) the one-pass k-way split
+    *      ([[graft.similarity.Rebalance.splitListsK]], measured 47.8 s
+    *      vs the 2-way ladder's 62.6 s at ×10 uniform growth) — the
+    *      same routing as `Ann.knnGraphRebalanced`;
     *   3. rewrites the compacted base under the NEW list ids, list-
     *      partitioned, with the same `op`/`batch` stacking contract as
     *      [[compact]] so later stream batches layer on top;
@@ -180,10 +185,20 @@ object AnnIndexStream {
     import spark.implicits.newLongEncoder
     val hiBatch = stacked.agg(max(col("batch"))).as[Long].head()
     val live = resolve(stacked, listCol)
-    val (newAsn, splitCents) = graft.similarity.Rebalance.splitListsServable(
-      live.select(col("vec_id"), col(listCol)),
-      vectors.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", listCol, maxListSize, newListOffset)
+    val maxNow = live.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).collect()(0).getLong(0)
+    val kMax = (maxNow + maxListSize - 1) / maxListSize
+    val (newAsn, splitCents) =
+      if (kMax > 2)
+        graft.similarity.Rebalance.splitListsK(
+          live.select(col("vec_id"), col(listCol)),
+          vectors.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", listCol, maxListSize, newListOffset)
+      else
+        graft.similarity.Rebalance.splitListsServable(
+          live.select(col("vec_id"), col(listCol)),
+          vectors.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", listCol, maxListSize, newListOffset)
     live.drop(listCol).join(newAsn, Seq("vec_id"))
       .select(col("vec_id"), col(listCol), col("codevec"))
       .withColumn("op", lit("u"))

@@ -96,6 +96,44 @@ class RebalanceSpec extends SparkSpec {
     assert(cents.select($"list").as[Long].collect().toSet == Set(0L, 1L, 2L))
   }
 
+  test("k-way split of an identical-vector list keeps the balanced positional init") {
+    // Lloyd's (cosine DESC, sub ASC) argmax ties every identical row
+    // back to sub 0, undoing the init — the degenerate fallback must
+    // keep the contiguous id-run split so the pass makes progress.
+    val rows = (0L until 20L).map(i => (i, Array(1.0f, 0.0f, 0.0f), 0L))
+    val df = rows.toDF("vec_id", "embedding", "list")
+    // 20 > 5 ⇒ k = 4 sub-lists
+    val (out, cents) = Rebalance.splitListsK(
+      df.select($"vec_id", $"list"), df.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", "list", maxListSize = 5L, newListOffset = 1L)
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got.size == 20)
+    // positional init: rank r (1-based by id) → sub ⌊(r−1)·4/20⌋
+    (0L until 20L).foreach(i => assert(got(i) == i / 5, s"vec $i"))
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == Map(0L -> 5, 1L -> 5, 2L -> 5, 3L -> 5), s"got $sizes")
+    assert(cents.select($"list").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("mixed pass: degenerate list splits positionally while a normal list splits by geometry") {
+    val rows =
+      (0L until 12L).map(i => (i, Array(0.0f, 0.0f, 1.0f), 0L)) ++      // degenerate
+      (100L until 106L).map(i => (i, Array(1.0f, 0.1f * (i % 3), 0.0f), 1L)) ++
+      (106L until 112L).map(i => (i, Array(-1.0f, 0.0f, 0.1f * (i % 3)), 1L)) // 2 clusters
+    val df = rows.toDF("vec_id", "embedding", "list")
+    // both lists over 6 ⇒ k = 2 each, via the k-way code path
+    val (out, _) = Rebalance.splitListsK(
+      df.select($"vec_id", $"list"), df.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", "list", maxListSize = 6L, newListOffset = 10L)
+    val got = out.as[(Long, Long)].collect().toMap
+    (0L until 6L).foreach(i => assert(got(i) == 0L, s"vec $i"))
+    (6L until 12L).foreach(i => assert(got(i) == 10L, s"vec $i"))
+    // the geometric list separates its clusters (init is already
+    // cluster-aligned by id runs; Lloyd preserves it)
+    (100L until 106L).foreach(i => assert(got(i) == 1L, s"vec $i"))
+    (106L until 112L).foreach(i => assert(got(i) == 11L, s"vec $i"))
+  }
+
   test("servable form: split-list centroids equal a from-scratch rebuild's") {
     val (asn, vecs) = mk()
     val (newAsn, splitCents) = Rebalance.splitListsServable(

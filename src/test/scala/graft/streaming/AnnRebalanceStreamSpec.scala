@@ -65,7 +65,14 @@ class AnnRebalanceStreamSpec extends SparkSpec {
     runStream(bootCents)
 
     // maintenance: with 300 live vectors in 2 lists, some list holds
-    // >= 150 — maxListSize 120 forces at least one split
+    // >= 150 — maxListSize 120 forces at least one split. The batch
+    // reference below replays the 2-WAY servable path, so pin that this
+    // corpus stays in rebalanceCompact's k <= 2 routing regime (a
+    // regenerated testdata drifting past 240-in-a-list must fail here,
+    // not as a silent composition mismatch).
+    val liveMax = spark.read.parquet(indexDir).groupBy($"list").count()
+      .agg(max($"count")).as[Long].head()
+    assert(liveMax <= 240L, s"worst list $liveMax would route k-way; update the reference")
     val (hiBatch, router) = AnnIndexStream.rebalanceCompact(
       spark, indexDir, compactDir, vecs, bootCents, "list",
       maxListSize = 120L, newListOffset = 2L)
@@ -122,5 +129,50 @@ class AnnRebalanceStreamSpec extends SparkSpec {
     assert(served.nonEmpty)
 
     frozenCents.unpersist(); bootCents.unpersist(); routerC.unpersist()
+  }
+
+  test("uniform growth routes maintenance through the one-pass k-way split") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+      .filter($"vec_id" < 300)
+    val vecs = emb.select($"vec_id", $"embedding")
+    val (_, cents) = Pq.trainSampled(emb, "vec_id", "embedding", dim, m, 16, iters = 2, sampleN = 100)
+    val bootCents = Ann.centroids(
+      emb.select(($"label" % 2).cast("long").as("list"), $"embedding"), "list", "embedding")
+
+    val dir = Files.createTempDirectory("annrebalk")
+    val indexDir = dir.resolve("index").toString
+    val compactDir = dir.resolve("base").toString
+    // a plain run-flavoured index: one packed batch, no lifecycle column
+    AnnIndexStream.packBatch(vecs, cents, bootCents, "list", dim, m)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=0")
+
+    // 300 vectors in 2 lists, target 60 ⇒ worst list ~150, k = 3:
+    // the k-way routing regime
+    val liveMax = spark.read.parquet(indexDir).groupBy($"list").count()
+      .agg(max($"count")).as[Long].head()
+    assert((liveMax + 59L) / 60L > 2L, s"corpus no longer forces k-way (max $liveMax)")
+    val (_, router) = AnnIndexStream.rebalanceCompact(
+      spark, indexDir, compactDir, vecs, bootCents, "list",
+      maxListSize = 60L, newListOffset = 2L)
+
+    // the compacted assignment equals a direct splitListsK composition
+    val p0 = AnnIndexStream.packBatch(vecs, cents, bootCents, "list", dim, m)
+    val (kAsn, kCents) = graft.similarity.Rebalance.splitListsK(
+      p0.select($"vec_id", $"list"), vecs, "vec_id", "embedding", "list",
+      maxListSize = 60L, newListOffset = 2L)
+    val reference = p0.drop("list").join(kAsn, "vec_id")
+      .select($"vec_id", $"list", $"codevec")
+    val base = spark.read.parquet(compactDir)
+    assert(key(base) == key(reference))
+    // a k >= 3 split actually happened (ids beyond the 2-way range)
+    val lists = base.select($"list").distinct().as[Long].collect().toSet
+    assert(lists.exists(_ >= 4L), s"no k-way split evident: lists $lists")
+    // the refreshed router covers every produced list id
+    val routerLists = router.select($"list").as[Long].collect().toSet
+    assert(lists.subsetOf(routerLists), s"router misses ${lists -- routerLists}")
+    // and carries the k-way pass's centroids for the touched set
+    val kc = kCents.select($"list").as[Long].collect().toSet
+    assert(kc.subsetOf(routerLists))
   }
 }
