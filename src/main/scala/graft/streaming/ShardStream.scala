@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** STREAMING training-shard layout — the ingestion end of the t37
+  * batch gate: curated documents arriving in micro-batches are DEALT
+  * round-robin to `numShards` training shards incrementally, each doc
+  * getting a (shard, pos_in_shard) slot the moment it arrives, with no
+  * re-scan of history. This is the delivery step a training-data
+  * pipeline runs continuously: the offline layout (t37) shuffles a
+  * frozen corpus by salted hash and deals by global rank; at ingestion
+  * the arrival sequence plays the rank's role — arrivals are already
+  * hash-shuffled by upstream curation, so dealing in arrival order
+  * preserves the layout's balance property (shard sizes never differ
+  * by more than one, pinned in `ShardStreamSpec`).
+  *
+  * The deal rides the same TWO-PASS shape as t37's rank
+  * ([[graft.operators.GlobalRank.withGlobalRankCounted]] within the
+  * micro-batch — no single-partition window) plus ONE broadcast base:
+  * the global sequence number is `docs dealt in prior batches` +
+  * `within-batch rank`, so state is ONE ROW PER BATCH (that batch's
+  * doc count), partitioned by batch and claimed with INSERT OVERWRITE
+  * — byte-idempotent crash replay, MSCK re-adoption across JVMs (the
+  * [[StateTables]] discipline).
+  *
+  * Equivalence contracts (`ShardStreamSpec`): when drops arrive in
+  * `doc_id` order the accumulated stream output is row-identical to
+  * [[batchDeal]] over the same arrival prefix, across a restart and a
+  * crash-replayed batch; and when arrivals come in t37's own salted
+  * md5 order the stream-dealt layout IS the t37 batch layout — the
+  * twin reproduces the offline shard deal exactly.
+  */
+object ShardStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("text", StringType)))
+
+  private def rankParts(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** The one deal definition both twins answer: global 0-based
+    * sequence by `doc_id` (arrival) order, `shard = seq % numShards`,
+    * `pos_in_shard = seq / numShards`.
+    */
+  def batchDeal(docs: DataFrame, numShards: Int): DataFrame =
+    deal(docs, numShards, baseSeq = 0L)._1
+
+  private def deal(docs: DataFrame, numShards: Int,
+                   baseSeq: Long): (DataFrame, Long) = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      graft.functions.Exprs.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val (ranked, total) = graft.operators.GlobalRank
+      .withGlobalRankCounted(toks, "__rk", rankParts(toks), col("doc_id"))
+    val seq = col("__rk") - 1 + baseSeq
+    (ranked.select(
+      col("doc_id"), col("source"), col("n_tokens"),
+      (seq % numShards).cast("long").as("shard"),
+      // seq and numShards are non-negative: % and / are exact here
+      (seq - seq % numShards).divide(numShards).cast("long").as("pos_in_shard")),
+      total)
+  }
+
+  /** Start the shard-deal stream over a JSONL drop dir. */
+  def run(
+      spark: SparkSession,
+      dropDir: String,
+      stateTable: String,
+      outDir: String,
+      checkpoint: String,
+      numShards: Int,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dropDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, stateTable, outDir, numShards)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One micro-batch: sequence base from prior batches' state rows,
+    * two-pass within-batch rank, deal, claim this batch's doc count.
+    */
+  def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateTable: String,
+      outDir: String,
+      numShards: Int): Unit = {
+    val ss = batch.sparkSession
+    ensureStateTable(ss, stateTable)
+    // drop files may be gone on a later replay; the batch feeds both
+    // the output write and the state claim
+    val docs = batch.select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(true)
+    val baseSeq = ss.table(stateTable)
+      .where(col("batch") < lit(batchId))
+      .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0)
+    val (out, total) = deal(docs, numShards, baseSeq)
+    out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    ss.range(1).select(lit(total).as("n_docs"))
+      .createOrReplaceTempView("__shard_state_claim")
+    ss.sql(
+      s"""INSERT OVERWRITE TABLE $stateTable PARTITION (batch = $batchId)
+         |SELECT n_docs FROM __shard_state_claim""".stripMargin)
+  }
+
+  /** Accumulated stream output over all batches. */
+  def results(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("shard"), col("pos_in_shard"))
+
+  private def ensureStateTable(spark: SparkSession, name: String): Unit =
+    StateTables.ensure(spark, name, "n_docs BIGINT, batch BIGINT")
+}

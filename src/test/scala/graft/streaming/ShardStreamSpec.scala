@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming twin of the t37 shard layout: arriving docs are dealt
+  * round-robin to training shards incrementally, the accumulated
+  * output is row-identical to the shared batch deal over the same
+  * arrival prefix (across a restart and a crash-replayed batch), shard
+  * sizes never diverge by more than one, and arrivals in t37's own
+  * salted-md5 order reproduce the t37 batch layout exactly.
+  */
+class ShardStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val K = 8
+
+  private def docsAll = graft.Tables.documents(spark, sfDir)
+    .select($"doc_id", $"source", $"text")
+
+  private def runStream(drop: String, state: String, out: String,
+                        ckpt: String): Unit = {
+    val q = ShardStream.run(spark, drop, state, out, ckpt, K)
+    try assert(q.awaitTermination(180000), "stream did not finish within 180 s")
+    finally q.stop()
+  }
+
+  private def jsonl(slice: Seq[(Long, String, String)]): String =
+    slice.toDF("doc_id", "source", "text")
+      .select(to_json(struct($"doc_id", $"source", $"text"))).as[String]
+      .collect().mkString("", "\n", "\n")
+
+  test("stream over doc_id-ordered drops equals the batch deal across a restart") {
+    val dir = Files.createTempDirectory("shardstream")
+    val drop = dir.resolve("drop"); Files.createDirectories(drop)
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val state = s"shardst_${dir.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")}"
+
+    val docs = docsAll.orderBy($"doc_id").as[(Long, String, String)].collect()
+    val cuts = Seq(0, docs.length / 3, 2 * docs.length / 3, docs.length)
+    Files.writeString(drop.resolve("d1.jsonl"), jsonl(docs.slice(cuts(0), cuts(1)).toSeq))
+    runStream(drop.toString, state, out, ckpt)
+    Files.writeString(drop.resolve("d2.jsonl"), jsonl(docs.slice(cuts(1), cuts(2)).toSeq))
+    Files.writeString(drop.resolve("d3.jsonl"), jsonl(docs.slice(cuts(2), cuts(3)).toSeq))
+    runStream(drop.toString, state, out, ckpt)
+
+    val got = ShardStream.results(spark, out).orderBy($"doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val want = ShardStream.batchDeal(docsAll, K).orderBy($"doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == want, "stream-dealt layout diverged from the batch deal")
+    // round-robin balance: shard sizes within one of each other, and
+    // every (shard, pos) slot is unique
+    val sizes = got.groupBy(_._4).view.mapValues(_.size).values.toSeq
+    assert(sizes.size == K && sizes.max - sizes.min <= 1, s"unbalanced: $sizes")
+    val slots = got.map(r => (r._4, r._5))
+    assert(slots.distinct.size == slots.size, "duplicate (shard, pos) slot")
+  }
+
+  test("replaying a micro-batch is idempotent after its state was written") {
+    val dir = Files.createTempDirectory("shardreplay")
+    val out = dir.resolve("out").toString
+    val state = s"shardrp_${dir.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")}"
+    val b0 = docsAll.where($"doc_id" < 100)
+    val b1 = docsAll.where($"doc_id" >= 100 && $"doc_id" < 250)
+    ShardStream.processBatch(b0, 0L, state, out, K)
+    ShardStream.processBatch(b1, 1L, state, out, K)
+    def snap() = spark.read.parquet(out)
+      .select($"doc_id", $"shard", $"pos_in_shard").orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val before = snap()
+    ShardStream.processBatch(b1, 1L, state, out, K)
+    assert(snap() == before, "replay changed the dealt layout")
+    assert(spark.table(state).count() == 2)
+  }
+
+  test("arrivals in t37's salted-md5 order reproduce the t37 batch layout") {
+    val dir = Files.createTempDirectory("shardt37")
+    val drop = dir.resolve("drop"); Files.createDirectories(drop)
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val state = s"shard37_${dir.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")}"
+
+    // t37's layout on the frozen corpus; its global md5-rank is
+    // recoverable as pos_in_shard * 8 + shard
+    val t37 = graft.SparkEntry.queries("t37_corpus_shards")(spark, sfDir)
+      .select($"doc_id", $"shard", $"pos_in_shard")
+      .as[(Long, Long, Long)].collect()
+    val origToRank = t37.map { case (id, sh, pos) => id -> (pos * 8 + sh) }.toMap
+    val rankToOrig = origToRank.map(_.swap)
+
+    // re-id the corpus so arrival (doc_id) order IS the md5 order
+    val reId = docsAll.as[(Long, String, String)].collect()
+      .map { case (id, src, text) => (origToRank(id) + 1, src, text) }
+      .sortBy(_._1)
+    val cuts = Seq(0, reId.length / 2, reId.length)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      Files.writeString(drop.resolve(s"d$i.jsonl"), jsonl(reId.slice(a, b).toSeq))
+    }
+    runStream(drop.toString, state, out, ckpt)
+
+    val got = ShardStream.results(spark, out)
+      .select($"doc_id", $"shard", $"pos_in_shard")
+      .as[(Long, Long, Long)].collect()
+      .map { case (newId, sh, pos) => (rankToOrig(newId - 1), sh, pos) }
+      .sortBy(_._1).toSeq
+    assert(got == t37.sortBy(_._1).toSeq,
+      "stream-dealt layout diverged from t37's batch layout")
+  }
+}
