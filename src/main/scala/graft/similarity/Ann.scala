@@ -294,18 +294,20 @@ object Ann {
     * corpus the hot lists grow toward N and the build degrades toward
     * N²/L on exactly the vectors that probe them (round-11 stress:
     * 21× at ×10 corpora on frozen lists; 1.85× with a pre-split at
-    * −2.5 pp recall). Split passes run until every list fits the
-    * bound; the split costs O(over-full lists) — strictly less than
-    * the quadratic work it removes. Each pass routes by the worst
-    * list's required fan-out k = ⌈max-list/target⌉: sparse drift
-    * (k ≤ 2) takes [[Rebalance.splitLists]]'s seeded 2-means (cheapest,
-    * geometry-respecting at k=2); uniform growth (k > 2) takes
-    * [[Rebalance.splitListsK]]'s one-pass k-way split — measured at
-    * ×10 uniform growth: 47.8 s vs the 2-way ladder's 62.6 s one-shot
-    * at equal-or-better recall (PLANS.md round-12 k-way row).
-    * Deterministic end-to-end (both split paths and the graph carry
-    * the 6-dp/id-tiebreak discipline), so the composition is
-    * oracle-able — gate `e19c_knn_graph_rebalanced`.
+    * −2.5 pp recall). The split routes by the worst list's required
+    * fan-out k = ⌈max-list/target⌉. SPARSE DRIFT (k ≤ 2, a few hot
+    * lists): [[Rebalance.splitLists]]'s seeded 2-means repeated until
+    * every list fits — O(drift) per pass, geometry-respecting seeds.
+    * UNIFORM GROWTH (k > 2, the corpus outgrew the list count): ONE
+    * [[Rebalance.splitListsK]] pass plus at most ONE 2-way residual,
+    * ACCEPTING residual overage — the ×10 measurement (47.8 s vs the
+    * 2-way ladder's 62.6 s one-shot, recall 0.965 vs 0.960, PLANS.md
+    * round-12/13 k-way rows) showed Lloyd's geometry-balanced
+    * (fewer, fatter) lists serve BETTER at equal probe width than a
+    * ladder that grinds every count under the bound. Deterministic
+    * end-to-end (both split paths and the graph carry the 6-dp/
+    * id-tiebreak discipline), so the composition is oracle-able —
+    * gate `e19c_knn_graph_rebalanced`.
     *
     * `targetListSize` picks the bound: 0 (default) = relative, 21/20
     * of the CURRENT mean — the skew guard the gate pins (oracle-able
@@ -349,34 +351,57 @@ object Ann {
     var pass = 0
     var maxNow = cur.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
       .agg(max(col("__n"))).collect()(0).getLong(0)
-    while (maxNow > maxSz && pass < maxPasses) {
-      val kMax = (maxNow + maxSz - 1) / maxSz
-      if (assertPasses > 0 && pass >= assertPasses)
-        throw new IllegalStateException(
-          s"knnGraphRebalanced: corpus needs a pass ${pass + 1} (max list " +
-            s"$maxNow > bound $maxSz) but the caller pinned $assertPasses — " +
-            "the oracle replays exactly that many; extend it before widening")
-      if (assertPasses > 0 && kMax > 2)
-        throw new IllegalStateException(
-          s"knnGraphRebalanced: corpus needs a k=$kMax split (max list " +
-            s"$maxNow > bound $maxSz) but the caller pinned a 2-way oracle")
-      cur = (if (kMax > 2)
-        Rebalance.splitListsK(
-          cur, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, listCol,
-          maxSz, newListOffset = offset, iters = 2)._1
-      else
-        Rebalance.splitLists(
-          cur, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, listCol,
-          maxSz, newListOffset = offset, iters = 2))
-        .localCheckpoint(true)
+    def recount(): Long = cur.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).collect()(0).getLong(0)
+    def ckpt(df: DataFrame): Unit = {
+      cur = df.localCheckpoint(true)
       lastCkpt.unpersist()
       lastCkpt = cur
-      maxNow = cur.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
-        .agg(max(col("__n"))).collect()(0).getLong(0)
-      // next pass's ids must clear this pass's: 2-way produced ids
-      // < 2·offset, a k-way pass ids < kMax·offset
-      offset *= math.max(2L, kMax)
-      pass += 1
+    }
+    val kInit = if (maxNow > maxSz) (maxNow + maxSz - 1) / maxSz else 1L
+    if (assertPasses > 0 && kInit > 2)
+      throw new IllegalStateException(
+        s"knnGraphRebalanced: corpus needs a k=$kInit split (max list " +
+          s"$maxNow > bound $maxSz) but the caller pinned a 2-way oracle")
+    if (kInit > 2) {
+      // UNIFORM GROWTH (the worst list needs a fan-out > 2): the
+      // measured production configuration is ONE k-way pass plus at
+      // most ONE 2-way residual pass, ACCEPTING any residual overage —
+      // Lloyd balances geometry, not counts, and the resulting fewer,
+      // fatter, better-shaped lists served BETTER at equal probe width
+      // (×10 probe: recall 0.965 vs 0.960 at ~2× lower split+build
+      // wall than the 2-way ladder that grinds every list under the
+      // bound; PLANS.md round-12/13 k-way rows).
+      ckpt(Rebalance.splitListsK(
+        cur, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, listCol,
+        maxSz, newListOffset = offset, iters = 2)._1)
+      offset *= kInit
+      maxNow = recount()
+      if (maxNow > maxSz) {
+        ckpt(Rebalance.splitLists(
+          cur, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, listCol,
+          maxSz, newListOffset = offset, iters = 2))
+        offset *= 2
+        maxNow = recount()
+      }
+    } else {
+      // SPARSE DRIFT (k <= 2 — a few hot lists): the seeded 2-way
+      // pass, repeated until every list fits the bound. A 2-way split
+      // of a list <= 2·maxSz can never need k > 2 later, so this
+      // branch stays 2-way by construction.
+      while (maxNow > maxSz && pass < maxPasses) {
+        if (assertPasses > 0 && pass >= assertPasses)
+          throw new IllegalStateException(
+            s"knnGraphRebalanced: corpus needs a pass ${pass + 1} (max list " +
+              s"$maxNow > bound $maxSz) but the caller pinned $assertPasses — " +
+              "the oracle replays exactly that many; extend it before widening")
+        ckpt(Rebalance.splitLists(
+          cur, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, listCol,
+          maxSz, newListOffset = offset, iters = 2))
+        maxNow = recount()
+        offset *= 2
+        pass += 1
+      }
     }
     knnGraph(
       corpus.drop(listCol).join(cur, idCol),
