@@ -979,7 +979,7 @@ object SimQueries {
     */
   private def unsupIvfPqOracleSql(
       dim: Int, m: Int, k: Int, iters: Int, sampleN: Int,
-      kmIters: Int, qMod: Int, topK: Int, nprobe: Int): String = {
+      kmIters: Int, qLt: Int, topK: Int, nprobe: Int): String = {
     s"""WITH ${kmeansCtes(kmIters, signInitSql)}
        |${pqSampledCtes(dim, m, k, iters, sampleN)}
        |cent AS (
@@ -987,7 +987,7 @@ object SimQueries {
        |  FROM flat f JOIN klists kl ON f.vec_id = kl.vec_id
        |  GROUP BY 1, 2
        |),
-       |qf AS (SELECT * FROM flat WHERE vec_id % $qMod = 0),
+       |qf AS (SELECT * FROM flat WHERE vec_id < $qLt),
        |qdots AS (
        |  SELECT qf.vec_id AS qid, cent.list,
        |         SUM(qf.v * cent.c) AS dot,
@@ -1005,7 +1005,7 @@ object SimQueries {
        |  WHERE pr <= $nprobe
        |),
        |lut AS (
-       |  SELECT vec_id AS qid, sub, code, dist AS qd FROM encd WHERE vec_id % $qMod = 0
+       |  SELECT vec_id AS qid, sub, code, dist AS qd FROM encd WHERE vec_id < $qLt
        |),
        |adc AS (
        |  SELECT p.qid, a.vec_id AS bid, CAST(SUM(lut.qd) AS BIGINT) AS adist
@@ -1270,11 +1270,15 @@ object SimQueries {
     * shape identical to e10 (broadcast centroids/LUT/probes, narrow
     * encode); the k-means build cost is e7's, amortized across every
     * query after — and battery-shared with e14 via
-    * [[sharedUnsupLists]].
+    * [[sharedUnsupLists]]. The query panel is the FIXED 200 lowest
+    * vec_ids (e14's panel — dense from 0 at every scale): the earlier
+    * `vec_id % 100` panel grew with the corpus, making the gate's eval
+    * N·(N/L) — 12× wall at ×10 corpora (PLANS.md round-10 stress) on
+    * what should be a linear-in-N gate.
     */
   val unsupIvfPq = Query("e13_ivf_pq_unsup",
     unsupIvfPqOracleSql(dim = 64, m = 32, k = 16, iters = 4, sampleN = 200,
-      kmIters = 2, qMod = 100, topK = 5, nprobe = 2)) { (spark, d) =>
+      kmIters = 2, qLt = 200, topK = 5, nprobe = 2)) { (spark, d) =>
     import spark.implicits._
     val emb = embeddings(spark, d)
     val lists = sharedUnsupLists(spark, d, kmIters = 2)
@@ -1285,7 +1289,7 @@ object SimQueries {
       .encode(emb, cents, "vec_id", "embedding", dim = 64, m = 32)
     graft.similarity.Pq
       .ivfAdcTopK(codes, cents, corpus,
-        queries = emb.filter($"vec_id" % 100 === 0),
+        queries = emb.filter($"vec_id" < 200),
         "vec_id", "embedding", "list", dim = 64, m = 32, k = 5, nprobe = 2)
       .orderBy($"qid", $"rank")
   }
@@ -1810,13 +1814,9 @@ object SimQueries {
        |ORDER BY f2.vec_id""".stripMargin) { (spark, d) =>
     import spark.implicits._
     val e = embeddings(spark, d)
-    val asn = e.select($"vec_id", $"label".cast("long").as("list"))
-    val (nTotal, nLists) = asn
-      .agg(count(lit(1)), countDistinct($"list")).as[(Long, Long)].head()
-    val maxSz = (21L * nTotal) / (20L * nLists)
-    val (newAsn, splitCents) = graft.similarity.Rebalance
-      .splitListsServable(asn, e.select($"vec_id", $"embedding"),
-        "vec_id", "embedding", "list", maxSz, newListOffset = nLists, iters = 2)
+    // e20 pins the split itself; this gate prices the ROUTER REFRESH +
+    // packed serving layout — the shared pass is battery-memoized.
+    val (newAsn, splitCents) = sharedRebalanceServable(spark, d)
     // Incremental router refresh: the pre-rebalance router (6-dp label
     // centroids) minus every list id the split touched, plus the split
     // pass's own final centroids — O(drift) replaced, never rebuilt.
@@ -2006,13 +2006,9 @@ object SimQueries {
        |ORDER BY qid, rank""".stripMargin) { (spark, d) =>
     import spark.implicits._
     val e = embeddings(spark, d)
-    val asn = e.select($"vec_id", $"label".cast("long").as("list"))
-    val (nTotal, nLists) = asn
-      .agg(count(lit(1)), countDistinct($"list")).as[(Long, Long)].head()
-    val maxSz = (21L * nTotal) / (20L * nLists)
-    val (newAsn, splitCents) = graft.similarity.Rebalance
-      .splitListsServable(asn, e.select($"vec_id", $"embedding"),
-        "vec_id", "embedding", "list", maxSz, newListOffset = nLists, iters = 2)
+    // e20 pins the split; this gate prices the served probe path over
+    // the rebalanced index — the shared pass is battery-memoized.
+    val (newAsn, splitCents) = sharedRebalanceServable(spark, d)
     val oldRouter = graft.similarity.Ann
       .centroids(e.select($"label".cast("long").as("list"), $"embedding"),
         "list", "embedding")
@@ -2183,10 +2179,9 @@ object SimQueries {
          |ORDER BY vec_id""".stripMargin
     }) { (spark, d) =>
     val emb = embeddings(spark, d)
-    val inp = emb.select(col("vec_id"), col("embedding"))
-      .join(sharedUnsupLists(spark, d, kmIters = 2), "vec_id")
-    val g = graft.similarity.Ann.knnGraph(
-      inp, "vec_id", "embedding", "list", k = 3, nprobe = 2)
+    // e19b pins the graph build; this gate prices the clustering over
+    // it — the edge table is battery-memoized.
+    val g = sharedGraph(spark, d, "learned")
     val pairs = g
       .filter(col("mutual") === 1L && col("cosine") >= 0.3 && col("qid") < col("bid"))
       .select(col("qid").as("id_a"), col("bid").as("id_b"))
@@ -2273,11 +2268,10 @@ object SimQueries {
          |ORDER BY vec_id""".stripMargin
     }) { (spark, d) =>
     val emb = embeddings(spark, d)
-    val inp = emb.select(col("vec_id"), col("embedding"))
-      .join(sharedUnsupLists(spark, d, kmIters = 2), "vec_id")
-    val g = graft.similarity.Ann.knnGraphRebalanced(
-      // one 2-way pass pinned: m11c's oracle replays rebalanceCtes once
-      inp, "vec_id", "embedding", "list", k = 3, nprobe = 2, assertPasses = 1)
+    // e19c pins the rebalanced build; this gate prices the clustering
+    // over it — the edge table is battery-memoized (one 2-way pass,
+    // assertPasses = 1, matching m11c's rebalanceCtes replay).
+    val g = sharedGraph(spark, d, "rebalanced")
     val pairs = g
       .filter(col("mutual") === 1L && col("cosine") >= 0.3 && col("qid") < col("bid"))
       .select(col("qid").as("id_a"), col("bid").as("id_b"))
@@ -2327,6 +2321,111 @@ object SimQueries {
       .select($"vec_id", $"max_cos",
         when($"max_cos" >= 0.3, 1L).otherwise(0L).as("contaminated"))
       .orderBy($"vec_id")
+  }
+
+  /** Battery-shared SERVABLE REBALANCE of the label lists (the
+    * [[sharedUnsupLists]] pattern): e20b and e20d both consume the
+    * same `splitListsServable(label lists, 21/20-of-mean)` pass — but
+    * their operators under test are the ROUTER REFRESH and the SERVED
+    * PROBE; the split itself is e20's gate, which keeps computing it
+    * directly. The corpus-sized assignment goes to temp parquet; the
+    * split-list centroids (O(drift) rows) are collected. Deterministic,
+    * so consumers are bit-identical to recomputation and every oracle
+    * still replays the full chain.
+    */
+  private val rebalMemo = scala.collection.concurrent.TrieMap[
+    String,
+    (String, (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]))]()
+
+  private def sharedRebalanceServable(
+      spark: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val dKey = s"$d|${graft.operators.Bucketing.suffix(spark, d)}"
+    val (asnPath, (cs, cr)) = rebalMemo.getOrElseUpdate(dKey, {
+      val e = embeddings(spark, d)
+      val asn = e.select($"vec_id", $"label".cast("long").as("list"))
+      val (nTotal, nLists) = asn
+        .agg(count(lit(1)), countDistinct($"list")).as[(Long, Long)].head()
+      val maxSz = (21L * nTotal) / (20L * nLists)
+      val (newAsn, splitCents) = graft.similarity.Rebalance
+        .splitListsServable(asn, e.select($"vec_id", $"embedding"),
+          "vec_id", "embedding", "list", maxSz, newListOffset = nLists, iters = 2)
+      val dir = graft.TempDirs.create("graft-rebal-asn-").toFile
+      newAsn.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      (dir.getAbsolutePath, (splitCents.schema, splitCents.collect().toSeq))
+    })
+    import scala.jdk.CollectionConverters._
+    (spark.read.parquet(asnPath), spark.createDataFrame(cr.asJava, cs))
+  }
+
+  /** Battery-shared kNN-graph edge tables: m11b/m11c's operator under
+    * test is the CLUSTERING — their graph INPUT is e19b/e19c's
+    * operator, which those gates keep computing directly. Corpus×k
+    * rows, so temp parquet ([[sharedUnsupLists]] rule). Deterministic
+    * end-to-end; the m11 oracles replay the full graph chain in SQL.
+    */
+  private val graphMemo = scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  private def sharedGraph(
+      spark: org.apache.spark.sql.SparkSession, d: String, variant: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dKey = s"$d|${graft.operators.Bucketing.suffix(spark, d)}"
+    val path = graphMemo.getOrElseUpdate((dKey, variant), {
+      val emb = embeddings(spark, d)
+      val inp = emb.select(col("vec_id"), col("embedding"))
+        .join(sharedUnsupLists(spark, d, kmIters = 2), "vec_id")
+      val g = variant match {
+        case "learned" => graft.similarity.Ann
+          .knnGraph(inp, "vec_id", "embedding", "list", k = 3, nprobe = 2)
+        case _ => graft.similarity.Ann
+          .knnGraphRebalanced(inp, "vec_id", "embedding", "list", k = 3, nprobe = 2,
+            assertPasses = 1)
+      }
+      val dir = graft.TempDirs.create(s"graft-knngraph-$variant-").toFile
+      g.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      dir.getAbsolutePath
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Build every battery-shared memo this module owns (Bench warm-up
+    * hook): the learned-list table, the 200-query exact-GT panel, both
+    * PQ codebooks, the residual codebook, the servable rebalance pass,
+    * and both kNN-graph edge tables. A budget-limited bench pass then
+    * prices GATES, not memo construction — the round-12 driver
+    * artifact's lone 420 s pass spent most of its 877 s on exactly
+    * these builds. The list memo builds first (both graphs consume
+    * it); the rest build CONCURRENTLY (independent keys, so no
+    * duplicated getOrElseUpdate work; Spark schedules the jobs FIFO
+    * across the shared local pool). Each build is individually
+    * guarded: a broken memo must degrade its own gates, not kill the
+    * bench.
+    */
+  def warmMemos(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def guarded(name: String)(build: => Any): Future[Unit] = Future {
+      try { build; () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] MEMO WARMUP FAILED sim/$name: ${e.getMessage}")
+      }
+    }
+    Await.result(guarded("unsup-lists")(
+      sharedUnsupLists(spark, d, kmIters = 2).count()), 30.minutes)
+    Await.result(Future.sequence(Seq(
+      guarded("exact-gt-panel")(exactTop1Panel(spark, d, 200).count()),
+      guarded("pq-cents-full")(
+        sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = -1)),
+      guarded("pq-cents-sampled")(
+        sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)),
+      guarded("residual-cents")(
+        sharedResidual(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)),
+      guarded("rebalance-servable")(sharedRebalanceServable(spark, d)._1.count()),
+      guarded("graph-learned")(sharedGraph(spark, d, "learned").count()),
+      guarded("graph-rebalanced")(sharedGraph(spark, d, "rebalanced").count()))),
+      30.minutes)
   }
 
   val all: Seq[Query] = Seq(
