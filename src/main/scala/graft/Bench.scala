@@ -192,6 +192,29 @@ object Bench {
         System.err.println(s"[bench] WARMUP FAILED for posify: ${e.getMessage}")
       }
     warmPos()
+    // Cross-gate memo warm-up (default ON; SPARK_GRAFT_BENCH_MEMO_WARMUP=0
+    // to skip): build the battery-shared memos — learned lists, exact-GT
+    // panels, PQ/residual codebooks, MinHash signatures, span table —
+    // BEFORE pass 1, so a budget-limited run prices gates instead of memo
+    // construction. The round-12 driver artifact's lone 420 s-budget pass
+    // read 877 s with "cold_pass": most of the excess was these builds
+    // charged to whichever gate hit each memo first. The warm-up is
+    // inside elapsed(), so the pass-2 budget gate accounts for its cost.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_MEMO_WARMUP", "1") == "1") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val ms = System.nanoTime()
+      // The three modules' memos are independent — build them as
+      // concurrent Spark jobs (FIFO over the shared local pool; the
+      // small builds fill the cores one alone would leave idle).
+      Await.result(Future.sequence(Seq(
+        Future(graft.queries.SimQueries.warmMemos(spark, sfDir)),
+        Future(graft.queries.DedupQueries.warmMemos(spark, sfDir)),
+        Future(graft.queries.TextQueries.warmMemos(spark, sfDir)))), 30.minutes)
+      System.err.println(
+        f"[bench] memo warm-up done in ${(System.nanoTime() - ms) / 1e9}%.2fs")
+    }
     // Median of N timed runs per query — taken across N FULL BATTERY
     // PASSES, not N consecutive runs. The shared bench host sees
     // multi-minute external contention windows (observed: one ~6 min
@@ -340,11 +363,19 @@ object Bench {
     var lastPass = 0.0
     var pass = 0
     // Always run pass 1; each further pass starts only if its projected
-    // finish (last pass wall + 15% headroom) fits the budget. A battery
-    // that would have been killed at the driver's timeout instead exits
-    // cleanly with however many passes fit — with the JSON line already
-    // printed after each one.
-    while (pass < iters && (pass == 0 || elapsed() + lastPass * 1.15 < budget)) {
+    // finish fits the budget. Pass 2 is projected at 0.7× pass 1's wall
+    // (+15% headroom): pass 1 is the COLD pass — it pays per-gate
+    // JIT/codegen that pass 2 provably does not (measured warm/cold
+    // ≈ 0.67–0.7 across rounds 9–13; this round 209 s cold → ~140 s
+    // warm on the same host window). Later passes project at their
+    // predecessor's wall (warm ≈ warm). An overrun is bounded by
+    // emit-after-every-pass: the JSON line and tripwire of every
+    // COMPLETED pass are already on disk, so a driver kill mid-pass
+    // costs only that pass. A battery that would have been killed at
+    // the driver's timeout instead exits cleanly with however many
+    // passes fit.
+    def projectedNext(): Double = lastPass * (if (pass == 1) 0.7 else 1.0) * 1.15
+    while (pass < iters && (pass == 0 || elapsed() + projectedNext() < budget)) {
       // Reset accumulated state between passes: gate-internal caches
       // (t4's shingle cache, MLlib leftovers) and evicted/fragmented
       // storage otherwise make later passes measure cache-manager and

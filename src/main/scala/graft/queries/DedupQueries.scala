@@ -1505,6 +1505,21 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Build the battery-shared memos this module owns (Bench warm-up
+    * hook): the MinHash signature table and m9's exact-Jaccard pair
+    * ground truth. See `SimQueries.warmMemos`.
+    */
+  def warmMemos(spark: org.apache.spark.sql.SparkSession, d: String): Unit =
+    Seq[(String, () => Any)](
+      "minhash-signatures" -> (() => sharedSignatures(spark, d).count()),
+      "jaccard-gt-pairs" -> (() => sharedJaccardPairs(spark, d).count()))
+      .foreach { case (name, build) =>
+        try build()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] MEMO WARMUP FAILED dedup/$name: ${e.getMessage}")
+        }
+      }
+
   val all: Seq[Query] = Seq(
     minhashSignatures, lshCandidates, lshRecallCurve, onlineNearDup, onlineCuration,
     simhashFingerprints, simhashPairs,

@@ -2227,6 +2227,16 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Build the battery-shared memo this module owns (Bench warm-up
+    * hook): t15/t17's duplicated-span table. See
+    * `SimQueries.warmMemos`.
+    */
+  def warmMemos(spark: org.apache.spark.sql.SparkSession, d: String): Unit =
+    try sharedSpans(spark, d).count()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] MEMO WARMUP FAILED text/spans: ${e.getMessage}")
+    }
+
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
     tfIdfTerms, curationBudget, chunkWindows, repetitionProfile, piiScrub,
