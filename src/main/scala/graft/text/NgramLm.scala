@@ -220,4 +220,44 @@ object NgramLm {
         col("score_micro"), col("ppl_bucket"))
       .withColumn("kept", when(col("ppl_bucket") <= 2, 1L).otherwise(0L))
   }
+
+  /** The APPROX-CUTOFF alternative to [[perplexityBuckets]] — the other
+    * leg of the "global ranked cut at scale" recipe (PLANS.md round-13
+    * section has the measured A/B):
+    *
+    *   - [[perplexityBuckets]] (two-pass `GlobalRank`): EXACT NTILE
+    *     semantics — deterministic bucket sizes, oracle-able bit-for-bit
+    *     — at the cost of one range shuffle of the doc-score relation.
+    *     Use when bucket populations must be exact (a gate, a fixed
+    *     keep-quota) or downstream consumes the rank itself.
+    *   - this variant: tercile CUTOFF VALUES from one
+    *     `approx_percentile` scalar aggregate (a broadcast-sized
+    *     result), then a codegen'd when-chain on the existing
+    *     partitioning — ZERO additional shuffle, but bucket sizes drift
+    *     by the sketch error and ties land whole in one bucket. Use
+    *     when the cut is a quality threshold (CCNet's actual use) and
+    *     ±ε boundary drift is acceptable.
+    *
+    * Both legs keep the corpus un-reshuffled; neither sorts through a
+    * single partition.
+    */
+  def perplexityBucketsApprox(docs: DataFrame, idCol: String, textCol: String,
+                              sourceCol: String, refSource: String,
+                              accuracy: Int = 10000): DataFrame = {
+    val lm = train(docs.where(col(sourceCol) === refSource), idCol, textCol)
+    val perDoc = scoreDocs(docs, lm, idCol, textCol)
+      .withColumn("__ppl", col("score_micro").cast("double") / col("n_toks"))
+      .localCheckpoint(true) // consumed twice: cutoff agg + bucket assign
+    val cuts = perDoc
+      .agg(expr(s"approx_percentile(__ppl, array(1.0D/3, 2.0D/3), $accuracy)"))
+      .head().getSeq[Double](0)
+    perDoc
+      .select(
+        col("doc_id"), col("n_toks"), col("n_tri"), col("n_bi"), col("n_uni"),
+        col("score_micro"),
+        when(col("__ppl") <= cuts(0), 1L)
+          .when(col("__ppl") <= cuts(1), 2L)
+          .otherwise(3L).as("ppl_bucket"))
+      .withColumn("kept", when(col("ppl_bucket") <= 2, 1L).otherwise(0L))
+  }
 }

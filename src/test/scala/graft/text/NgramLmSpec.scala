@@ -79,19 +79,23 @@ class NgramLmSpec extends SparkSpec {
       assert(out(id).getAs[Long]("logratio_micro") == sr(id) - st(id))
   }
 
-  test("two-pass ranked cuts equal the window form on LM scores (120-doc corpus)") {
-    // A corpus big enough that terciles/budget cut spread across many
-    // range partitions: deterministic word soup over a 12-word vocab,
-    // `src0` = the cleanest third.
+  // A corpus big enough that terciles/budget cut spread across many
+  // range partitions: deterministic word soup over a 12-word vocab,
+  // `src0` = the cleanest third.
+  private def soup120 = {
     val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
       "eta", "theta", "iota", "kappa", "lam", "mu")
-    val corpus = (0L until 120L).map { i =>
+    (0L until 120L).map { i =>
       val len = 5 + (i % 7).toInt
       val text = (0 until len)
         .map(j => words(((i * 31 + j * (1 + (i % 5))) % words.length).toInt))
         .mkString(" ")
       (i, text, if (i % 3 == 0) "src0" else "web")
     }.toDF("doc_id", "text", "source")
+  }
+
+  test("two-pass ranked cuts equal the window form on LM scores (120-doc corpus)") {
+    val corpus = soup120
 
     // Terciles: two-pass NTILE ≡ the window NTILE on the same scores.
     val lm = NgramLm.train(corpus.where($"source" === "src0"), "doc_id", "text")
@@ -122,6 +126,26 @@ class NgramLmSpec extends SparkSpec {
     val kept = sel.select($"cum_toks", $"kept").as[(Long, Long)].collect()
     assert(kept.forall { case (c, k) => (c <= 300L) == (k == 1L) })
     assert(kept.exists(_._2 == 1L) && kept.exists(_._2 == 0L))
+  }
+
+  test("approx-percentile cut tracks the exact NTILE terciles (the recipe's other leg)") {
+    val corpus = soup120
+    val exact = NgramLm
+      .perplexityBuckets(corpus, "doc_id", "text", "source", "src0")
+      .select($"doc_id", $"ppl_bucket").as[(Long, Long)].collect().toMap
+    val approx = NgramLm
+      .perplexityBucketsApprox(corpus, "doc_id", "text", "source", "src0")
+      .select($"doc_id", $"ppl_bucket", $"kept").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // all three buckets live, kept consistent with the bucket
+    assert(approx.map(_._2).toSet == Set(1L, 2L, 3L))
+    assert(approx.forall { case (_, b, k) => (b <= 2) == (k == 1L) })
+    // value-cut vs rank-cut may only disagree at boundaries (ties /
+    // sketch error): sizes within a few docs of 40/40/40, high agreement
+    val sizes = approx.groupBy(_._2).view.mapValues(_.size).toMap
+    sizes.values.foreach(s => assert(math.abs(s - 40) <= 4, s"sizes $sizes"))
+    val agree = approx.count { case (id, b, _) => exact(id) == b }
+    assert(agree >= 108, s"agreement $agree/120") // >= 90%
   }
 
   test("terciles order by avg nats: reference doc is head, noise is tail") {
