@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Scale measurement for the FULL-CORPUS suffix-array build (the sa1/
+  * sa2 gates run fixed slices; this is the ×10 stress row): wall and
+  * shuffle volume of [[graft.text.SuffixArray.build]] (doubling to
+  * full rank distinctness) and `prefixGroups(32)` (5 fixed rounds)
+  * over every document at the given scale.
+  *
+  * Usage: runMain graft.tools.SuffixArrayProbe [sfDir]
+  */
+object SuffixArrayProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val write = new AtomicLong
+    val read = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        write.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+      }
+    })
+
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).cache()
+    val nDocs = docs.count()
+
+    def timed(tag: String)(f: => Long): Unit = {
+      write.set(0); read.set(0)
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      println(f"""{"probe":"$tag","n_docs":$nDocs,"rows":$rows,"sec":$sec%.2f,"shuffle_write_mb":${write.get / 1e6}%.1f,"shuffle_read_mb":${read.get / 1e6}%.1f,"sf":"$sfDir"}""")
+    }
+
+    timed("prefix_groups_32_full") {
+      graft.text.SuffixArray.prefixGroups(docs, "doc_id", "text", 32)
+        .filter(col("grp_size") > 1).count()
+    }
+    timed("suffix_array_full") {
+      graft.text.SuffixArray.build(docs, "doc_id", "text").count()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,109 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the prefix-doubling suffix array against a literal suffix sort
+  * of the SEP-joined corpus string: exact ranks on plain text, with
+  * duplicated documents (long repeats — many doubling rounds), across
+  * document fences, on non-BMP codepoints (positions are codepoints,
+  * never UTF-16 units), and the fixed-window duplicated-prefix groups
+  * against a brute-force window census.
+  */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: sort all suffixes of docs.sorted.mkString(SEP) + SEP,
+    * return (doc_id, pos, gid, sa_rank) for text positions.
+    */
+  private def bruteSa(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long)] = {
+    val sep = new String(Character.toChars(SuffixArray.Sep))
+    val s = docs.sortBy(_._1).map(_._2).mkString("", sep, sep)
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    // rank of each position's suffix under codepoint-array comparison
+    val order = (0 until n).sortWith { (a, b) =>
+      var i = 0
+      while (a + i < n && b + i < n && cps(a + i) == cps(b + i)) i += 1
+      if (a + i == n) true else if (b + i == n) false else cps(a + i) < cps(b + i)
+    }
+    val rank = new Array[Long](n)
+    order.zipWithIndex.foreach { case (p, r) => rank(p) = r + 1L }
+    // map gid -> (doc, pos)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var gid = 1L
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      val len = t.codePointCount(0, t.length)
+      (1L to len).foreach { p => out += ((id, p, gid + p - 1, rank((gid + p - 2).toInt))) }
+      gid += len + 1
+    }
+    out.toSeq
+  }
+
+  private def spark2(docs: Seq[(Long, String)]) =
+    SuffixArray.build(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy($"doc_id", $"pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("suffix array equals the literal suffix sort (plain text across fences)") {
+    val docs = Seq((0L, "banana"), (1L, "bandana"), (2L, "an"))
+    assert(spark2(docs) == bruteSa(docs).sortBy(r => (r._1, r._2)))
+  }
+
+  test("duplicated documents (corpus-length repeats) still converge to exact ranks") {
+    // identical docs force deep doubling: suffix pairs agree until the
+    // corpus tail differentiates them
+    val docs = Seq((0L, "the quick brown fox jumps"), (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"), (3L, "unrelated tail"))
+    assert(spark2(docs) == bruteSa(docs).sortBy(r => (r._1, r._2)))
+  }
+
+  test("non-BMP codepoints count as one position and order by codepoint") {
+    val docs = Seq((0L, "a😀b"), (1L, "a😁"), (2L, "ab"))
+    val got = spark2(docs)
+    assert(got == bruteSa(docs).sortBy(r => (r._1, r._2)))
+    // the emoji is ONE position: doc 0 has 3 positions, not 4
+    assert(got.count(_._1 == 0L) == 3)
+  }
+
+  test("prefixGroups at a power-of-two window equals the brute-force window census") {
+    val docs = Seq(
+      (0L, "abcdabcdabcd xyz"), (1L, "abcdabcd pqr"), (2L, "no repeats here!"))
+    val sep = new String(Character.toChars(SuffixArray.Sep))
+    val s = docs.map(_._2).mkString("", sep, sep)
+    val cps = s.codePoints().toArray
+    val windows = (0 until cps.length)
+      .map(i => cps.slice(i, math.min(cps.length, i + 4)).toSeq)
+    val counts = windows.groupBy(identity).view.mapValues(_.size).toMap
+    val got = SuffixArray
+      .prefixGroups(docs.toDF("doc_id", "text"), "doc_id", "text", prefixLen = 4)
+      .orderBy($"doc_id", $"pos")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // group size per position == brute-force count of its 4-cp window
+    var gidIdx = 0
+    docs.foreach { case (id, t) =>
+      val len = t.codePointCount(0, t.length)
+      (1 to len.toInt).foreach { p =>
+        val row = got.find(r => r._1 == id && r._2 == p).get
+        assert(row._5 == counts(windows(gidIdx)).toLong,
+          s"doc $id pos $p: got ${row._5}, want ${counts(windows(gidIdx))}")
+        gidIdx += 1
+      }
+      gidIdx += 1 // the SEP position
+    }
+    // and groups partition consistently: same grp ⇔ same window
+    val byGrp = got.groupBy(_._4).values
+    byGrp.foreach { rows =>
+      val wins = rows.map(r => windows((r._3 - 1).toInt)).distinct
+      assert(wins.size == 1, s"group mixes windows: $wins")
+    }
+    assert(got.exists(_._5 > 1) && got.exists(_._5 == 1L))
+  }
+
+  test("prefixLen must be a power of two") {
+    intercept[IllegalArgumentException] {
+      SuffixArray.prefixGroups(Seq((0L, "abc")).toDF("doc_id", "text"),
+        "doc_id", "text", prefixLen = 6)
+    }
+  }
+}
