@@ -2094,6 +2094,163 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** t34b — ONLINE DSIR selection, the batch pin of
+    * [[graft.streaming.DsirStream.batchSelection]] (the shared
+    * definition both the stream and this gate answer): every doc is
+    * scored under BOTH LMs in one fused scan (t34's chain), gated on
+    * the log-ratio against a FROZEN boundary (production: the ratio at
+    * the offline t34 cut), and ratio-passing docs consume a token
+    * budget in ARRIVAL (`doc_id`) order — prefix-truncation over
+    * stage-2 entrants, the ingestion-time semantics t34's offline
+    * ratio-ranked cut cannot have. The running cut rides the two-pass
+    * `GlobalRank.withGlobalPrefixSum`; the oracle replays dual scoring
+    * → ratio gate → the arrival-order running sum. Constants keep all
+    * three decision classes live at every test scale.
+    */
+  val dsirOnline = Query(
+    "t34b_dsir_online",
+    s"""WITH ctx AS MATERIALIZED (
+       |  SELECT doc_id, pos, tok,
+       |         lag(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+       |         lag(tok,2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+       |               generate_subscripts(string_split(text,' '),1) AS pos
+       |        FROM documents)),
+       |${dsirScoredSql("tgt", "WHERE source='src0'")},
+       |${dsirScoredSql("raw", "")},
+       |weighted AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source, t.n_toks, t.score_micro AS score_tgt_micro,
+       |         r.score_micro AS score_raw_micro,
+       |         r.score_micro - t.score_micro AS logratio_micro
+       |  FROM per_doc_tgt t JOIN per_doc_raw r ON t.doc_id = r.doc_id
+       |  JOIN documents d ON d.doc_id = t.doc_id),
+       |passing AS MATERIALIZED (
+       |  SELECT doc_id, SUM(n_toks) OVER (ORDER BY doc_id) AS cum_toks
+       |  FROM weighted WHERE logratio_micro >= -25000000)
+       |SELECT w.doc_id, w.source, CAST(w.n_toks AS BIGINT) AS n_toks,
+       |       CAST(w.score_tgt_micro AS BIGINT) AS score_tgt_micro,
+       |       CAST(w.score_raw_micro AS BIGINT) AS score_raw_micro,
+       |       CAST(w.logratio_micro AS BIGINT) AS logratio_micro,
+       |       CASE WHEN w.logratio_micro < -25000000 THEN 'reject_ratio'
+       |            WHEN p.cum_toks <= 2000 THEN 'admitted'
+       |            ELSE 'reject_budget' END AS decision,
+       |       CAST(p.cum_toks AS BIGINT) AS cum_toks
+       |FROM weighted w LEFT JOIN passing p ON p.doc_id = w.doc_id
+       |ORDER BY w.doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val docs = documents(spark, d).select($"doc_id", $"source", $"text")
+    val lmT = graft.text.NgramLm.train(docs.where($"source" === "src0"), "doc_id", "text")
+    val lmR = graft.text.NgramLm.train(docs, "doc_id", "text")
+    graft.streaming.DsirStream
+      .batchSelection(docs, lmT, lmR, minLogratioMicro = -25000000L, budgetToks = 2000L)
+      .orderBy($"doc_id")
+  }
+
+  /** t38 — ARRIVAL-ORDER shard deal, the batch pin of
+    * [[graft.streaming.ShardStream.batchDeal]] (shared by the stream
+    * twin): global 0-based sequence by `doc_id`, `shard = seq % 8`,
+    * `pos_in_shard = seq / 8` — t37's layout semantics at ingestion
+    * time, where the arrival sequence plays the salted-md5 rank's
+    * role. Rides the two-pass `GlobalRank.withGlobalRankCounted`.
+    */
+  val shardDealOnline = Query(
+    "t38_shard_deal_online",
+    """SELECT doc_id, source,
+      |       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+      |       CAST((rn - 1) % 8 AS BIGINT) AS shard,
+      |       CAST((rn - 1) // 8 AS BIGINT) AS pos_in_shard
+      |FROM (SELECT doc_id, source, text,
+      |             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.streaming.ShardStream
+      .batchDeal(documents(spark, d).select($"doc_id", $"source", $"text"), numShards = 8)
+      .orderBy($"doc_id")
+  }
+
+  /** sa1 — DISTRIBUTED SUFFIX ARRAY ([[graft.text.SuffixArray.build]],
+    * prefix doubling): the exact-substring-dedup backbone (Lee et al.
+    * 2022 build one over the whole training corpus) as O(log
+    * longest-repeat) rounds of linear shuffles + two-pass ranks — never
+    * a single-partition sort, never a materialized corpus string. The
+    * gate pins the FULL suffix array of a fixed 50-doc slice (bounded
+    * at every scale so the oracle's literal suffix sort stays cheap;
+    * the full-corpus build is the ×10 stress row): every (doc, pos)'s
+    * lexicographic rank over the SEP-joined slice, hash-exact vs
+    * DuckDB's direct `ORDER BY substr(s, i)` enumeration.
+    */
+  val suffixArraySlice = Query(
+    "sa1_suffix_array",
+    """WITH d AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 50),
+      |cat AS MATERIALIZED (
+      |  SELECT string_agg(text, chr(1) ORDER BY doc_id) || chr(1) AS s FROM d),
+      |offs AS MATERIALIZED (
+      |  SELECT doc_id, length(text) AS n,
+      |         SUM(length(text) + 1) OVER (ORDER BY doc_id) - length(text) - 1 AS off
+      |  FROM d),
+      |sufs AS MATERIALIZED (
+      |  SELECT i AS gid,
+      |         ROW_NUMBER() OVER (ORDER BY substr(s, CAST(i AS INTEGER)), i) AS sa_rank
+      |  FROM cat, UNNEST(range(1, length(s) + 1)) AS t(i))
+      |SELECT o.doc_id, CAST(g.gid - o.off AS BIGINT) AS pos,
+      |       CAST(g.gid AS BIGINT) AS gid, CAST(g.sa_rank AS BIGINT) AS sa_rank
+      |FROM sufs g JOIN offs o ON g.gid > o.off AND g.gid <= o.off + o.n
+      |ORDER BY o.doc_id, pos""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.text.SuffixArray
+      .build(documents(spark, d).where($"doc_id" < 50), "doc_id", "text")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** sa2 — duplicated-prefix census
+    * ([[graft.text.SuffixArray.prefixGroups]]): stop the doubling at a
+    * fixed 32-codepoint window and census, per document, the positions
+    * whose 32-prefix of the corpus string occurs elsewhere — the
+    * char-level exact counterpart of t15's duplicated k-grams, derived
+    * from the SA machinery (5 convergence-free rounds). Windows cross
+    * document fences by construction (the SEP codepoint is part of the
+    * string); both sides replay the same enumeration. The gate input is
+    * a FIXED 500-doc slice (the whole corpus at sf0.001/0.01, bounded
+    * at every scale — the e13 panel lesson); the full-corpus build is
+    * the ×10 stress row.
+    */
+  val dupPrefixCensus = Query(
+    "sa2_dup_prefix_census",
+    """WITH d AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      |cat AS MATERIALIZED (
+      |  SELECT string_agg(text, chr(1) ORDER BY doc_id) || chr(1) AS s FROM d),
+      |offs AS MATERIALIZED (
+      |  SELECT doc_id, length(text) AS n,
+      |         SUM(length(text) + 1) OVER (ORDER BY doc_id) - length(text) - 1 AS off
+      |  FROM d),
+      |twins AS MATERIALIZED (
+      |  SELECT o.doc_id, substr(s, CAST(o.off + i AS INTEGER), 32) AS w
+      |  FROM offs o, UNNEST(range(1, o.n + 1)) AS t(i), cat),
+      |seps AS MATERIALIZED (
+      |  SELECT substr(s, CAST(o.off + o.n + 1 AS INTEGER), 32) AS w FROM offs o, cat),
+      |grps AS MATERIALIZED (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT w FROM twins UNION ALL SELECT w FROM seps) GROUP BY w),
+      |dupdoc AS MATERIALIZED (
+      |  SELECT t.doc_id, COUNT(*) AS n_dup
+      |  FROM twins t JOIN grps g USING (w) WHERE g.c > 1 GROUP BY t.doc_id)
+      |SELECT o.doc_id, CAST(o.n AS BIGINT) AS n_pos,
+      |       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup32
+      |FROM offs o LEFT JOIN dupdoc d USING (doc_id)
+      |ORDER BY o.doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.text.SuffixArray
+      .prefixGroups(documents(spark, d).where($"doc_id" < 500), "doc_id", "text",
+        prefixLen = 32)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when($"grp_size" > 1, 1L).otherwise(0L)).as("n_dup32"))
+      .orderBy($"doc_id")
+  }
+
   /** Shared CTE chain of t35/t36: per-source add-1-smoothed unigram KL
     * vs the `src0` target slice, in exact scaled micro-nats, then
     * inverse-KL integer budgets over an 8000-token total (see
@@ -2246,5 +2403,6 @@ object TextQueries {
     dedupBucketedDocs, streamQuality, gopherQuality, mixtureBudget,
     qualityModel, onlineBudget, bpePairStats, bpeMergeSequence, bpeEncodeCorpus,
     bpeVocabGate, bpePackCorpus, corpusCensus, lmPerplexity, dsirSelection,
-    domainKlWeights, klMixture, corpusShards)
+    dsirOnline, domainKlWeights, klMixture, corpusShards, shardDealOnline,
+    suffixArraySlice, dupPrefixCensus)
 }
