@@ -51,13 +51,24 @@ class PlanAuditSpec extends SparkSpec {
     "t36_kl_mixture" -> ((true, true, false, true)),
     // t37's final plan reads the checkpointed range-sorted run (the
     // scan flags live in pass 1); broadcast = the prefix-offset join.
-    "t37_corpus_shards" -> ((false, false, true, true)))
+    "t37_corpus_shards" -> ((false, false, true, true)),
+    // Round-13: the suffix-array gates' final plans read checkpointed
+    // rank tables (scan flags live in the doubling rounds; broadcast =
+    // GlobalRank's offset join); t34b re-derives the fused dual-LM
+    // scoring in its final plan (documents scan + broadcast LM joins);
+    // t38 = the checkpointed two-pass deal, t37's class.
+    "sa1_suffix_array" -> ((false, false, true, true)),
+    "sa2_dup_prefix_census" -> ((false, false, true, true)),
+    "t34b_dsir_online" -> ((true, true, true, true)),
+    "t38_shard_deal_online" -> ((false, false, true, true)))
 
   // Gates whose whole point is avoiding the global-window shape: any
   // `Window` fed by an `Exchange SinglePartition` in their final plan
   // is a regression back onto the single-task sort.
   private val noGlobalWindow =
-    Set("t33_lm_perplexity", "t34_dsir_selection", "t37_corpus_shards")
+    Set("t33_lm_perplexity", "t34_dsir_selection", "t37_corpus_shards",
+      "sa1_suffix_array", "sa2_dup_prefix_census", "t34b_dsir_online",
+      "t38_shard_deal_online")
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {
