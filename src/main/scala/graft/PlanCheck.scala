@@ -28,9 +28,20 @@ object PlanCheck {
     */
   def hasSinglePartitionWindow(physical: String): Boolean = {
     val lines = physical.linesIterator.toArray
+    def indent(l: String): Int = l.indexWhere(c => c != ' ' && c != '+' &&
+      c != '-' && c != ':' && c != '*' && c != '(' && !c.isDigit && c != ')')
     lines.zipWithIndex.exists { case (l, i) =>
-      l.contains("Window ") &&
-        lines.slice(i + 1, i + 4).exists(_.contains("Exchange SinglePartition"))
+      l.contains("Window ") && {
+        // Walk the Window operator's WHOLE subtree (until indentation
+        // returns to the Window's level), not a fixed 3-line lookahead:
+        // extra Project/Filter/AQE wrappers between the Window and its
+        // exchange must not hide the single-partition shape from the
+        // regression gate.
+        val base = indent(l)
+        lines.drop(i + 1)
+          .takeWhile(x => indent(x) > base || x.trim.isEmpty)
+          .exists(_.contains("Exchange SinglePartition"))
+      }
     }
   }
 

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.DataFrame
+
+/** Eager local checkpoints that can actually be FREED.
+  *
+  * `Dataset.unpersist()` after `localCheckpoint` is a no-op: the
+  * checkpoint persists at the RDD level (`RDD.localCheckpoint()` calls
+  * `persist(MEMORY_AND_DISK)` on the internal RDD), not through the
+  * CacheManager that `Dataset.unpersist` talks to. Iterated operators
+  * (suffix-array doubling rounds, rebalance split passes) that
+  * checkpoint per round therefore accumulated every round's blocks
+  * until GC/ContextCleaner happened to reclaim them — storage-memory
+  * pressure exactly on the full-corpus stress paths.
+  *
+  * The fix: capture the persistent-RDD ids the checkpoint registers
+  * (registration inside `RDD.localCheckpoint()` is synchronous, so a
+  * narrow lock around the LAZY checkpoint call makes the id diff
+  * race-free even with parallel gates checkpointing — the expensive
+  * materialization happens outside the lock) and unpersist those RDDs
+  * directly when the caller is done with the round.
+  */
+object Checkpoints {
+
+  /** Handle on one checkpoint's storage; `free()` drops its blocks. */
+  final class Token private[Checkpoints] (ids: Seq[Int], sc: SparkContext) {
+    def free(): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** A token that frees nothing (initial-state placeholder). */
+  def none(df: DataFrame): Token =
+    new Token(Nil, df.sparkSession.sparkContext)
+
+  private val registerLock = new Object
+
+  /** Eagerly localCheckpoint `df`; returns the checkpointed frame and
+    * the token that frees its blocks.
+    */
+  def eager(df: DataFrame): (DataFrame, Token) = {
+    val (ck, token, _) = eagerCounted(df)
+    (ck, token)
+  }
+
+  /** [[eager]] plus the materialized row count — iterated callers that
+    * need the count anyway (convergence tests) should not pay a second
+    * action for it.
+    */
+  def eagerCounted(df: DataFrame): (DataFrame, Token, Long) = {
+    val sc = df.sparkSession.sparkContext
+    val (ck, added) = registerLock.synchronized {
+      val before = sc.getPersistentRDDs.keySet
+      val c = df.localCheckpoint(eager = false) // registers persistence synchronously
+      (c, (sc.getPersistentRDDs.keySet -- before).toSeq)
+    }
+    val n = ck.count() // materialize outside the lock
+    (ck, new Token(added, sc), n)
+  }
+}

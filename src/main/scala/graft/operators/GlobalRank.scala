@@ -30,40 +30,58 @@ object GlobalRank {
     * the run, collect one `agg` row per partition, broadcast the
     * exclusive prefix of those values, and hand the caller the
     * checkpointed run with `__pid`/`__off` columns to finish within
-    * partitions in parallel.
+    * partitions in parallel. The returned [[Checkpoints.Token]] frees
+    * the staged run's blocks — hot-loop callers (the suffix-array
+    * doubling rounds) MUST free it once their round materializes, or
+    * every round's staging run stays in storage memory until GC.
     */
   private def prefixed(df: DataFrame, nParts: Int, agg: Column,
-                       ord: Seq[Column]): (DataFrame, Long) = {
-    val parted = df
+                       ord: Seq[Column], zero: Long = 0L,
+                       combine: (Long, Long) => Long = _ + _)
+      : (DataFrame, Long, Checkpoints.Token) = {
+    val (parted, token) = Checkpoints.eager(df
       .repartitionByRange(nParts, ord: _*)
       .sortWithinPartitions(ord: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    // Pass 1: per-partition totals — |partitions| rows to the driver.
+      .withColumn("__pid", spark_partition_id()))
+    // Pass 1: per-partition aggregates — |partitions| rows to the driver.
     val sizes = parted.groupBy(col("__pid")).agg(agg.as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = sizes.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
-      (pid, acc + n)
+    // Exclusive prefix under `combine` (sum for ranks/running sums,
+    // max for running maxima).
+    val offsets = sizes.scanLeft((0, zero)) { case ((_, acc), (pid, n)) =>
+      (pid, combine(acc, n))
     }.init.zip(sizes).map { case ((_, off), (pid, _)) => (pid, off) }
     val spark = df.sparkSession
     import spark.implicits._
     val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
-    (parted.join(offDf, Seq("__pid")), sizes.map(_._2).sum)
+    (parted.join(offDf, Seq("__pid")), sizes.map(_._2).foldLeft(zero)(combine), token)
+  }
+
+  /** [[withGlobalRankCounted]] plus the staged run's checkpoint token
+    * — for iterated callers that must free each round's staging blocks
+    * (free AFTER the consumer of the ranked frame materializes).
+    */
+  def withGlobalRankTracked(df: DataFrame, rankCol: String, nParts: Int,
+                            ord: Column*): (DataFrame, Long, Checkpoints.Token) = {
+    val (run, total, token) =
+      prefixed(df, nParts, coalesce(count(lit(1)), lit(0L)), ord)
+    // Pass 2: parallel per-partition rank + broadcast offset.
+    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    (run
+      .withColumn(rankCol, (col("__off") + row_number().over(w)).cast("long"))
+      .drop("__pid", "__off"), total, token)
   }
 
   /** Add `rankCol` (1-based global rank under `ord`) to `df`, and
     * return the total row count (already known from pass 1 — callers
     * deriving rank-relative cuts like NTILE need it and should not pay
-    * another corpus action for it).
+    * another corpus action for it). The staging checkpoint is left to
+    * the ContextCleaner (one-shot callers).
     */
   def withGlobalRankCounted(df: DataFrame, rankCol: String, nParts: Int,
                             ord: Column*): (DataFrame, Long) = {
-    val (run, total) = prefixed(df, nParts, coalesce(count(lit(1)), lit(0L)), ord)
-    // Pass 2: parallel per-partition rank + broadcast offset.
-    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
-    (run
-      .withColumn(rankCol, (col("__off") + row_number().over(w)).cast("long"))
-      .drop("__pid", "__off"), total)
+    val (ranked, total, _) = withGlobalRankTracked(df, rankCol, nParts, ord: _*)
+    (ranked, total)
   }
 
   /** Add `rankCol` (1-based global rank under `ord`) to `df`. */
@@ -99,13 +117,45 @@ object GlobalRank {
     * partition running sums.
     */
   def withGlobalPrefixSum(df: DataFrame, sumCol: String, value: Column,
-                          nParts: Int, ord: Column*): DataFrame = {
-    val (run, _) = prefixed(df, nParts,
+                          nParts: Int, ord: Column*): DataFrame =
+    withGlobalPrefixSumTracked(df, sumCol, value, nParts, ord: _*)._1
+
+  /** [[withGlobalPrefixSum]] plus the staged run's checkpoint token
+    * (iterated callers free it once their round materializes).
+    */
+  def withGlobalPrefixSumTracked(df: DataFrame, sumCol: String, value: Column,
+                                 nParts: Int, ord: Column*)
+      : (DataFrame, Checkpoints.Token) = {
+    val (run, _, token) = prefixed(df, nParts,
       coalesce(sum(value.cast("long")), lit(0L)), ord)
     val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    run
+    (run
       .withColumn(sumCol, (col("__off") + sum(value.cast("long")).over(w)).cast("long"))
-      .drop("__pid", "__off")
+      .drop("__pid", "__off"), token)
+  }
+
+  /** Add `maxCol` — the running max of `value` over STRICTLY PRECEDING
+    * rows in global `ord` order (≡ `MAX(value) OVER (ORDER BY ord ROWS
+    * BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`; null on the global
+    * first row) — same two-pass shape. The exclusive form is the one
+    * interval coalescing (gaps-and-islands over sorted spans) needs:
+    * a row starts a new island iff its start exceeds every EARLIER
+    * row's end.
+    */
+  def withGlobalPrefixMaxExcl(df: DataFrame, maxCol: String, value: Column,
+                              nParts: Int, ord: Column*): DataFrame = {
+    val (run, _, _) = prefixed(df, nParts,
+      coalesce(max(value.cast("long")), lit(Long.MinValue)), ord,
+      zero = Long.MinValue, combine = math.max)
+    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    run
+      .withColumn("__pmax", max(value.cast("long")).over(w))
+      .withColumn(maxCol, greatest(coalesce(col("__pmax"), lit(Long.MinValue)),
+        col("__off")))
+      .withColumn(maxCol,
+        when(col(maxCol) === Long.MinValue, lit(null)).otherwise(col(maxCol)))
+      .drop("__pid", "__off", "__pmax")
   }
 }

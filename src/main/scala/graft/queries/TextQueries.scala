@@ -2281,8 +2281,8 @@ object TextQueries {
       |  FROM grid GROUP BY source),
       |invw AS MATERIALIZED (
       |  SELECT k.source, nsd.n AS n_toks, k.kl_scaled_micro,
-      |         k.kl_scaled_micro // k.nsv AS kl_micro,
-      |         1000000000000 // (1000000 + (k.kl_scaled_micro // k.nsv)) AS inv_w
+      |         GREATEST(k.kl_scaled_micro, 0) // k.nsv AS kl_micro,
+      |         1000000000000 // (1000000 + (GREATEST(k.kl_scaled_micro, 0) // k.nsv)) AS inv_w
       |  FROM kl k JOIN nsd ON nsd.source = k.source),
       |budgets AS MATERIALIZED (
       |  SELECT source, n_toks, kl_scaled_micro, kl_micro, inv_w,

@@ -345,8 +345,10 @@ object Ann {
     val maxSz =
       if (targetListSize > 0L) targetListSize
       else (21L * nTotal) / (20L * nLists)
-    var cur = asn.localCheckpoint(true)
-    var lastCkpt = cur
+    // Checkpoints.eager (NOT Dataset.localCheckpoint + unpersist: that
+    // unpersist is a no-op — the checkpoint persists at the RDD level)
+    // so each pass's blocks are actually freed when the next pass lands.
+    var (cur, lastTok) = graft.operators.Checkpoints.eager(asn)
     var offset = nLists
     var pass = 0
     var maxNow = cur.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
@@ -354,9 +356,10 @@ object Ann {
     def recount(): Long = cur.groupBy(col(listCol)).agg(count(lit(1)).as("__n"))
       .agg(max(col("__n"))).collect()(0).getLong(0)
     def ckpt(df: DataFrame): Unit = {
-      cur = df.localCheckpoint(true)
-      lastCkpt.unpersist()
-      lastCkpt = cur
+      val (c, t) = graft.operators.Checkpoints.eager(df)
+      cur = c
+      lastTok.free()
+      lastTok = t
     }
     val kInit = if (maxNow > maxSz) (maxNow + maxSz - 1) / maxSz else 1L
     if (assertPasses > 0 && kInit > 2)

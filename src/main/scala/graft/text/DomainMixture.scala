@@ -74,8 +74,15 @@ object DomainMixture {
         // per-token normalization.
         max(col("nsv")).as("nsv"))
       .join(broadcast(ns.select(col("source"), col("n").as("n_toks"))), Seq("source"))
+      // Clamp at 0 before the integer division: true KL is non-negative
+      // but per-term micro-nat rounding could in principle drive a
+      // near-target domain's sum slightly below it, where Spark's `div`
+      // (truncation toward zero) and the oracle's `//` (floor) diverge
+      // (0 vs -1). Both sides clamp identically; `DomainMixtureSpec`
+      // asserts the sums stay non-negative so a real divergence fails
+      // loudly rather than being silently clamped away.
       .select(col("source"), col("n_toks"), col("kl_scaled_micro"),
-        expr("kl_scaled_micro div nsv").as("kl_micro"))
+        expr("greatest(kl_scaled_micro, 0L) div nsv").as("kl_micro"))
   }
 
   /** KL → per-domain token budgets: inverse-KL integer weights

@@ -1,7 +1,10 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.operators.{Checkpoints, GlobalRank}
 
 /** DISTRIBUTED SUFFIX ARRAY by prefix doubling — the data structure
   * behind exact-substring deduplication (Lee et al. 2022, "Deduplicating
@@ -13,42 +16,84 @@ import org.apache.spark.sql.functions._
   * each document is fenced) without ever materializing it: each
   * codepoint is a row `(gid, code)` where `gid` is its 1-based global
   * position, and document offsets come from one two-pass prefix sum
-  * over the |docs|-granular length relation.
+  * over the |docs|-granular length relation. The same machinery runs
+  * over ANY integer-code sequence — [[buildIndexFromRows]] is the
+  * token-space entry BPE-id dedup composes with.
   *
   * Prefix doubling (Manber–Myers): `rank₀` orders positions by their
-  * first codepoint; each round joins every position's rank with the
-  * rank `step` positions ahead (missing → −1, the shorter-suffix-first
+  * first code; each round joins every position's rank with the rank
+  * `step` positions ahead (missing → −1, the shorter-suffix-first
   * convention that equals lexicographic order) and re-ranks by the
   * pair. After the round for step `s`, equal ranks ⇔ equal first `2s`
-  * codepoints; the loop stops when every rank is distinct (all group
-  * counts = 1), which for natural text happens at `2s` ≈ the longest
-  * repeated substring, NOT at corpus length. The final ranks are the
-  * suffix array: `sa_rank = r` means the suffix starting at that
-  * position is the r-th smallest.
+  * codes; the loop stops when every rank is distinct, which for
+  * natural text happens at `2s` ≈ the longest repeated substring, NOT
+  * at corpus length.
+  *
+  * Ranks are COMPETITION ranks (`rank = 1 + #{strictly smaller}`), not
+  * dense ranks, for one load-bearing reason: under refinement a
+  * position whose rank is already unique NEVER changes rank again
+  * (groups only split; the strictly-smaller count of a settled
+  * position is decided at every longer prefix by its already-unique
+  * shorter prefix). That makes settled positions FREEZABLE: each round
+  * re-ranks only the still-tied (live) positions — on natural text the
+  * overwhelming majority settles within 2–3 rounds, so the tail
+  * rounds' self-join/rank/join-back volume collapses from n to the
+  * residue of long repeats. The refinement stays exact: for a live
+  * position with current rank r (= its group's first index) and
+  * within-group competition offset d over the (r1, r2) pair order,
+  * the new global rank is exactly r + d — computed from the live rows
+  * alone (one two-pass prefix sum over the distinct pair counts plus a
+  * per-group min), never touching frozen rows.
   *
   * Spark shape — this operator is WHY `operators/GlobalRank` exists:
-  * every round is (a) one id-keyed self-join (`gid + step`), (b) one
-  * map-side-combinable group count of the pair relation (also the
-  * convergence test), (c) one two-pass rank of the DISTINCT pairs
-  * (range shuffle of ≤ n tiny rows, broadcast offsets — never a
-  * single-partition sort), (d) one join-back. Each round's rank table
-  * is eagerly `localCheckpoint`ed and its predecessor unpersisted —
-  * the iterated-lineage discipline (PLANS.md round-12 gotcha).
-  * O(log(longest-repeat)) rounds of linear shuffles: the shape that
-  * survives 1000 executors, vs. the sequential DC3/SA-IS builds that
-  * assume one machine.
+  * every round is (a) one id-keyed lookup join (`gid + step`) of the
+  * live rows against the full rank relation, (b) one map-side-
+  * combinable count of the live pair relation, (c) one two-pass prefix
+  * sum of the DISTINCT live pairs (range shuffle of ≤ |live| tiny
+  * rows, broadcast offsets — never a single-partition sort), (d) one
+  * join-back. Each round's outputs are eagerly checkpointed through
+  * [[graft.operators.Checkpoints]] and the superseded round's blocks
+  * are FREED (RDD-level — `Dataset.unpersist` after a localCheckpoint
+  * is a no-op). O(log(longest-repeat)) rounds of ≤-linear shuffles:
+  * the shape that survives 1000 executors, vs. the sequential
+  * DC3/SA-IS builds that assume one machine.
+  *
+  * The build can RETAIN the per-round rank tables ([[Index.levels]]):
+  * level `m`'s table answers "do positions p, q share their first `m`
+  * codes?" by rank equality, which is exactly the primitive the
+  * distributed LCP descent ([[lcpAdjacent]]) needs — LCP of SA-adjacent
+  * suffixes by binary descent over the levels, then variable-length
+  * duplicated spans ≥ L and their removal ([[removeDuplicatedSpans]]):
+  * Lee et al.'s actual output, superseding the fixed-k approximation
+  * (t15/t17). At 100 TB the retained levels are lake writes the job
+  * pays once per round anyway; in local mode they are the per-round
+  * checkpoints kept alive for the descent.
   */
 object SuffixArray {
 
   /** Separator codepoint — strictly below any text codepoint. */
   val Sep = 1
 
+  /** A finished build: `addr` is the global addressing (text AND
+    * separator rows), `full` the final ranks (the suffix array over
+    * ALL positions), `levels` the ascending retained rank tables
+    * (`(m, (gid, rank))`; equal rank ⇔ equal first m codes) — empty
+    * unless the build retained them for LCP work.
+    */
+  final case class Index(
+      addr: DataFrame,
+      full: DataFrame,
+      levels: Seq[(Long, DataFrame)],
+      total: Long,
+      idCol: String,
+      sepCode: Long)
+
   private def parts(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
-  /** `(doc_id, pos, code, n_cp)` — 1-based CODEPOINT positions (never
-    * UTF-16 units: surrogate pairs are one position, matching DuckDB /
-    * SQL `length`/`substr` semantics) plus the per-doc codepoint count.
+  /** `(doc_id, pos, code)` — 1-based CODEPOINT positions (never UTF-16
+    * units: surrogate pairs are one position, matching DuckDB / SQL
+    * `length`/`substr` semantics).
     */
   private def charRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
@@ -56,72 +101,159 @@ object SuffixArray {
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = if (text == null) "" else text
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
         var i = 0
         var pos = 1L
         while (i < t.length) {
           val cp = t.codePointAt(i)
-          out += ((id, pos, cp))
+          out += ((id, pos, cp.toLong))
           i += Character.charCount(cp)
           pos += 1
         }
-        val n = pos - 1
-        out.map { case (d, p, c) => (d, p, c, n) }
+        out
       }
-      .toDF(idCol, "pos", "code", "n_cp")
+      .toDF(idCol, "pos", "code")
   }
 
-  /** Global addressing: `(doc_id, pos, gid, code)` for every text
-    * codepoint plus one SEP row per document at `pos = n_cp + 1`.
-    * Offsets ride [[graft.operators.GlobalRank.withGlobalPrefixSum]]
-    * over the |docs|-granular length relation.
+  /** Global addressing: `(doc_id, pos, gid, code)` for every sequence
+    * element plus one SEP row per document at `pos = n + 1` (empty
+    * documents still contribute their SEP). Offsets ride
+    * [[graft.operators.GlobalRank.withGlobalPrefixSum]] over the
+    * |docs|-granular length relation.
     */
-  private def addressed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val chars = charRows(docs, idCol, textCol)
-    // include empty docs: they still contribute their SEP row
-    val lens = docs.select(col(idCol).cast("long"))
-      .join(chars.groupBy(col(idCol)).agg(max(col("n_cp")).as("n_cp")), Seq(idCol), "left_outer")
-      .select(col(idCol), coalesce(col("n_cp"), lit(0L)).as("n_cp"))
-    val offs = graft.operators.GlobalRank
-      .withGlobalPrefixSum(lens, "cum", col("n_cp") + 1, parts(lens), col(idCol))
-      .select(col(idCol), (col("cum") - col("n_cp") - 1).as("off"), col("n_cp"))
-    val text = chars.join(offs.select(col(idCol), col("off")), Seq(idCol))
-      .select(col(idCol), col("pos"), (col("off") + col("pos")).as("gid"), col("code"))
-    val seps = offs.select(col(idCol), (col("n_cp") + 1).as("pos"),
-      (col("off") + col("n_cp") + 1).as("gid"), lit(Sep).as("code"))
+  private def addressedRows(ids: DataFrame, rows: DataFrame, idCol: String,
+                            sepCode: Long): DataFrame = {
+    val lens = ids.select(col(idCol).cast("long"))
+      .join(rows.groupBy(col(idCol)).agg(max(col("pos")).as("n")), Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).as("n"))
+    val offs = GlobalRank
+      .withGlobalPrefixSum(lens, "cum", col("n") + 1, parts(lens), col(idCol))
+      .select(col(idCol), (col("cum") - col("n") - 1).as("off"), col("n"))
+    val text = rows.join(offs.select(col(idCol), col("off")), Seq(idCol))
+      .select(col(idCol), col("pos"), (col("off") + col("pos")).as("gid"),
+        col("code").cast("long").as("code"))
+    val seps = offs.select(col(idCol), (col("n") + 1).as("pos"),
+      (col("off") + col("n") + 1).as("gid"), lit(sepCode).as("code"))
     text.unionByName(seps)
   }
 
-  /** One doubling round: rank by (rank, rank at +step), dense via a
-    * two-pass rank of the distinct pairs. Returns the new `(gid, rank)`
-    * table, whether any rank is still shared (distinct pairs < total —
-    * read for free from the rank's own pass-1 count, no extra action),
-    * and the round's checkpointed pair table for the caller to
-    * unpersist once the new rank table materializes.
-    */
-  private def doubleOnce(cur: DataFrame, step: Long, total: Long,
-                         nParts: Int): (DataFrame, Boolean, DataFrame) = {
-    // checkpoint: consumed twice (distinct + join-back) and derived
-    // from a self-join — an unsevered lineage would run it twice
-    val pairs = cur.as("a")
-      .join(cur.as("b"), col("b.gid") === col("a.gid") + step, "left_outer")
-      .select(col("a.gid").as("gid"), col("a.rank").as("r1"),
-        coalesce(col("b.rank"), lit(-1L)).as("r2"))
-      .localCheckpoint(true)
-    val (ranked, nDistinct) = graft.operators.GlobalRank
-      .withGlobalRankCounted(pairs.select(col("r1"), col("r2")).distinct(),
-        "__nr", nParts, col("r1"), col("r2"))
-    (pairs.join(ranked, Seq("r1", "r2")).select(col("gid"), col("__nr").as("rank")),
-      nDistinct < total, pairs)
-  }
+  private def addressed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    addressedRows(docs.select(col(idCol)), charRows(docs, idCol, textCol),
+      idCol, Sep.toLong)
 
-  /** Range partitions sized to the corpus: the per-round relations are
-    * one row per codepoint, so small slices should not pay 32-way
-    * shuffle overhead (AQE coalesces the framework shuffles; this
-    * right-sizes the explicit two-pass range partitioning).
+  /** Range partitions sized to the live relation: the per-round
+    * relations shrink as positions settle, so tail rounds should not
+    * pay wide-shuffle overhead (AQE coalesces the framework shuffles;
+    * this right-sizes the explicit two-pass range partitioning).
     */
   private def rankParts(df: DataFrame, n: Long): Int =
     math.max(1, math.min(parts(df), (n / 50000L).toInt + 1))
+
+  /** Initial competition ranks by single code: the alphabet is bounded
+    * (Unicode codepoints / a BPE vocabulary), so the per-code counts
+    * collect to the driver and come back as one broadcast map —
+    * `rank₀(code) = 1 + #positions with a smaller code`, `live` iff
+    * the code occurs more than once.
+    */
+  private def initialRanks(addr: DataFrame): DataFrame = {
+    val spark = addr.sparkSession
+    import spark.implicits._
+    val counts = addr.groupBy(col("code")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 1L
+    val table = counts.map { case (code, c) =>
+      val r = acc; acc += c; (code, r, c)
+    }
+    val rankDf = broadcast(table.toSeq.toDF("code", "rank", "gsz"))
+    addr.join(rankDf, Seq("code"))
+      .select(col("gid"), col("rank"), (col("gsz") > 1).as("live"), col("gsz"))
+  }
+
+  /** The doubling loop. Returns the final full rank relation (all
+    * positions, `(gid, rank, live, gsz)`), the retained levels, and
+    * the round count. Stops when every rank is unique, `m` reaches
+    * `maxM`, or `maxRounds` (a runaway backstop — 2^40 exceeds any
+    * corpus).
+    */
+  private def doubling(addr: DataFrame, total: Long, maxM: Long,
+                       maxRounds: Int, retainLevels: Boolean)
+      : (DataFrame, Seq[(Long, DataFrame)]) = {
+    val init = initialRanks(addr)
+    val (frozen0, _) = Checkpoints.eager(init.filter(!col("live")))
+    var (active, tokA, nActive) = Checkpoints.eagerCounted(init.filter(col("live")))
+    val frozenParts = scala.collection.mutable.ArrayBuffer[DataFrame](frozen0)
+    def fullView: DataFrame =
+      (frozenParts.toList :+ active).map(_.select(col("gid"), col("rank"),
+        col("live"), col("gsz"))).reduce(_ unionByName _)
+    val levels = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)]()
+    def snapLevel(m: Long): Unit =
+      if (retainLevels)
+        levels += ((m, fullView.select(col("gid"), col("rank"))))
+    snapLevel(1L)
+    var m = 1L
+    var rounds = 0
+    while (nActive > 0 && m < maxM && rounds < maxRounds) {
+      val step = m
+      val np = rankParts(addr, nActive)
+      val lookup = fullView.select(col("gid"), col("rank"))
+      // checkpoint: consumed by the pair count AND the join-back, and
+      // derived from a join — an unsevered lineage would run it twice
+      val (pairs, tokP) = Checkpoints.eager(active.as("a")
+        .join(lookup.as("b"), col("b.gid") === col("a.gid") + step, "left_outer")
+        .select(col("a.gid").as("gid"), col("a.rank").as("r1"),
+          coalesce(col("b.rank"), lit(-1L)).as("r2")))
+      val d = pairs.groupBy(col("r1"), col("r2")).agg(count(lit(1)).as("c"))
+      val (cum, tokG) = GlobalRank.withGlobalPrefixSumTracked(
+        d, "cum", col("c"), np, col("r1"), col("r2"))
+      // gpair = competition rank of the pair's positions over the live
+      // rows; minG = the group's first such rank, so the group-relative
+      // offset (gpair - ming) added to the group's frozen base rank r1
+      // is the exact new global competition rank.
+      val g = cum.withColumn("gpair", col("cum") - col("c") + 1L)
+      val minG = g.groupBy(col("r1")).agg(min(col("gpair")).as("ming"))
+      val (rankedPairs, tokR) = Checkpoints.eager(g.join(minG, Seq("r1"))
+        .select(col("r1"), col("r2"),
+          (col("r1") + col("gpair") - col("ming")).as("nrank"), col("c")))
+      val assigned = pairs.join(rankedPairs, Seq("r1", "r2"))
+        .select(col("gid"), col("nrank").as("rank"),
+          (col("c") > 1L).as("live"), col("c").as("gsz"))
+      val (fr, _) = Checkpoints.eager(assigned.filter(!col("live")))
+      val (ac, tokA2, nAct2) = Checkpoints.eagerCounted(assigned.filter(col("live")))
+      frozenParts += fr
+      // Free the round's scratch (and the superseded live table unless
+      // a retained level still reads it).
+      tokP.free(); tokG.free(); tokR.free()
+      if (!retainLevels) tokA.free()
+      active = ac; tokA = tokA2; nActive = nAct2
+      m *= 2
+      rounds += 1
+      snapLevel(m)
+    }
+    (fullView, levels.toSeq)
+  }
+
+  /** Build the index over documents' codepoints. `retainLevels` keeps
+    * the per-round rank tables alive for [[lcpAdjacent]].
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 maxRounds: Int = 40, retainLevels: Boolean = false): Index = {
+    val (addr, _, total) = Checkpoints.eagerCounted(addressed(docs, idCol, textCol))
+    val (full, levels) = doubling(addr, total, Long.MaxValue, maxRounds, retainLevels)
+    Index(addr, full, levels, total, idCol, Sep.toLong)
+  }
+
+  /** Token-space build: `rows` is `(idCol, pos, code)` — 1-based
+    * per-document positions over ANY bounded integer alphabet (BPE
+    * ids). `sepCode` must sort strictly below every code.
+    */
+  def buildIndexFromRows(ids: DataFrame, rows: DataFrame, idCol: String,
+                         sepCode: Long, maxRounds: Int = 40,
+                         retainLevels: Boolean = false): Index = {
+    val (addr, _, total) =
+      Checkpoints.eagerCounted(addressedRows(ids, rows, idCol, sepCode))
+    val (full, levels) = doubling(addr, total, Long.MaxValue, maxRounds, retainLevels)
+    Index(addr, full, levels, total, idCol, sepCode)
+  }
 
   /** The suffix array: `(doc_id, pos, gid, sa_rank)` for every TEXT
     * position (SEP positions participate in the build — they fence
@@ -131,66 +263,187 @@ object SuffixArray {
     * (deterministic; the oracle replays the same enumeration).
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
-            maxRounds: Int = 40): DataFrame = {
-    val addr = addressed(docs, idCol, textCol).localCheckpoint(true)
-    val total = addr.count()
-    val np = rankParts(addr, total)
-    var cur = addr.select(col("gid"), col("code").cast("long").as("rank"))
-      .localCheckpoint(true)
-    var last = cur
-    var step = 1L
-    var rounds = 0
-    var ties = true
-    // rank0 groups by ONE codepoint; the loop is provably finite
-    // (ranks strictly refine and suffix lengths are all distinct) —
-    // maxRounds is a runaway backstop (2^40 >> any corpus).
-    while (ties && rounds < maxRounds) {
-      val (next, t, pairs) = doubleOnce(cur, step, total, np)
-      cur = next.localCheckpoint(true)
-      pairs.unpersist()
-      last.unpersist()
-      last = cur
-      ties = t
-      step *= 2
-      rounds += 1
-    }
-    addr.filter(col("code") =!= Sep)
-      .join(cur, Seq("gid"))
-      .select(col(idCol), col("pos"), col("gid"), col("rank").as("sa_rank"))
-  }
+            maxRounds: Int = 40): DataFrame =
+    saOf(buildIndex(docs, idCol, textCol, maxRounds))
+
+  /** The `(doc_id, pos, gid, sa_rank)` view of a built index. */
+  def saOf(ix: Index): DataFrame =
+    ix.addr.filter(col("code") =!= ix.sepCode)
+      .join(ix.full.select(col("gid"), col("rank")), Seq("gid"))
+      .select(col(ix.idCol), col("pos"), col("gid"), col("rank").as("sa_rank"))
 
   /** Duplicated-prefix groups at a FIXED power-of-two window: stop the
-    * doubling at `prefixLen` codepoints and return each text position's
+    * doubling at `prefixLen` codes and return each text position's
     * group id and group size — positions sharing a group share their
-    * first `prefixLen` codepoints of the corpus string EXACTLY (the
+    * first `prefixLen` codes of the corpus string EXACTLY (the
     * suffix-array view of t15's duplicated k-grams, char-level and
-    * windowing across document fences by construction). One extra
-    * group count; rounds = log₂(prefixLen), convergence-free.
+    * windowing across document fences by construction). Group sizes
+    * ride the doubling's own per-group counts (settled positions are
+    * singletons by definition); rounds = log₂(prefixLen),
+    * convergence-free — and freezing makes the tail rounds touch only
+    * the still-duplicated residue.
     */
   def prefixGroups(docs: DataFrame, idCol: String, textCol: String,
                    prefixLen: Int): DataFrame = {
     require(prefixLen > 0 && (prefixLen & (prefixLen - 1)) == 0,
       s"prefixLen must be a power of two (got $prefixLen)")
-    val addr = addressed(docs, idCol, textCol).localCheckpoint(true)
-    val total = addr.count()
-    val np = rankParts(addr, total)
-    var cur = addr.select(col("gid"), col("code").cast("long").as("rank"))
-      .localCheckpoint(true)
-    var last = cur
-    var step = 1L
-    while (step < prefixLen) {
-      val (next, _, pairs) = doubleOnce(cur, step, total, np)
-      cur = next.localCheckpoint(true)
-      pairs.unpersist()
-      last.unpersist()
-      last = cur
-      step *= 2
-    }
-    val sizes = cur.groupBy(col("rank")).agg(count(lit(1)).as("grp_size"))
-    addr.filter(col("code") =!= Sep)
-      .join(cur, Seq("gid"))
-      .join(sizes, Seq("rank"))
+    val (addr, _, total) = Checkpoints.eagerCounted(addressed(docs, idCol, textCol))
+    val (full, _) = doubling(addr, total, prefixLen.toLong, 40, retainLevels = false)
+    addr.filter(col("code") =!= lit(Sep.toLong))
+      .join(full, Seq("gid"))
       .select(col(idCol), col("pos"), col("gid"),
-        col("rank").as("grp"), col("grp_size"))
+        col("rank").as("grp"), col("gsz").as("grp_size"))
+  }
+
+  /** Token-space [[prefixGroups]]: group id + size of each sequence
+    * position's first `prefixLen` CODES (tokens), fences included.
+    */
+  def prefixGroupsFromRows(ids: DataFrame, rows: DataFrame, idCol: String,
+                           sepCode: Long, prefixLen: Int): DataFrame = {
+    require(prefixLen > 0 && (prefixLen & (prefixLen - 1)) == 0,
+      s"prefixLen must be a power of two (got $prefixLen)")
+    val (addr, _, total) =
+      Checkpoints.eagerCounted(addressedRows(ids, rows, idCol, sepCode))
+    val (full, _) = doubling(addr, total, prefixLen.toLong, 40, retainLevels = false)
+    addr.filter(col("code") =!= sepCode)
+      .join(full, Seq("gid"))
+      .select(col(idCol), col("pos"), col("gid"),
+        col("rank").as("grp"), col("gsz").as("grp_size"))
+  }
+
+  /** LCP of SA-ADJACENT suffixes, computed DISTRIBUTEDLY by binary
+    * descent over the retained doubling levels (never Kasai's
+    * sequential scan): for the pair at ranks (r, r+1), accumulate
+    * `h += m` whenever the level-m ranks at `gid + h` agree — each
+    * level is two equi-joins over the n−1 pairs. Exact: rank equality
+    * at level m ⇔ the next m codes agree; out-of-range lookups get
+    * per-side sentinels so two exhausted suffixes never fake a match.
+    * Output: `(sa_rank, gid1, gid2, lcp)` for every adjacent pair over
+    * ALL positions (SEP suffixes included — they fence, and the
+    * interval clip to documents drops them later). Requires an index
+    * built with `retainLevels = true`.
+    */
+  def lcpAdjacent(ix: Index): DataFrame = {
+    require(ix.levels.nonEmpty, "lcpAdjacent needs retainLevels = true")
+    val pairs0 = ix.full.select(col("rank").as("sa_rank"), col("gid").as("gid1"))
+      .join(ix.full.select((col("rank") - 1L).as("sa_rank"), col("gid").as("gid2")),
+        Seq("sa_rank"))
+      .withColumn("lcp", lit(0L))
+    // The largest level can never match (all final ranks distinct), so
+    // the descent starts one below it; max reachable h = Σ m = M−1,
+    // and LCP ≤ M−1 because the build converged at M.
+    val desc = ix.levels.sortBy(-_._1).drop(1)
+    var (p, tok) = Checkpoints.eager(pairs0)
+    for ((m, lvl) <- desc) {
+      val a = lvl.select(col("gid").as("__ga"), col("rank").as("__ra"))
+      val b = lvl.select(col("gid").as("__gb"), col("rank").as("__rb"))
+      val nx = p
+        .join(a, col("__ga") === col("gid1") + col("lcp"), "left_outer")
+        .join(b, col("__gb") === col("gid2") + col("lcp"), "left_outer")
+        .withColumn("lcp", col("lcp") +
+          when(coalesce(col("__ra"), lit(-1L)) === coalesce(col("__rb"), lit(-2L)),
+            lit(m)).otherwise(lit(0L)))
+        .select(col("sa_rank"), col("gid1"), col("gid2"), col("lcp"))
+      val (ck, t2) = Checkpoints.eager(nx)
+      tok.free()
+      p = ck
+      tok = t2
+    }
+    p
+  }
+
+  /** Coalesce half-open `[lo, hi)` intervals into maximal disjoint
+    * islands — gaps-and-islands WITHOUT a single-partition window: one
+    * two-pass running max of earlier ends (island starts where `lo`
+    * exceeds it), one two-pass prefix sum of the start flags (island
+    * ids), one groupBy.
+    */
+  def mergeIntervals(iv: DataFrame, np: Int): DataFrame = {
+    val distinctIv = iv.select(col("lo").cast("long").as("lo"),
+      col("hi").cast("long").as("hi")).distinct()
+    val pm = GlobalRank.withGlobalPrefixMaxExcl(distinctIv, "pmax", col("hi"), np,
+      col("lo"), col("hi"))
+    val flagged = pm.withColumn("__st",
+      when(col("pmax").isNull || col("lo") > col("pmax"), 1L).otherwise(0L))
+    GlobalRank.withGlobalPrefixSum(flagged, "__isl", col("__st"), np,
+      col("lo"), col("hi"))
+      .groupBy(col("__isl"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .drop("__isl")
+  }
+
+  /** Variable-length duplicated spans ≥ `minLen`, as merged disjoint
+    * global `[lo, hi)` gid intervals: every adjacent pair with
+    * LCP ≥ L contributes BOTH copies' intervals `[gid, gid + lcp)`
+    * (Lee et al. remove every occurrence of a duplicated span), and
+    * any two suffixes sharing ≥ L are linked by a chain of adjacent
+    * pairs each with LCP ≥ L, so adjacency alone covers every
+    * occurrence of every duplicated substring.
+    */
+  def duplicatedIntervals(lcpPairs: DataFrame, minLen: Long, np: Int): DataFrame =
+    mergeIntervals(
+      lcpPairs.filter(col("lcp") >= minLen)
+        .select(explode(array(
+          struct(col("gid1").as("lo"), (col("gid1") + col("lcp")).as("hi")),
+          struct(col("gid2").as("lo"), (col("gid2") + col("lcp")).as("hi")))).as("iv"))
+        .select(col("iv.lo").as("lo"), col("iv.hi").as("hi")),
+      np)
+
+  /** EXACT-SUBSTRING DEDUPLICATION, end to end (Lee et al. 2022): build
+    * the SA with retained levels, LCP every adjacent pair, take the
+    * union of both copies' intervals wherever LCP ≥ `minLen`, clip the
+    * merged intervals to documents (position-level: explode the
+    * DISJOINT merged intervals — total ≤ corpus size by construction —
+    * and equi-join the addressing; no range join anywhere), and cut
+    * the covered character ranges from each document. Returns
+    * `(idCol, clean_text, n_removed)` for EVERY input document
+    * (untouched docs keep their text; fully-covered docs come back
+    * empty, not null). Per-document windows (few spans per doc) do the
+    * segment complement — partition-parallel, never global.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            minLen: Long, maxRounds: Int = 40): DataFrame = {
+    val ix = buildIndex(docs, idCol, textCol, maxRounds, retainLevels = true)
+    val np = rankParts(ix.addr, ix.total)
+    val covered = duplicatedIntervals(lcpAdjacent(ix), minLen, np)
+      .select(explode(sequence(col("lo"), col("hi") - 1)).as("gid"))
+      .join(ix.addr.filter(col("code") =!= ix.sepCode)
+        .select(col(idCol), col("pos"), col("gid")), Seq("gid"))
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = covered
+      .withColumn("__st", when(lag(col("pos"), 1).over(w).isNull ||
+        col("pos") > lag(col("pos"), 1).over(w) + 1L, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__st")).over(wsum))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("rm_lo"), (max(col("pos")) + 1L).as("rm_hi"))
+      .localCheckpoint(true) // consumed by segments, tails, and the flag
+    val lens = docs.select(col(idCol), length(col(textCol)).cast("long").as("__n"))
+    val w2 = Window.partitionBy(col(idCol)).orderBy(col("rm_lo"))
+    val mids = spans
+      .withColumn("seg_lo", coalesce(lag(col("rm_hi"), 1).over(w2), lit(1L)))
+      .withColumn("seg_hi", col("rm_lo"))
+      .select(col(idCol), col("seg_lo"), col("seg_hi"))
+    val tails = spans.groupBy(col(idCol)).agg(max(col("rm_hi")).as("seg_lo"))
+      .join(lens, Seq(idCol))
+      .select(col(idCol), col("seg_lo"), (col("__n") + 1L).as("seg_hi"))
+    val segs = mids.unionByName(tails).filter(col("seg_hi") > col("seg_lo"))
+    val frags = segs.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      // SQL substring counts CODEPOINTS (UTF8String chars), matching
+      // the addressing and DuckDB substr — never JVM UTF-16 units.
+      .withColumn("__frag", expr(s"substring($textCol, seg_lo, seg_hi - seg_lo)"))
+      .groupBy(col(idCol))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(seg_lo, __frag))), x -> x.__frag), '')").as("__clean"))
+    val touched = spans.groupBy(col(idCol))
+      .agg(sum(col("rm_hi") - col("rm_lo")).as("__nrm"))
+    docs.select(col(idCol), col(textCol))
+      .join(touched, Seq(idCol), "left_outer")
+      .join(frags, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__nrm").isNull, col(textCol))
+          .otherwise(coalesce(col("__clean"), lit(""))).as("clean_text"),
+        coalesce(col("__nrm"), lit(0L)).as("n_removed"))
   }
 }

@@ -70,6 +70,25 @@ class DomainMixtureSpec extends SparkSpec {
       s"equal-distance domains get ~equal budgets regardless of size: $bB vs $bS")
   }
 
+  test("scaled KL sums stay non-negative (the clamp never actually fires)") {
+    // kl_micro clamps the scaled sum at 0 before integer division so
+    // Spark `div` (truncate) and DuckDB `//` (floor) can't diverge on a
+    // hypothetical negative rounding sum. True KL is non-negative; this
+    // asserts the per-term micro-nat rounding keeps the sums there on
+    // both the hand corpus and a near-target domain (one-token delta
+    // from the target — the case most likely to round below zero), so
+    // a real divergence would fail HERE instead of being clamped away.
+    val near = Seq.tabulate(40)(i => (5000L + i, "a a b", "tgt")) ++
+      Seq.tabulate(40)(i => (6000L + i, if (i == 0) "a b b" else "a a b", "dnear"))
+    val corpus = docs.union(near.toDF("doc_id", "text", "source"))
+    val kl = DomainMixture.domainKl(corpus, "text", "source", "tgt").collect()
+    for (r <- kl) {
+      assert(r.getAs[Long]("kl_scaled_micro") >= 0L,
+        s"negative scaled KL for ${r.getString(0)}")
+      assert(r.getAs[Long]("kl_micro") >= 0L)
+    }
+  }
+
   test("composed sampler never exceeds a domain's derived budget") {
     val out = DomainMixture.klMixtureSample(
       docs.union(Seq((3L, "a b a", "tgt"), (4L, "c b c", "web")).toDF(

@@ -100,6 +100,79 @@ class SuffixArraySpec extends SparkSpec {
     assert(got.exists(_._5 > 1) && got.exists(_._5 == 1L))
   }
 
+  /** Brute LCP per SA-adjacent pair from the literal sort: (sa_rank of
+    * the lower suffix, gid1, gid2, lcp) over ALL positions incl SEPs.
+    */
+  private def bruteLcp(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long)] = {
+    val sep = new String(Character.toChars(SuffixArray.Sep))
+    val s = docs.sortBy(_._1).map(_._2).mkString("", sep, sep)
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    val order = (0 until n).sortWith { (a, b) =>
+      var i = 0
+      while (a + i < n && b + i < n && cps(a + i) == cps(b + i)) i += 1
+      if (a + i == n) true else if (b + i == n) false else cps(a + i) < cps(b + i)
+    }
+    (0 until n - 1).map { r =>
+      val (a, b) = (order(r), order(r + 1))
+      var i = 0
+      while (a + i < n && b + i < n && cps(a + i) == cps(b + i)) i += 1
+      (r + 1L, a + 1L, b + 1L, i.toLong)
+    }
+  }
+
+  test("adjacent-pair LCP by level descent equals the brute common-prefix scan") {
+    val docs = Seq((0L, "banana band bandana"), (1L, "a banana band"),
+      (2L, "xyzzy"), (3L, "banana band bandana")) // doc 3 duplicates doc 0: long LCPs
+    val ix = SuffixArray.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
+      retainLevels = true)
+    val got = SuffixArray.lcpAdjacent(ix)
+      .orderBy($"sa_rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == bruteLcp(docs))
+    assert(got.exists(_._4 >= 10L)) // the duplicated doc really produces long LCPs
+  }
+
+  test("removeDuplicatedSpans cuts exactly the union of >=L duplicated intervals") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over it"),
+      (1L, "AA the quick brown fox jumps ZZ"), // shares a >=20-cp span with 0
+      (2L, "completely unique text !!"),
+      (3L, "the quick brown fox jumps over it")) // full duplicate of 0
+    val L = 12L
+    // brute: covered gids = union of [gid, gid+lcp) for both sides of
+    // every adjacent pair with lcp >= L
+    val sep = new String(Character.toChars(SuffixArray.Sep))
+    val s = docs.sortBy(_._1).map(_._2).mkString("", sep, sep)
+    val cps = s.codePoints().toArray
+    val covered = scala.collection.mutable.Set[Long]()
+    bruteLcp(docs).foreach { case (_, g1, g2, lcp) =>
+      if (lcp >= L) {
+        (g1 until g1 + lcp).foreach(covered += _)
+        (g2 until g2 + lcp).foreach(covered += _)
+      }
+    }
+    val expected = {
+      var gid = 1L
+      docs.map { case (id, t) =>
+        val tc = t.codePoints().toArray
+        val kept = tc.zipWithIndex.collect {
+          case (c, i) if !covered.contains(gid + i) => c
+        }
+        val clean = new String(kept.flatMap(Character.toChars))
+        val removed = tc.length - kept.length
+        gid += tc.length + 1
+        (id, clean, removed.toLong)
+      }
+    }
+    val got = SuffixArray.removeDuplicatedSpans(
+      docs.toDF("doc_id", "text"), "doc_id", "text", minLen = L)
+      .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == expected)
+    // all three classes live: untouched, partially cut, (near-)fully cut
+    assert(got.exists(_._3 == 0L) && got.exists(r => r._3 > 0L && r._2.nonEmpty))
+    assert(expected.map(_._3).sum > 0)
+  }
+
   test("prefixLen must be a power of two") {
     intercept[IllegalArgumentException] {
       SuffixArray.prefixGroups(Seq((0L, "abc")).toDF("doc_id", "text"),
