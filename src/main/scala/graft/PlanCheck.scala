@@ -27,9 +27,30 @@ object PlanCheck {
     * partition but carry no Window, so they don't trip this.
     */
   def hasSinglePartitionWindow(physical: String): Boolean = {
-    val lines = physical.linesIterator.toArray
     def indent(l: String): Int = l.indexWhere(c => c != ' ' && c != '+' &&
       c != '-' && c != ':' && c != '*' && c != '(' && !c.isDigit && c != ')')
+    // Drop SUBQUERY subtrees first: a scalar subquery printed beneath a
+    // Window (e.g. a runtime bloom_filter_agg injected on a join below
+    // it) legitimately exchanges to a single partition — it is an
+    // expression annotation, not the Window's data path.
+    val lines = {
+      val all = physical.linesIterator.toArray
+      val keep = Array.fill(all.length)(true)
+      var i = 0
+      while (i < all.length) {
+        if (keep(i) && all(i).contains("Subquery")) {
+          val base = indent(all(i))
+          var j = i + 1
+          while (j < all.length && (all(j).trim.isEmpty || indent(all(j)) > base)) {
+            keep(j) = false
+            j += 1
+          }
+          keep(i) = false
+        }
+        i += 1
+      }
+      all.zip(keep).collect { case (l, true) => l }
+    }
     lines.zipWithIndex.exists { case (l, i) =>
       l.contains("Window ") && {
         // Walk the Window operator's WHOLE subtree (until indentation

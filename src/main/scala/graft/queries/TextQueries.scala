@@ -2251,6 +2251,330 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Shared oracle CTE prefix of sa3/sa4: the 50-doc slice's corpus
+    * string, literal suffix sort, SA-adjacent pairs, and the guarded
+    * binary-halving LCP chain — `h += step` whenever the two `step`-
+    * wide windows at `gid + h` are equal AND both fully in range (a
+    * window running past the corpus end means the shorter suffix is
+    * exhausted: LCP cannot extend, and truncated `substr`s could fake
+    * an equality). 17 levels (2^16 ≥ any slice) make the greedy exact.
+    */
+  private val saLcpOracleCtes: (String, String) = {
+    val sb = new StringBuilder
+    sb.append(
+      """d AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |cat AS MATERIALIZED (
+        |  SELECT string_agg(text, chr(1) ORDER BY doc_id) || chr(1) AS s,
+        |         length(string_agg(text, chr(1) ORDER BY doc_id) || chr(1)) AS n FROM d),
+        |offs AS MATERIALIZED (
+        |  SELECT doc_id, length(text) AS n,
+        |         SUM(length(text) + 1) OVER (ORDER BY doc_id) - length(text) - 1 AS off
+        |  FROM d),
+        |sufs AS MATERIALIZED (
+        |  SELECT i AS gid,
+        |         ROW_NUMBER() OVER (ORDER BY substr(s, CAST(i AS INTEGER)), i) AS sa_rank
+        |  FROM cat, UNNEST(range(1, n + 1)) AS t(i)),
+        |adj AS MATERIALIZED (
+        |  SELECT a.sa_rank, a.gid AS gid1, b.gid AS gid2
+        |  FROM sufs a JOIN sufs b ON b.sa_rank = a.sa_rank + 1),
+        |l0 AS MATERIALIZED (SELECT sa_rank, gid1, gid2, CAST(0 AS BIGINT) AS h FROM adj)""".stripMargin)
+    var prev = "l0"
+    var idx = 0
+    for (k <- 16 to 0 by -1) {
+      val step = 1L << k
+      val nxt = s"l${idx + 1}"
+      sb.append(
+        s""",
+           |$nxt AS MATERIALIZED (
+           |  SELECT sa_rank, gid1, gid2,
+           |         h + CASE WHEN gid1 + h + $step - 1 <= c.n AND gid2 + h + $step - 1 <= c.n
+           |                   AND substr(c.s, CAST(gid1 + h AS INTEGER), $step) =
+           |                       substr(c.s, CAST(gid2 + h AS INTEGER), $step)
+           |              THEN $step ELSE 0 END AS h
+           |  FROM $prev, cat c)""".stripMargin)
+      prev = nxt
+      idx += 1
+    }
+    (sb.toString, prev)
+  }
+
+  /** Battery-shared SA-with-LCP memo over the sa1 slice (the
+    * spanMemo/posify pattern): a production Lee-et-al pipeline
+    * materializes the adjacent-pair LCP relation ONCE and feeds both
+    * the audit (sa3) and the cleaning pass (sa4). Holds the COLLECTED
+    * LCP pairs and text addressing of the FIXED 50-doc slice — both
+    * slice-bounded (~15k rows) by construction — keyed by corpus dir +
+    * content digest. Both gates rebuild LocalRelations from identical
+    * rows, so results are bit-identical to per-gate recomputation; the
+    * oracles replay the full chain from scratch.
+    */
+  private val saLcpMemo = scala.collection.concurrent.TrieMap[
+    String,
+    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+
+  private def sharedSaLcp(
+      spark: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val (ls, lr, as_, ar) = saLcpMemo.getOrElseUpdate(
+      s"$d|${graft.operators.Bucketing.suffix(spark, d)}", {
+        val ix = graft.text.SuffixArray.buildIndex(
+          documents(spark, d).where($"doc_id" < 50), "doc_id", "text",
+          retainLevels = true)
+        val lcp = graft.text.SuffixArray.lcpAdjacent(ix)
+        val addrText = ix.addr.filter(col("code") =!= ix.sepCode)
+          .select($"doc_id", $"pos", $"gid")
+        (lcp.schema, lcp.collect().toSeq, addrText.schema, addrText.collect().toSeq)
+      })
+    import scala.jdk.CollectionConverters._
+    (spark.createDataFrame(lr.asJava, ls), spark.createDataFrame(ar.asJava, as_))
+  }
+
+  /** sa3 — ADJACENT-PAIR LCP from the suffix array
+    * ([[graft.text.SuffixArray.lcpAdjacent]]): the longest common
+    * prefix of every SA-adjacent suffix pair of the slice corpus,
+    * computed distributedly by binary descent over the retained
+    * doubling-round rank tables (two equi-joins per level — never
+    * Kasai's sequential scan). This is the relation Lee et al. 2022's
+    * exact-substring dedup reads duplicated spans from: LCP(r, r+1) ≥ L
+    * ⇔ the suffix at rank r starts a duplicated substring of length L.
+    * Hash-exact vs DuckDB's literal suffix sort + guarded-halving
+    * common-prefix scan on the same fixed slice, at every scale.
+    */
+  val saLcpPairs = Query(
+    "sa3_lcp_adjacent",
+    s"""WITH ${saLcpOracleCtes._1}
+       |SELECT CAST(sa_rank AS BIGINT) AS sa_rank, CAST(gid1 AS BIGINT) AS gid1,
+       |       CAST(gid2 AS BIGINT) AS gid2, CAST(h AS BIGINT) AS lcp
+       |FROM ${saLcpOracleCtes._2} ORDER BY sa_rank""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    sharedSaLcp(spark, d)._1.orderBy($"sa_rank")
+  }
+
+  /** sa4 — EXACT-SUBSTRING DEDUP, closed loop
+    * ([[graft.text.SuffixArray.removeSpansFromLcp]]): variable-length
+    * duplicated spans ≥ 16 codepoints (union of BOTH copies' intervals
+    * from every adjacent pair with LCP ≥ 16, merged islands, clipped
+    * to documents) CUT from each document — the Lee-et-al output
+    * t15/t17's fixed-k machinery approximated. Emits per document the
+    * removed/kept codepoint counts and the md5 of the cleaned text, so
+    * the oracle pins every cut boundary at every scale (docs with and
+    * without removal are both live at sf0.001/0.01/0.1).
+    */
+  val saSpanRemoval = Query(
+    "sa4_exact_substring_dedup",
+    s"""WITH ${saLcpOracleCtes._1},
+       |ivals AS MATERIALIZED (
+       |  SELECT gid1 AS lo, gid1 + h AS hi FROM ${saLcpOracleCtes._2} WHERE h >= 16
+       |  UNION
+       |  SELECT gid2 AS lo, gid2 + h AS hi FROM ${saLcpOracleCtes._2} WHERE h >= 16),
+       |flagged AS MATERIALIZED (
+       |  SELECT lo, hi,
+       |         CASE WHEN MAX(hi) OVER (ORDER BY lo, hi
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |               OR lo > MAX(hi) OVER (ORDER BY lo, hi
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |              THEN 1 ELSE 0 END AS st
+       |  FROM ivals),
+       |merged AS MATERIALIZED (
+       |  SELECT MIN(lo) AS lo, MAX(hi) AS hi FROM (
+       |    SELECT lo, hi, SUM(st) OVER (ORDER BY lo, hi ROWS UNBOUNDED PRECEDING) AS isl
+       |    FROM flagged) GROUP BY isl),
+       |cov AS MATERIALIZED (
+       |  SELECT o.doc_id, g.gid - o.off AS pos
+       |  FROM (SELECT UNNEST(range(lo, hi)) AS gid FROM merged) g
+       |  JOIN offs o ON g.gid > o.off AND g.gid <= o.off + o.n),
+       |docspans AS MATERIALIZED (
+       |  SELECT doc_id, MIN(pos) AS rm_lo, MAX(pos) + 1 AS rm_hi FROM (
+       |    SELECT doc_id, pos, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS UNBOUNDED PRECEDING) AS isl
+       |    FROM (SELECT doc_id, pos,
+       |            CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |                  OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 1
+       |                 THEN 1 ELSE 0 END AS st
+       |          FROM cov))
+       |  GROUP BY doc_id, isl),
+       |segs AS MATERIALIZED (
+       |  SELECT doc_id, seg_lo, seg_hi FROM (
+       |    SELECT doc_id,
+       |           COALESCE(lag(rm_hi) OVER (PARTITION BY doc_id ORDER BY rm_lo), 1) AS seg_lo,
+       |           rm_lo AS seg_hi
+       |    FROM docspans
+       |    UNION ALL
+       |    SELECT s.doc_id, s.seg_lo, o.n + 1 AS seg_hi
+       |    FROM (SELECT doc_id, MAX(rm_hi) AS seg_lo FROM docspans GROUP BY doc_id) s
+       |    JOIN offs o USING (doc_id))
+       |  WHERE seg_hi > seg_lo),
+       |cleaned AS MATERIALIZED (
+       |  SELECT s.doc_id,
+       |         string_agg(substr(d.text, CAST(s.seg_lo AS INTEGER),
+       |                           CAST(s.seg_hi - s.seg_lo AS INTEGER)), ''
+       |                    ORDER BY s.seg_lo) AS clean
+       |  FROM segs s JOIN d USING (doc_id) GROUP BY s.doc_id),
+       |touched AS MATERIALIZED (
+       |  SELECT doc_id, SUM(rm_hi - rm_lo) AS nrm FROM docspans GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(t.nrm, 0) AS BIGINT) AS n_removed,
+       |       CAST(length(CASE WHEN t.doc_id IS NOT NULL THEN COALESCE(c.clean, '')
+       |                        ELSE d.text END) AS BIGINT) AS n_kept,
+       |       md5(CASE WHEN t.doc_id IS NOT NULL THEN COALESCE(c.clean, '')
+       |                ELSE d.text END) AS clean_md5
+       |FROM d LEFT JOIN touched t USING (doc_id) LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val docsSlice = documents(spark, d).where($"doc_id" < 50)
+      .select($"doc_id", $"text")
+    val (lcp, addrText) = sharedSaLcp(spark, d)
+    graft.text.SuffixArray
+      .removeSpansFromLcp(docsSlice, "doc_id", "text", lcp, addrText,
+        minLen = 16L, np = 32)
+      .select($"doc_id", $"n_removed",
+        length($"clean_text").cast("long").as("n_kept"),
+        md5($"clean_text").as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** sa5 — TOKEN-SPACE suffix-array census: the composition Lee et al.
+    * actually ship — dedup over the TOKENIZED corpus, so span
+    * boundaries land on token edges by construction. t30's BPE encode
+    * (full-corpus merges, slice encode) feeds
+    * [[graft.text.SuffixArray.prefixGroupsFromRows]] — the SA machinery
+    * is input-agnostic `(id, pos, code)` rows — with token ids assigned
+    * by lexicographic rank of the token string (deterministic, oracle-
+    * replayable); the gate pins each slice document's count of
+    * positions whose 8-TOKEN window recurs anywhere in the fenced token
+    * corpus. The oracle replays the t27b merge chain + t30 encode
+    * chain, then maps tokens to zero-padded fixed-width code strings so
+    * token-sequence equality becomes plain substring equality at
+    * stride 6 — no list-of-list sorting.
+    */
+  val saTokenCensus: Query = {
+    val rounds = 30
+    val sep = "chr(31)"
+    val k = 8
+    val sql = "WITH " + bpeMergeChainCtes(rounds) + bpeEncodeChainCtes(rounds) +
+      s""",
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CASE WHEN trim(s, $sep) = '' THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split(trim(s, $sep), $sep || $sep) END AS ts
+         |  FROM enc$rounds WHERE doc_id < 50),
+         |dict AS MATERIALIZED (
+         |  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS code
+         |  FROM (SELECT DISTINCT UNNEST(ts) AS tok FROM toks)),
+         |trows AS MATERIALIZED (
+         |  SELECT t.doc_id, i AS pos, dd.code
+         |  FROM toks t, UNNEST(range(1, len(t.ts) + 1)) AS u(i)
+         |  JOIN dict dd ON dd.tok = t.ts[CAST(i AS INTEGER)]),
+         |codestr AS MATERIALIZED (
+         |  SELECT t.doc_id, COALESCE(r.cs, '') || '000000' AS cs, COALESCE(r.n, 0) AS n
+         |  FROM toks t LEFT JOIN (
+         |    SELECT doc_id,
+         |           string_agg(lpad(CAST(code AS VARCHAR), 6, '0'), '' ORDER BY pos) AS cs,
+         |           COUNT(*) AS n
+         |    FROM trows GROUP BY doc_id) r USING (doc_id)),
+         |cat6 AS MATERIALIZED (
+         |  SELECT string_agg(cs, '' ORDER BY doc_id) AS s FROM codestr),
+         |offs6 AS MATERIALIZED (
+         |  SELECT doc_id, n, SUM(n + 1) OVER (ORDER BY doc_id) - n - 1 AS off
+         |  FROM codestr),
+         |twins AS MATERIALIZED (
+         |  SELECT o.doc_id, substr(s, CAST((o.off + i - 1) * 6 + 1 AS INTEGER), ${6 * k}) AS w
+         |  FROM offs6 o, UNNEST(range(1, o.n + 1)) AS t(i), cat6),
+         |seps6 AS MATERIALIZED (
+         |  SELECT substr(s, CAST((o.off + o.n) * 6 + 1 AS INTEGER), ${6 * k}) AS w
+         |  FROM offs6 o, cat6),
+         |grps AS MATERIALIZED (
+         |  SELECT w, COUNT(*) AS c FROM (
+         |    SELECT w FROM twins UNION ALL SELECT w FROM seps6) GROUP BY w),
+         |dupdoc AS MATERIALIZED (
+         |  SELECT t.doc_id, COUNT(*) AS n_dup
+         |  FROM twins t JOIN grps g USING (w) WHERE g.c > 1 GROUP BY t.doc_id)
+         |SELECT o.doc_id, CAST(o.n AS BIGINT) AS n_tok,
+         |       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup8
+         |FROM offs6 o LEFT JOIN dupdoc d USING (doc_id)
+         |ORDER BY o.doc_id""".stripMargin
+    Query("sa5_token_dup_census", sql) { (spark, d) =>
+      import spark.implicits._
+      val docs = documents(spark, d)
+      val slice = docs.where($"doc_id" < 50).select($"doc_id", $"text")
+      val merges = graft.text.BpeTrainer.train(docs, "text", rounds)
+      val enc = graft.text.BpeTrainer.encode(slice, "doc_id", "text", merges)
+      val trows = enc.select($"doc_id", posexplode($"tokens").as(Seq("pos0", "tok")))
+        .select($"doc_id", ($"pos0" + 1L).as("pos"), $"tok")
+      // token ids by lexicographic rank of the token STRING (binary
+      // UTF-8 order on both engines) — vocab-bounded two-pass rank
+      val dict = graft.operators.GlobalRank.withGlobalRank(
+        trows.select($"tok").distinct(), "code", nParts = 4, col("tok"))
+      val rows = trows.join(dict, Seq("tok")).select($"doc_id", $"pos", $"code")
+      graft.text.SuffixArray
+        .prefixGroupsFromRows(slice.select($"doc_id"), rows, "doc_id",
+          sepCode = 0L, prefixLen = k)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when($"grp_size" > 1, 1L).otherwise(0L)).as("n_dup8"))
+        .orderBy($"doc_id")
+    }
+  }
+
+  /** lid1 — fastText-STYLE LANGUAGE ID ([[graft.text.LangId]]): hashed
+    * boundary-marked char trigrams → frozen per-language linear heads →
+    * argmax (ties to the smallest language name) — the model-shaped LID
+    * that supersedes t5's marker-word ratio as the default (t5 stays
+    * for reference parity). Weights are hash-derived under the t26
+    * discipline (self-contained gate, production plan shape — trained
+    * fastText weights would swap in as a broadcast (bucket, lang,
+    * weight) join). One projected bucket array + five codegen'd folds
+    * per document: zero shuffle, rides the scan. The oracle replays
+    * every hash and the argmax chain bit-for-bit; all five languages
+    * win documents at every scale.
+    */
+  val langIdModel: Query = {
+    val langs = graft.text.LangId.Langs
+    val b = "CAST(concat('0x', substr(md5(substr('<' || w || '>', CAST(i AS INTEGER), 3)), 1, 7)) AS BIGINT) % 4096"
+    val scoreCols = langs.map(l =>
+      s"""SUM(CAST(concat('0x', substr(md5(concat('lid1:$l:', CAST(b AS VARCHAR))), 1, 7)) AS BIGINT) % 201 - 100) AS s_$l""")
+      .mkString(",\n           ")
+    // first language whose score >= every LATER language's = argmax
+    // with ties to the smallest name (same chain as LangId.classify)
+    val predCase = langs.init.map { l =>
+      val later = langs.dropWhile(_ != l).tail
+      s"WHEN ${later.map(o => s"ss.s_$l >= ss.s_$o").mkString(" AND ")} THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    val sql =
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 1),
+         |grams AS MATERIALIZED (
+         |  SELECT doc_id, $b AS b
+         |  FROM words, UNNEST(range(1, length(w) + 1)) AS u(i)),
+         |scored0 AS MATERIALIZED (
+         |  SELECT doc_id, COUNT(*) AS n_grams,
+         |           $scoreCols
+         |  FROM grams GROUP BY doc_id),
+         |scored AS MATERIALIZED (
+         |  -- coalesce BEFORE the argmax chain: a gram-less doc scores 0
+         |  -- everywhere (argmax ties to the smallest language), never NULL
+         |  SELECT d.doc_id, COALESCE(s0.n_grams, 0) AS n_grams,
+         |         ${langs.map(l => s"COALESCE(s0.s_$l, 0) AS s_$l").mkString(", ")}
+         |  FROM documents d LEFT JOIN scored0 s0 USING (doc_id))
+         |SELECT ss.doc_id, CAST(ss.n_grams AS BIGINT) AS n_grams,
+         |       ${langs.map(l => s"CAST(ss.s_$l AS BIGINT) AS s_$l").mkString(", ")},
+         |       $predCase AS pred_lang
+         |FROM scored ss
+         |ORDER BY ss.doc_id""".stripMargin
+    Query("lid1_langid", sql) { (spark, d) =>
+      import spark.implicits._
+      graft.text.LangId
+        .classify(documents(spark, d), "doc_id", "text", numBuckets = 4096,
+          salt = "lid1")
+        .orderBy($"doc_id")
+    }
+  }
+
   /** Shared CTE chain of t35/t36: per-source add-1-smoothed unigram KL
     * vs the `src0` target slice, in exact scaled micro-nats, then
     * inverse-KL integer budgets over an 8000-token total (see
@@ -2384,15 +2708,55 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** t39 — SHARD MANIFEST ([[graft.streaming.ShardStream.manifest]]):
+    * the delivery-integrity artifact a training job checks before
+    * reading a shard — per shard of t37/t38's deal, the doc count,
+    * token count, and an ORDER-DEPENDENT Merkle digest of the shard's
+    * documents in `pos_in_shard` order (per-doc md5 → per-1024-block
+    * md5 of ordered doc hashes → per-shard md5 of ordered block
+    * hashes; every fold bounded, every step engine-portable). The
+    * oracle recomputes the whole manifest independently from the raw
+    * table; `ShardStreamSpec` pins the STREAM deal's manifest ≡ this
+    * batch recompute.
+    */
+  val shardManifest = Query(
+    "t39_shard_manifest",
+    """WITH ordd AS MATERIALIZED (
+      |  SELECT doc_id, md5(text) AS dh,
+      |         length(text) - length(replace(text,' ','')) + 1 AS n_tokens,
+      |         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS seq
+      |  FROM documents),
+      |dealt AS MATERIALIZED (
+      |  SELECT dh, n_tokens, seq % 8 AS shard, seq // 8 AS pos FROM ordd),
+      |blocks AS MATERIALIZED (
+      |  SELECT shard, pos // 1024 AS blk, COUNT(*) AS n, SUM(n_tokens) AS t,
+      |         md5(string_agg(dh, '' ORDER BY pos)) AS bh
+      |  FROM dealt GROUP BY shard, blk)
+      |SELECT CAST(shard AS BIGINT) AS shard, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |       CAST(SUM(t) AS BIGINT) AS n_tokens,
+      |       md5(string_agg(bh, '' ORDER BY blk)) AS content_md5
+      |FROM blocks GROUP BY shard ORDER BY shard""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.streaming.ShardStream
+      .manifest(documents(spark, d).select($"doc_id", $"source", $"text"),
+        numShards = 8)
+      .orderBy($"shard")
+  }
+
   /** Build the battery-shared memo this module owns (Bench warm-up
     * hook): t15/t17's duplicated-span table. See
     * `SimQueries.warmMemos`.
     */
-  def warmMemos(spark: org.apache.spark.sql.SparkSession, d: String): Unit =
+  def warmMemos(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
     try sharedSpans(spark, d).count()
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] MEMO WARMUP FAILED text/spans: ${e.getMessage}")
     }
+    try sharedSaLcp(spark, d)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] MEMO WARMUP FAILED text/salcp: ${e.getMessage}")
+    }
+  }
 
   val all: Seq[Query] = Seq(
     tokenStats, qualityScore, exactDedup, ngramJaccard, langProfile,
@@ -2404,5 +2768,6 @@ object TextQueries {
     qualityModel, onlineBudget, bpePairStats, bpeMergeSequence, bpeEncodeCorpus,
     bpeVocabGate, bpePackCorpus, corpusCensus, lmPerplexity, dsirSelection,
     dsirOnline, domainKlWeights, klMixture, corpusShards, shardDealOnline,
-    suffixArraySlice, dupPrefixCensus)
+    suffixArraySlice, dupPrefixCensus, saLcpPairs, saSpanRemoval,
+    saTokenCensus, langIdModel, shardManifest)
 }

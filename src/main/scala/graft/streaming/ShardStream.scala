@@ -65,6 +65,42 @@ object ShardStream {
       total)
   }
 
+  /** Per-shard DELIVERY-INTEGRITY MANIFEST — the artifact a training
+    * job checks before reading a shard: `(shard, n_docs, n_tokens,
+    * content_md5)` where `content_md5` is an ORDER-DEPENDENT digest of
+    * the shard's documents in `pos_in_shard` order. The digest is
+    * Merkle-shaped so no fold ever holds a shard's worth of state:
+    * per-doc md5(text) → per-BLOCK md5 of the ≤`blockSize` ordered doc
+    * hashes (bounded sorted list per group, the t17 idiom) → per-shard
+    * md5 of the ordered block hashes. Two bounded levels cover any
+    * gate corpus; at 100 TB the same recursion adds levels — each is
+    * one map-side-combinable groupBy. Every step is engine-portable
+    * (md5 + ordered string concat), so the oracle replays it exactly.
+    */
+  def manifestOf(dealt: DataFrame, docsText: DataFrame,
+                 blockSize: Int = 1024): DataFrame = {
+    val withHash = dealt
+      .join(docsText.select(col("doc_id"), md5(col("text")).as("__dh")),
+        Seq("doc_id"))
+    val blocks = withHash
+      .groupBy(col("shard"),
+        (col("pos_in_shard") - col("pos_in_shard") % blockSize)
+          .divide(blockSize).cast("long").as("__blk"))
+      .agg(count(lit(1)).as("__n"), sum(col("n_tokens")).as("__t"),
+        md5(concat_ws("", expr("transform(array_sort(collect_list(" +
+          "struct(pos_in_shard, __dh))), x -> x.__dh)"))).as("__bh"))
+    blocks
+      .groupBy(col("shard"))
+      .agg(sum(col("__n")).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        md5(concat_ws("", expr("transform(array_sort(collect_list(" +
+          "struct(__blk, __bh))), x -> x.__bh)"))).as("content_md5"))
+  }
+
+  /** [[manifestOf]] over the offline deal. */
+  def manifest(docs: DataFrame, numShards: Int,
+               blockSize: Int = 1024): DataFrame =
+    manifestOf(batchDeal(docs, numShards), docs, blockSize)
+
   /** Start the shard-deal stream over a JSONL drop dir. */
   def run(
       spark: SparkSession,

@@ -221,6 +221,62 @@ object NgramLm {
       .withColumn("kept", when(col("ppl_bucket") <= 2, 1L).otherwise(0L))
   }
 
+  /** The APPROX-CUTOFF alternative to [[importanceSelection]] — the
+    * budget-prefix analog of [[perplexityBucketsApprox]], completing
+    * the "global ranked cut at scale" recipe's second column: estimate
+    * the log-ratio threshold whose token-WEIGHTED prefix ≈ the budget
+    * from a bounded histogram, then admit by broadcast threshold — the
+    * corpus is never range-shuffled.
+    *
+    *   - [[importanceSelection]] (two-pass `GlobalRank` prefix sum):
+    *     EXACT budget semantics — the kept set is the maximal ratio-
+    *     ordered prefix within `budgetToks` — at the cost of one range
+    *     shuffle of the doc-granular score relation. Use for gates,
+    *     fixed quotas, or when the running total itself is consumed.
+    *   - this variant: per-doc scores bucket into `nBuckets` equal-width
+    *     log-ratio bins (one map-side-combinable groupBy; the histogram
+    *     — ≤ `nBuckets` rows — collects like a codebook), the driver
+    *     scans it top-down for the budget-crossing bin, and admission is
+    *     `logratio_micro ≥ lower edge of the crossing bin` — a codegen'd
+    *     comparison on the existing partitioning. The kept token count
+    *     overshoots the budget by AT MOST the crossing bin's token mass
+    *     (ε; returned in the `budget_over_toks` column, so callers can
+    *     see the realized error) and ties land whole on one side. Use
+    *     when the budget is a target, not a contract — DSIR's actual
+    *     production posture.
+    */
+  def importanceSelectionApprox(docs: DataFrame, idCol: String, textCol: String,
+                                sourceCol: String, targetSource: String,
+                                budgetToks: Long, nBuckets: Int = 10000): DataFrame = {
+    val lmT = train(docs.where(col(sourceCol) === targetSource), idCol, textCol)
+    val lmR = train(docs, idCol, textCol)
+    val weighted = scoreDocsDual(docs, lmT, lmR, idCol, textCol)
+      .withColumn("logratio_micro", col("score_raw_micro") - col("score_tgt_micro"))
+      .localCheckpoint(true) // consumed by range agg, histogram, and admit
+    val Array(lo, hi) = weighted
+      .agg(min(col("logratio_micro")), max(col("logratio_micro"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val width = math.max(1L, (hi - lo) / nBuckets + 1L)
+    // ≤ nBuckets+1 rows to the driver — the codebook-collect class.
+    val histo = weighted
+      .groupBy(((col("logratio_micro") - lo) / width).cast("long").as("__bin"))
+      .agg(sum(col("n_toks")).as("__t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    var cum = 0L
+    var crossBin = -1L
+    var over = 0L
+    for ((bin, t) <- histo if crossBin < 0) {
+      cum += t
+      if (cum >= budgetToks) { crossBin = bin; over = cum - budgetToks }
+      else if (bin == histo.last._1) { crossBin = bin; over = 0L }
+    }
+    val threshold = lo + crossBin * width
+    weighted
+      .withColumn("kept", when(col("logratio_micro") >= threshold, 1L).otherwise(0L))
+      .withColumn("ratio_threshold_micro", lit(threshold))
+      .withColumn("budget_over_toks", lit(over))
+  }
+
   /** The APPROX-CUTOFF alternative to [[perplexityBuckets]] — the other
     * leg of the "global ranked cut at scale" recipe (PLANS.md round-13
     * section has the measured A/B):

@@ -334,20 +334,29 @@ object SuffixArray {
     // and LCP ≤ M−1 because the build converged at M.
     val desc = ix.levels.sortBy(-_._1).drop(1)
     var (p, tok) = Checkpoints.eager(pairs0)
-    for ((m, lvl) <- desc) {
+    var sinceCkpt = 0
+    for (((m, lvl), i) <- desc.zipWithIndex) {
       val a = lvl.select(col("gid").as("__ga"), col("rank").as("__ra"))
       val b = lvl.select(col("gid").as("__gb"), col("rank").as("__rb"))
-      val nx = p
+      p = p
         .join(a, col("__ga") === col("gid1") + col("lcp"), "left_outer")
         .join(b, col("__gb") === col("gid2") + col("lcp"), "left_outer")
         .withColumn("lcp", col("lcp") +
           when(coalesce(col("__ra"), lit(-1L)) === coalesce(col("__rb"), lit(-2L)),
             lit(m)).otherwise(lit(0L)))
         .select(col("sa_rank"), col("gid1"), col("gid2"), col("lcp"))
-      val (ck, t2) = Checkpoints.eager(nx)
-      tok.free()
-      p = ck
-      tok = t2
+      sinceCkpt += 1
+      // Sever every few levels (and at the end): a per-level checkpoint
+      // pays one fixed job per level for nothing — a handful of chained
+      // equi-joins is a fine plan — but an UNBOUNDED chain re-executes
+      // from the last severed point on every reference.
+      if (sinceCkpt == 3 || i == desc.length - 1) {
+        val (ck, t2) = Checkpoints.eager(p)
+        tok.free()
+        p = ck
+        tok = t2
+        sinceCkpt = 0
+      }
     }
     p
   }
@@ -404,11 +413,24 @@ object SuffixArray {
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             minLen: Long, maxRounds: Int = 40): DataFrame = {
     val ix = buildIndex(docs, idCol, textCol, maxRounds, retainLevels = true)
-    val np = rankParts(ix.addr, ix.total)
-    val covered = duplicatedIntervals(lcpAdjacent(ix), minLen, np)
+    removeSpansFromLcp(docs, idCol, textCol, lcpAdjacent(ix),
+      ix.addr.filter(col("code") =!= ix.sepCode)
+        .select(col(idCol), col("pos"), col("gid")),
+      minLen, rankParts(ix.addr, ix.total))
+  }
+
+  /** The removal half of [[removeDuplicatedSpans]], from a precomputed
+    * adjacent-pair LCP table and text addressing — the entry a
+    * production pipeline (which materializes the LCP relation once and
+    * feeds both the audit report and the cleaning pass) and the
+    * battery-shared gate memo use.
+    */
+  def removeSpansFromLcp(docs: DataFrame, idCol: String, textCol: String,
+                         lcpPairs: DataFrame, addrText: DataFrame,
+                         minLen: Long, np: Int): DataFrame = {
+    val covered = duplicatedIntervals(lcpPairs, minLen, np)
       .select(explode(sequence(col("lo"), col("hi") - 1)).as("gid"))
-      .join(ix.addr.filter(col("code") =!= ix.sepCode)
-        .select(col(idCol), col("pos"), col("gid")), Seq("gid"))
+      .join(addrText.select(col(idCol), col("pos"), col("gid")), Seq("gid"))
       .select(col(idCol), col("pos"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

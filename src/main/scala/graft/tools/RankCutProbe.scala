@@ -56,6 +56,29 @@ object RankCutProbe {
     val agree = joined.filter(col("b_exact") === col("b_approx")).count()
     val total = joined.count()
     println(f"""{"leg":"agreement","agree":$agree,"total":$total,"rate":${agree.toDouble / total}%.4f}""")
+
+    // The BUDGET-PREFIX pair (round-14): exact two-pass prefix sum vs
+    // histogram-threshold admission, same DSIR scoring both legs.
+    // Budget = ~half the corpus tokens so both classes are live.
+    val totToks = docs.select(sum(graft.functions.Exprs.tokenCount(col("text"))))
+      .head().getLong(0)
+    val budget = totToks / 2
+    val exactSel = time("global_prefix_budget") {
+      graft.text.NgramLm.importanceSelection(
+        docs, "doc_id", "text", "source", "src0", budget)
+    }
+    val approxSel = time("histo_threshold_budget") {
+      graft.text.NgramLm.importanceSelectionApprox(
+        docs, "doc_id", "text", "source", "src0", budget)
+    }
+    val jsel = exactSel.select(col("doc_id"), col("kept").as("k_exact"), col("n_toks"))
+      .join(approxSel.select(col("doc_id"), col("kept").as("k_approx"),
+        col("budget_over_toks")), "doc_id")
+    val sAgree = jsel.filter(col("k_exact") === col("k_approx")).count()
+    val sDiffToks = jsel.filter(col("k_exact") =!= col("k_approx"))
+      .agg(coalesce(sum(col("n_toks")), lit(0L))).head().getLong(0)
+    val overTok = approxSel.select(col("budget_over_toks")).head().getLong(0)
+    println(f"""{"leg":"budget_agreement","agree":$sAgree,"total":$total,"rate":${sAgree.toDouble / total}%.4f,"budget":$budget,"diff_toks":$sDiffToks,"declared_over_toks":$overTok}""")
     spark.stop()
   }
 }

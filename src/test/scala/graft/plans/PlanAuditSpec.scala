@@ -60,7 +60,15 @@ class PlanAuditSpec extends SparkSpec {
     "sa1_suffix_array" -> ((false, false, true, true)),
     "sa2_dup_prefix_census" -> ((false, false, true, true)),
     "t34b_dsir_online" -> ((true, true, true, true)),
-    "t38_shard_deal_online" -> ((false, false, true, true)))
+    "t38_shard_deal_online" -> ((false, false, true, true)),
+    // Round-14: sa3 serves the battery-shared LCP memo (LocalRelation —
+    // the scans happened in the memoized build); sa4's final plan joins
+    // the documents scan (pushdown/pruning live) with the broadcast-
+    // joined span segments; sa5's final plan reads checkpointed rank
+    // tables like sa2 (broadcast = GlobalRank's offset join).
+    "sa3_lcp_adjacent" -> ((false, false, false, true)),
+    "sa4_exact_substring_dedup" -> ((true, true, true, true)),
+    "sa5_token_dup_census" -> ((false, false, true, true)))
 
   // Gates whose whole point is avoiding the global-window shape: any
   // `Window` fed by an `Exchange SinglePartition` in their final plan
@@ -68,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
   private val noGlobalWindow =
     Set("t33_lm_perplexity", "t34_dsir_selection", "t37_corpus_shards",
       "sa1_suffix_array", "sa2_dup_prefix_census", "t34b_dsir_online",
-      "t38_shard_deal_online")
+      "t38_shard_deal_online", "sa3_lcp_adjacent",
+      "sa4_exact_substring_dedup", "sa5_token_dup_census")
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {

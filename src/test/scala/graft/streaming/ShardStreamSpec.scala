@@ -60,6 +60,20 @@ class ShardStreamSpec extends SparkSpec {
     assert(sizes.size == K && sizes.max - sizes.min <= 1, s"unbalanced: $sizes")
     val slots = got.map(r => (r._4, r._5))
     assert(slots.distinct.size == slots.size, "duplicate (shard, pos) slot")
+
+    // MANIFEST equivalence (t39's streaming half): the delivery-
+    // integrity manifest computed over the STREAM-dealt rows equals an
+    // independent recompute over the batch deal — same counts, same
+    // order-dependent Merkle digest per shard. A small block size makes
+    // the test cross block boundaries (both digest levels exercised).
+    val streamDealt = ShardStream.results(spark, out)
+      .select($"doc_id", $"n_tokens", $"shard", $"pos_in_shard")
+    val mGot = ShardStream.manifestOf(streamDealt, docsAll, blockSize = 16)
+      .orderBy($"shard").as[(Long, Long, Long, String)].collect().toSeq
+    val mWant = ShardStream.manifest(docsAll, K, blockSize = 16)
+      .orderBy($"shard").as[(Long, Long, Long, String)].collect().toSeq
+    assert(mGot == mWant, "stream manifest diverged from the batch recompute")
+    assert(mGot.size == K && mGot.map(_._4).distinct.size == K)
   }
 
   test("replaying a micro-batch is idempotent after its state was written") {

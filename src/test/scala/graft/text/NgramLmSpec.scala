@@ -148,6 +148,48 @@ class NgramLmSpec extends SparkSpec {
     assert(agree >= 108, s"agreement $agree/120") // >= 90%
   }
 
+  test("approx budget cut tracks the exact DSIR prefix within its stated error") {
+    val corpus = soup120
+    val budget = 300L
+    val exact = NgramLm
+      .importanceSelection(corpus, "doc_id", "text", "source", "src0", budget)
+      .select($"doc_id", $"logratio_micro", $"n_toks", $"kept").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("logratio_micro"),
+        r.getAs[Long]("n_toks"), r.getAs[Long]("kept")))
+    val approx = NgramLm
+      .importanceSelectionApprox(corpus, "doc_id", "text", "source", "src0", budget)
+      .select($"doc_id", $"logratio_micro", $"n_toks", $"kept",
+        $"ratio_threshold_micro", $"budget_over_toks").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("logratio_micro"),
+        r.getAs[Long]("n_toks"), r.getAs[Long]("kept"),
+        r.getAs[Long]("ratio_threshold_micro"), r.getAs[Long]("budget_over_toks")))
+    // identical ratios (same fused dual scoring)
+    val er = exact.map(x => x._1 -> x._2).toMap
+    approx.foreach { case (id, r, _, _, _, _) => assert(er(id) == r) }
+    // admission IS the broadcast threshold
+    val thr = approx.head._5
+    approx.foreach { case (_, r, _, k, t, _) =>
+      assert(t == thr)
+      assert((r >= thr) == (k == 1L))
+    }
+    // kept tokens land in [budget, budget + reported overshoot]; the
+    // overshoot is the crossing bin's partial mass, and with 10k bins
+    // over this spread it is a handful of docs at most
+    val keptToks = approx.filter(_._4 == 1L).map(_._3).sum
+    val over = approx.head._6
+    assert(keptToks >= math.min(budget, approx.map(_._3).sum),
+      s"under budget: $keptToks")
+    assert(keptToks - budget <= over, s"overshoot $keptToks vs declared $over")
+    // agreement with the exact prefix: only boundary docs may differ
+    val ek = exact.filter(_._4 == 1L).map(_._1).toSet
+    val ak = approx.filter(_._4 == 1L).map(_._1).toSet
+    val diffToks = approx.filter(x => ak(x._1) != ek(x._1)).map(_._3).sum
+    assert(diffToks <= over + exact.filter(x => ek(x._1)).map(_._3).max,
+      s"boundary disagreement too large: $diffToks tokens")
+    assert(ak.intersect(ek).size >= (ek.size * 9) / 10,
+      s"agreement ${ak.intersect(ek).size}/${ek.size}")
+  }
+
   test("terciles order by avg nats: reference doc is head, noise is tail") {
     val out = NgramLm.perplexityBuckets(docs, "doc_id", "text", "source", "src0")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap

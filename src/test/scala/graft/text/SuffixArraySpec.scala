@@ -173,6 +173,39 @@ class SuffixArraySpec extends SparkSpec {
     assert(expected.map(_._3).sum > 0)
   }
 
+  test("token-space prefixGroups equals the brute window census over code sequences") {
+    // three "documents" of integer codes; doc 2 repeats doc 0's prefix
+    val seqs = Map(
+      0L -> Seq(5L, 7L, 5L, 7L, 5L, 7L, 9L),
+      1L -> Seq(11L, 13L, 5L, 7L),
+      2L -> Seq(5L, 7L, 5L, 7L, 20L),
+      3L -> Seq.empty[Long]) // empty doc: contributes only its fence
+    val rows = seqs.toSeq.flatMap { case (id, cs) =>
+      cs.zipWithIndex.map { case (c, i) => (id, i + 1L, c) }
+    }.toDF("doc_id", "pos", "code")
+    val ids = seqs.keys.toSeq.sorted.toDF("doc_id")
+    // brute: fenced corpus (sep = 0), all 2-windows, count
+    val corpus = seqs.toSeq.sortBy(_._1).flatMap { case (_, cs) => cs :+ 0L }
+    val wins = corpus.indices.map(i => corpus.slice(i, math.min(corpus.length, i + 2)))
+    val counts = wins.groupBy(identity).view.mapValues(_.size).toMap
+    val got = SuffixArray
+      .prefixGroupsFromRows(ids, rows, "doc_id", sepCode = 0L, prefixLen = 2)
+      .orderBy($"doc_id", $"pos")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    var gidIdx = 0
+    seqs.toSeq.sortBy(_._1).foreach { case (id, cs) =>
+      cs.indices.foreach { i =>
+        val row = got.find(r => r._1 == id && r._2 == i + 1).get
+        assert(row._5 == counts(wins(gidIdx)).toLong,
+          s"doc $id pos ${i + 1}: got ${row._5}, want ${counts(wins(gidIdx))}")
+        gidIdx += 1
+      }
+      gidIdx += 1 // fence
+    }
+    assert(got.exists(_._5 > 1) && got.exists(_._5 == 1L))
+    assert(!got.exists(_._1 == 3L)) // empty doc has no text positions
+  }
+
   test("prefixLen must be a power of two") {
     intercept[IllegalArgumentException] {
       SuffixArray.prefixGroups(Seq((0L, "abc")).toDF("doc_id", "text"),
