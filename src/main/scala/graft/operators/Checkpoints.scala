@@ -38,20 +38,29 @@ object Checkpoints {
   /** Eagerly localCheckpoint `df`; returns the checkpointed frame and
     * the token that frees its blocks.
     */
-  def eager(df: DataFrame): (DataFrame, Token) = {
-    val (ck, token, _) = eagerCounted(df)
+  def eager(df: DataFrame, diskOnly: Boolean = false): (DataFrame, Token) = {
+    val (ck, token, _) = eagerCounted(df, diskOnly)
     (ck, token)
   }
 
   /** [[eager]] plus the materialized row count — iterated callers that
     * need the count anyway (convergence tests) should not pay a second
-    * action for it.
+    * action for it. `diskOnly` stores the blocks DISK_ONLY (retained
+    * level tables that would otherwise thrash the storage pool).
     */
-  def eagerCounted(df: DataFrame): (DataFrame, Token, Long) = {
+  def eagerCounted(df: DataFrame,
+                   diskOnly: Boolean = false): (DataFrame, Token, Long) = {
     val sc = df.sparkSession.sparkContext
     val (ck, added) = registerLock.synchronized {
       val before = sc.getPersistentRDDs.keySet
-      val c = df.localCheckpoint(eager = false) // registers persistence synchronously
+      // NOT Dataset.localCheckpoint: since SPARK-39748 that carries the
+      // original plan's STATISTICS onto the checkpoint, and iterated
+      // join-checkpoint loops (the suffix-array rounds) then compound
+      // size-only join estimates into double-exponential BigInts —
+      // measured ~80 s/round of pure driver `BigInteger.multiply`. The
+      // shim checkpoints with fresh leaf stats (see its scaladoc).
+      val c = org.apache.spark.sql.GraftCheckpointShim
+        .localCheckpointFreshStats(df, diskOnly)
       (c, (sc.getPersistentRDDs.keySet -- before).toSeq)
     }
     val n = ck.count() // materialize outside the lock

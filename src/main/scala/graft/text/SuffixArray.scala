@@ -155,7 +155,7 @@ object SuffixArray {
     * `rank₀(code) = 1 + #positions with a smaller code`, `live` iff
     * the code occurs more than once.
     */
-  private def initialRanks(addr: DataFrame): DataFrame = {
+  private def initialRanks(addr: DataFrame): (DataFrame, Long) = {
     val spark = addr.sparkSession
     import spark.implicits._
     val counts = addr.groupBy(col("code")).agg(count(lit(1)).as("c"))
@@ -165,8 +165,10 @@ object SuffixArray {
       val r = acc; acc += c; (code, r, c)
     }
     val rankDf = broadcast(table.toSeq.toDF("code", "rank", "gsz"))
-    addr.join(rankDf, Seq("code"))
-      .select(col("gid"), col("rank"), (col("gsz") > 1).as("live"), col("gsz"))
+    (addr.join(rankDf, Seq("code"))
+      .select(col("gid"), col("rank"), (col("gsz") > 1).as("live"), col("gsz")),
+      // initial live count comes free from the driver-side alphabet table
+      counts.filter(_._2 > 1).map(_._2).sum)
   }
 
   /** The doubling loop. Returns the final full rank relation (all
@@ -178,28 +180,39 @@ object SuffixArray {
   private def doubling(addr: DataFrame, total: Long, maxM: Long,
                        maxRounds: Int, retainLevels: Boolean)
       : (DataFrame, Seq[(Long, DataFrame)]) = {
-    val init = initialRanks(addr)
-    val (frozen0, _) = Checkpoints.eager(init.filter(!col("live")))
-    var (active, tokA, nActive) = Checkpoints.eagerCounted(init.filter(col("live")))
-    val frozenParts = scala.collection.mutable.ArrayBuffer[DataFrame](frozen0)
-    def fullView: DataFrame =
-      (frozenParts.toList :+ active).map(_.select(col("gid"), col("rank"),
-        col("live"), col("gsz"))).reduce(_ unionByName _)
+    val (init, nActive0) = initialRanks(addr)
+    // ONE checkpointed full frame per round — the lookup side and every
+    // retained level stay single compact scans (a union-of-parts view
+    // re-read K frames per join and measurably drowned the freezing
+    // win); the freezing savings live in the PAIR/rank relations, which
+    // carry only the live residue.
+    var (full, tokF) = Checkpoints.eager(init)
+    var nActive = nActive0
     val levels = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)]()
+    // Retained levels are SEPARATE DISK_ONLY snapshots of (gid, rank):
+    // the hot loop keeps its frames in memory and frees each when
+    // superseded, while the O(log) corpus-sized level tables — alive
+    // until the LCP descent is done — never touch the storage pool
+    // (sharing the hot frames evict-thrashed it: measured 4× the bare
+    // build at ×10 corpora; at 100 TB these snapshots are the lake
+    // writes a real run pays per round anyway).
     def snapLevel(m: Long): Unit =
-      if (retainLevels)
-        levels += ((m, fullView.select(col("gid"), col("rank"))))
+      if (retainLevels) {
+        val (lv, _) = Checkpoints.eager(
+          full.select(col("gid"), col("rank")), diskOnly = true)
+        levels += ((m, lv))
+      }
     snapLevel(1L)
     var m = 1L
     var rounds = 0
     while (nActive > 0 && m < maxM && rounds < maxRounds) {
       val step = m
       val np = rankParts(addr, nActive)
-      val lookup = fullView.select(col("gid"), col("rank"))
       // checkpoint: consumed by the pair count AND the join-back, and
       // derived from a join — an unsevered lineage would run it twice
-      val (pairs, tokP) = Checkpoints.eager(active.as("a")
-        .join(lookup.as("b"), col("b.gid") === col("a.gid") + step, "left_outer")
+      val (pairs, tokP) = Checkpoints.eager(full.filter(col("live")).as("a")
+        .join(full.select(col("gid"), col("rank")).as("b"),
+          col("b.gid") === col("a.gid") + step, "left_outer")
         .select(col("a.gid").as("gid"), col("a.rank").as("r1"),
           coalesce(col("b.rank"), lit(-1L)).as("r2")))
       val d = pairs.groupBy(col("r1"), col("r2")).agg(count(lit(1)).as("c"))
@@ -211,25 +224,28 @@ object SuffixArray {
       // is the exact new global competition rank.
       val g = cum.withColumn("gpair", col("cum") - col("c") + 1L)
       val minG = g.groupBy(col("r1")).agg(min(col("gpair")).as("ming"))
-      val (rankedPairs, tokR) = Checkpoints.eager(g.join(minG, Seq("r1"))
+      val (rankedPairs, tokR, _) = Checkpoints.eagerCounted(g.join(minG, Seq("r1"))
         .select(col("r1"), col("r2"),
           (col("r1") + col("gpair") - col("ming")).as("nrank"), col("c")))
+      // next round's live population — |D|-row aggregate, read before
+      // the full-frame write so the loop condition is free afterwards
+      nActive = rankedPairs.filter(col("c") > 1L)
+        .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
       val assigned = pairs.join(rankedPairs, Seq("r1", "r2"))
         .select(col("gid"), col("nrank").as("rank"),
           (col("c") > 1L).as("live"), col("c").as("gsz"))
-      val (fr, _) = Checkpoints.eager(assigned.filter(!col("live")))
-      val (ac, tokA2, nAct2) = Checkpoints.eagerCounted(assigned.filter(col("live")))
-      frozenParts += fr
-      // Free the round's scratch (and the superseded live table unless
-      // a retained level still reads it).
-      tokP.free(); tokG.free(); tokR.free()
-      if (!retainLevels) tokA.free()
-      active = ac; tokA = tokA2; nActive = nAct2
+      val (nextFull, tokF2) = Checkpoints.eager(
+        full.filter(!col("live")).unionByName(assigned))
+      // Free the round's scratch and the superseded full frame (levels
+      // are independent snapshots, so this is safe either way).
+      tokP.free(); tokG.free(); tokR.free(); tokF.free()
+      full = nextFull
+      tokF = tokF2
       m *= 2
       rounds += 1
       snapLevel(m)
     }
-    (fullView, levels.toSeq)
+    (full, levels.toSeq)
   }
 
   /** Build the index over documents' codepoints. `retainLevels` keeps

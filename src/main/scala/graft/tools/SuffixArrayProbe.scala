@@ -54,6 +54,33 @@ object SuffixArrayProbe {
     timed("suffix_array_full") {
       graft.text.SuffixArray.build(docs, "doc_id", "text").count()
     }
+    // Round-14: the SA's PAYOFF end to end — build with retained
+    // levels, adjacent-pair LCP by binary descent, duplicated spans
+    // ≥ 32 cp merged and CUT (Lee et al.'s variable-length exact
+    // dedup, gates sa3/sa4 on slices; this is the full-corpus row).
+    // Staged so each leg's wall/shuffle is attributable.
+    var ix: graft.text.SuffixArray.Index = null
+    timed("sa_build_with_levels") {
+      ix = graft.text.SuffixArray.buildIndex(docs, "doc_id", "text",
+        retainLevels = true)
+      println(s"""{"detail":"levels","n":${ix.levels.length},"total":${ix.total}}""")
+      ix.total
+    }
+    var lcp: org.apache.spark.sql.DataFrame = null
+    timed("lcp_adjacent_full") {
+      lcp = graft.text.SuffixArray.lcpAdjacent(ix)
+      lcp.count()
+    }
+    timed("span_removal_from_lcp_L32") {
+      val out = graft.text.SuffixArray
+        .removeSpansFromLcp(docs, "doc_id", "text", lcp,
+          ix.addr.filter(col("code") =!= ix.sepCode)
+            .select(col("doc_id"), col("pos"), col("gid")),
+          minLen = 32L, np = 32)
+        .agg(count(lit(1)), sum(col("n_removed"))).head()
+      println(s"""{"detail":"span_removal","n_docs":${out.getLong(0)},"removed_cp":${out.getLong(1)}}""")
+      out.getLong(0)
+    }
     spark.stop()
   }
 }

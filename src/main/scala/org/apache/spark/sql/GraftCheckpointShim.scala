@@ -1,0 +1,63 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** STATS-SEVERING local checkpoint — the one `private[sql]` shim this
+  * library needs (placed in the Spark SQL package, the standard
+  * technique open-source Spark libraries use for internal access).
+  *
+  * WHY: since SPARK-39748, `Dataset.localCheckpoint` carries the
+  * ORIGINAL plan's statistics onto the checkpoint's `LogicalRDD`
+  * (`LogicalRDD.fromDataset` → `rewriteStatsAndConstraints`). For an
+  * ITERATED operator that checkpoints a join output every round — the
+  * suffix-array doubling loop — this compounds catastrophically:
+  * size-only join estimation multiplies children's `sizeInBytes`, so
+  * round k's carried stat is a product over round k−1's carried stats
+  * — DOUBLE-EXPONENTIAL BigInt growth. By round 10 the `sizeInBytes`
+  * is a ~60 000-bit BigInt and every Catalyst stats walk over a plan
+  * referencing such frames burns driver CPU in `BigInteger.multiply`
+  * (ToomCook range) — measured 80 s of pure driver stall per LCP
+  * descent level at sf0.01, with ZERO running stages (thread dump:
+  * `SizeInBytesOnlyStatsPlanVisitor` → `BigInt.$times`).
+  *
+  * The shim replicates `Dataset.localCheckpoint`'s RDD mechanics —
+  * `physicalPlan.execute().map(_.copy())` + `RDD.localCheckpoint()` —
+  * but builds the result `LogicalRDD` with NO carried stats or
+  * constraints, so the checkpointed frame reports the honest leaf
+  * default (`spark.sql.defaultSizeInBytes`) like a pre-3.4 checkpoint
+  * did, and iterated plans keep O(1)-bit stats. Partitioning/ordering
+  * metadata is deliberately dropped too (`UnknownPartitioning`): the
+  * iterated consumers re-shuffle by construction, and carrying a
+  * partitioning whose attribute ids must be rewritten is the other
+  * half of the machinery being bypassed.
+  */
+object GraftCheckpointShim {
+
+  /** Lazily checkpoint `df` at the RDD level with fresh leaf stats;
+    * the caller materializes (first action) and owns the blocks.
+    * `diskOnly` stores the blocks off-heap-of-storage (DISK_ONLY): the
+    * level tables a retained-levels suffix-array build keeps alive —
+    * O(log) corpus-sized frames — otherwise evict-thrash the storage
+    * pool (measured 4× the bare build at ×10 corpora).
+    */
+  def localCheckpointFreshStats(df: DataFrame,
+                                diskOnly: Boolean = false): DataFrame = {
+    val cds = df.asInstanceOf[CDataset[Row]]
+    val spark = cds.sparkSession.asInstanceOf[CSparkSession]
+    val physicalPlan = cds.queryExecution.executedPlan
+    val internalRdd = physicalPlan.execute().map(_.copy())
+    // RDD.localCheckpoint keeps a pre-set storage level, only forcing
+    // disk into it — so persisting DISK_ONLY first sticks.
+    if (diskOnly) internalRdd.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    internalRdd.localCheckpoint()
+    CDataset.ofRows(spark, LogicalRDD(
+      cds.queryExecution.analyzed.output,
+      internalRdd,
+      UnknownPartitioning(0),
+      Nil,
+      false,
+      None)(spark, None, None))
+  }
+}
