@@ -241,6 +241,11 @@ object SuffixArray {
       tokP.free(); tokG.free(); tokR.free(); tokF.free()
       full = nextFull
       tokF = tokF2
+      // Freezing-decay trace (SPARK_GRAFT_SA_DEBUG=1): the per-round
+      // live population IS the next round's pair/rank/join-back volume
+      // — the probe's decay evidence.
+      if (sys.env.contains("SPARK_GRAFT_SA_DEBUG"))
+        println(s"""{"sa_round":$rounds,"step":$step,"live_next":$nActive,"total":$total}""")
       m *= 2
       rounds += 1
       snapLevel(m)
