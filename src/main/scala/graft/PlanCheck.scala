@@ -29,39 +29,44 @@ object PlanCheck {
   def hasSinglePartitionWindow(physical: String): Boolean = {
     def indent(l: String): Int = l.indexWhere(c => c != ' ' && c != '+' &&
       c != '-' && c != ':' && c != '*' && c != '(' && !c.isDigit && c != ')')
-    // Drop SUBQUERY subtrees first: a scalar subquery printed beneath a
-    // Window (e.g. a runtime bloom_filter_agg injected on a join below
-    // it) legitimately exchanges to a single partition — it is an
-    // expression annotation, not the Window's data path.
-    val lines = {
-      val all = physical.linesIterator.toArray
-      val keep = Array.fill(all.length)(true)
-      var i = 0
-      while (i < all.length) {
-        if (keep(i) && all(i).contains("Subquery")) {
-          val base = indent(all(i))
-          var j = i + 1
-          while (j < all.length && (all(j).trim.isEmpty || indent(all(j)) > base)) {
-            keep(j) = false
-            j += 1
-          }
-          keep(i) = false
+    val all = physical.linesIterator.toArray
+    // Assign each SUBQUERY subtree its own REGION (nested subqueries
+    // re-assign, so the innermost wins): a scalar subquery printed
+    // beneath a Window (e.g. a runtime bloom_filter_agg injected on a
+    // join below it) legitimately exchanges to a single partition — an
+    // expression annotation, not the Window's data path — so its
+    // exchange must never be attributed to a main-tree Window. But a
+    // Window that itself LIVES inside a subquery keeps full coverage:
+    // its exchange shares its region, so the check still trips.
+    val region = Array.fill(all.length)(0)
+    var next = 1
+    var i = 0
+    while (i < all.length) {
+      if (all(i).contains("Subquery")) {
+        val base = indent(all(i))
+        val rid = next
+        next += 1
+        var j = i + 1
+        while (j < all.length && (all(j).trim.isEmpty || indent(all(j)) > base)) {
+          region(j) = rid
+          j += 1
         }
-        i += 1
       }
-      all.zip(keep).collect { case (l, true) => l }
+      i += 1
     }
-    lines.zipWithIndex.exists { case (l, i) =>
-      l.contains("Window ") && {
+    all.indices.exists { i =>
+      all(i).contains("Window ") && {
         // Walk the Window operator's WHOLE subtree (until indentation
         // returns to the Window's level), not a fixed 3-line lookahead:
         // extra Project/Filter/AQE wrappers between the Window and its
         // exchange must not hide the single-partition shape from the
-        // regression gate.
-        val base = indent(l)
-        lines.drop(i + 1)
-          .takeWhile(x => indent(x) > base || x.trim.isEmpty)
-          .exists(_.contains("Exchange SinglePartition"))
+        // regression gate — counting only lines in the Window's own
+        // region (subquery subtrees below it are separate plans).
+        val base = indent(all(i))
+        Iterator.range(i + 1, all.length)
+          .takeWhile(j => all(j).trim.isEmpty || indent(all(j)) > base)
+          .exists(j => region(j) == region(i) &&
+            all(j).contains("Exchange SinglePartition"))
       }
     }
   }

@@ -14,12 +14,12 @@ import org.apache.spark.sql.DataFrame
   * until GC/ContextCleaner happened to reclaim them — storage-memory
   * pressure exactly on the full-corpus stress paths.
   *
-  * The fix: capture the persistent-RDD ids the checkpoint registers
-  * (registration inside `RDD.localCheckpoint()` is synchronous, so a
-  * narrow lock around the LAZY checkpoint call makes the id diff
-  * race-free even with parallel gates checkpointing — the expensive
-  * materialization happens outside the lock) and unpersist those RDDs
-  * directly when the caller is done with the round.
+  * The fix: the shim reports the id of the internal RDD it persisted —
+  * the ONE RDD the checkpoint registers — and `free()` unpersists
+  * exactly that RDD. Ownership is structural (no registry diff, no
+  * lock), so a concurrent caller checkpointing in parallel — the
+  * Bench memo warm-up runs gates' memos concurrently — can never leak
+  * its blocks into another caller's token.
   */
 object Checkpoints {
 
@@ -33,13 +33,12 @@ object Checkpoints {
   def none(df: DataFrame): Token =
     new Token(Nil, df.sparkSession.sparkContext)
 
-  private val registerLock = new Object
-
   /** Eagerly localCheckpoint `df`; returns the checkpointed frame and
     * the token that frees its blocks.
     */
-  def eager(df: DataFrame, diskOnly: Boolean = false): (DataFrame, Token) = {
-    val (ck, token, _) = eagerCounted(df, diskOnly)
+  def eager(df: DataFrame, diskOnly: Boolean = false,
+            keepPartitioning: Boolean = false): (DataFrame, Token) = {
+    val (ck, token, _) = eagerCounted(df, diskOnly, keepPartitioning)
     (ck, token)
   }
 
@@ -47,23 +46,24 @@ object Checkpoints {
     * need the count anyway (convergence tests) should not pay a second
     * action for it. `diskOnly` stores the blocks DISK_ONLY (retained
     * level tables that would otherwise thrash the storage pool).
+    * `keepPartitioning` carries the executed plan's output
+    * partitioning/ordering onto the checkpoint (the
+    * `Dataset.localCheckpoint` behavior) — for consumers that re-read
+    * the frame by the keys it is already distributed on.
     */
   def eagerCounted(df: DataFrame,
-                   diskOnly: Boolean = false): (DataFrame, Token, Long) = {
+                   diskOnly: Boolean = false,
+                   keepPartitioning: Boolean = false): (DataFrame, Token, Long) = {
     val sc = df.sparkSession.sparkContext
-    val (ck, added) = registerLock.synchronized {
-      val before = sc.getPersistentRDDs.keySet
-      // NOT Dataset.localCheckpoint: since SPARK-39748 that carries the
-      // original plan's STATISTICS onto the checkpoint, and iterated
-      // join-checkpoint loops (the suffix-array rounds) then compound
-      // size-only join estimates into double-exponential BigInts —
-      // measured ~80 s/round of pure driver `BigInteger.multiply`. The
-      // shim checkpoints with fresh leaf stats (see its scaladoc).
-      val c = org.apache.spark.sql.GraftCheckpointShim
-        .localCheckpointFreshStats(df, diskOnly)
-      (c, (sc.getPersistentRDDs.keySet -- before).toSeq)
-    }
-    val n = ck.count() // materialize outside the lock
-    (ck, new Token(added, sc), n)
+    // NOT Dataset.localCheckpoint: since SPARK-39748 that carries the
+    // original plan's STATISTICS onto the checkpoint, and iterated
+    // join-checkpoint loops (the suffix-array rounds) then compound
+    // size-only join estimates into double-exponential BigInts —
+    // measured ~80 s/round of pure driver `BigInteger.multiply`. The
+    // shim checkpoints with fresh leaf stats (see its scaladoc).
+    val (ck, rddId) = org.apache.spark.sql.GraftCheckpointShim
+      .localCheckpointFreshStatsTracked(df, diskOnly, keepPartitioning)
+    val n = ck.count()
+    (ck, new Token(Seq(rddId), sc), n)
   }
 }

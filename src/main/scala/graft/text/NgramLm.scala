@@ -250,16 +250,24 @@ object NgramLm {
                                 budgetToks: Long, nBuckets: Int = 10000): DataFrame = {
     val lmT = train(docs.where(col(sourceCol) === targetSource), idCol, textCol)
     val lmR = train(docs, idCol, textCol)
-    val weighted = scoreDocsDual(docs, lmT, lmR, idCol, textCol)
-      .withColumn("logratio_micro", col("score_raw_micro") - col("score_tgt_micro"))
-      .localCheckpoint(true) // consumed by range agg, histogram, and admit
+    // Checkpoints.eager, the house discipline (one shim, one owner per
+    // checkpoint): the token outlives this call — the returned lazy
+    // frame re-reads `weighted` on every execution — so it is not
+    // freed here; ContextCleaner reclaims it like any one-shot memo.
+    val weighted = graft.operators.Checkpoints.eager(
+      scoreDocsDual(docs, lmT, lmR, idCol, textCol)
+        .withColumn("logratio_micro",
+          col("score_raw_micro") - col("score_tgt_micro")))._1
     val Array(lo, hi) = weighted
       .agg(min(col("logratio_micro")), max(col("logratio_micro"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val width = math.max(1L, (hi - lo) / nBuckets + 1L)
     // ≤ nBuckets+1 rows to the driver — the codebook-collect class.
+    // Integer `div`, never double `/` + cast: logratio spreads near
+    // 2^53 would round a boundary value into the wrong bin, and the
+    // repo's budget arithmetic is integer-exact throughout.
     val histo = weighted
-      .groupBy(((col("logratio_micro") - lo) / width).cast("long").as("__bin"))
+      .groupBy(expr(s"(logratio_micro - ($lo)) div $width").as("__bin"))
       .agg(sum(col("n_toks")).as("__t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
     var cum = 0L
@@ -301,9 +309,10 @@ object NgramLm {
                               sourceCol: String, refSource: String,
                               accuracy: Int = 10000): DataFrame = {
     val lm = train(docs.where(col(sourceCol) === refSource), idCol, textCol)
-    val perDoc = scoreDocs(docs, lm, idCol, textCol)
-      .withColumn("__ppl", col("score_micro").cast("double") / col("n_toks"))
-      .localCheckpoint(true) // consumed twice: cutoff agg + bucket assign
+    // house checkpoint discipline; token outlives the returned frame
+    val perDoc = graft.operators.Checkpoints.eager(
+      scoreDocs(docs, lm, idCol, textCol)
+        .withColumn("__ppl", col("score_micro").cast("double") / col("n_toks")))._1
     val cuts = perDoc
       .agg(expr(s"approx_percentile(__ppl, array(1.0D/3, 2.0D/3), $accuracy)"))
       .head().getSeq[Double](0)

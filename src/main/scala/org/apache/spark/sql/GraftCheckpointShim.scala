@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection, UnknownPartitioning}
 import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
@@ -27,23 +27,43 @@ import org.apache.spark.sql.execution.LogicalRDD
   * but builds the result `LogicalRDD` with NO carried stats or
   * constraints, so the checkpointed frame reports the honest leaf
   * default (`spark.sql.defaultSizeInBytes`) like a pre-3.4 checkpoint
-  * did, and iterated plans keep O(1)-bit stats. Partitioning/ordering
-  * metadata is deliberately dropped too (`UnknownPartitioning`): the
-  * iterated consumers re-shuffle by construction, and carrying a
-  * partitioning whose attribute ids must be rewritten is the other
-  * half of the machinery being bypassed.
+  * did, and iterated plans keep O(1)-bit stats.
+  *
+  * Physical-layout metadata is separate from stats and is OPT-IN via
+  * `keepPartitioning`: the default drops it (`UnknownPartitioning`) —
+  * iterated consumers that re-key every round re-shuffle by
+  * construction — but a caller whose downstream REUSES the
+  * checkpointed frame's distribution (a per-pass split ladder re-read
+  * by the same keys) can keep it, exactly as `Dataset.localCheckpoint`
+  * does: the first leaf partitioning of the executed plan, passed
+  * through unrewritten (the same convention as
+  * `LogicalRDD.fromDataset`, whose partitioning argument is the
+  * physical plan's — attribute ids of a checkpointed Dataset's output
+  * are stable across its analyzed/executed plans).
   */
 object GraftCheckpointShim {
 
-  /** Lazily checkpoint `df` at the RDD level with fresh leaf stats;
-    * the caller materializes (first action) and owns the blocks.
-    * `diskOnly` stores the blocks off-heap-of-storage (DISK_ONLY): the
-    * level tables a retained-levels suffix-array build keeps alive —
-    * O(log) corpus-sized frames — otherwise evict-thrash the storage
-    * pool (measured 4× the bare build at ×10 corpora).
-    */
+  /** [[localCheckpointFreshStatsTracked]] discarding the RDD id. */
   def localCheckpointFreshStats(df: DataFrame,
-                                diskOnly: Boolean = false): DataFrame = {
+                                diskOnly: Boolean = false,
+                                keepPartitioning: Boolean = false): DataFrame =
+    localCheckpointFreshStatsTracked(df, diskOnly, keepPartitioning)._1
+
+  /** Lazily checkpoint `df` at the RDD level with fresh leaf stats;
+    * the caller materializes (first action) and owns the blocks. Also
+    * returns the persisted internal RDD's id — the EXACT handle
+    * `graft.operators.Checkpoints` frees, so block ownership never
+    * relies on diffing the context's persistent-RDD registry (which
+    * raced with concurrent checkpointers). `diskOnly` stores the
+    * blocks DISK_ONLY: the level tables a retained-levels suffix-array
+    * build keeps alive — O(log) corpus-sized frames — otherwise
+    * evict-thrash the storage pool (measured 4× the bare build at ×10
+    * corpora).
+    */
+  def localCheckpointFreshStatsTracked(
+      df: DataFrame,
+      diskOnly: Boolean = false,
+      keepPartitioning: Boolean = false): (DataFrame, Int) = {
     val cds = df.asInstanceOf[CDataset[Row]]
     val spark = cds.sparkSession.asInstanceOf[CSparkSession]
     val physicalPlan = cds.queryExecution.executedPlan
@@ -52,12 +72,20 @@ object GraftCheckpointShim {
     // disk into it — so persisting DISK_ONLY first sticks.
     if (diskOnly) internalRdd.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     internalRdd.localCheckpoint()
-    CDataset.ofRows(spark, LogicalRDD(
+    @annotation.tailrec
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+      case other => other
+    }
+    val partitioning =
+      if (keepPartitioning) firstLeaf(physicalPlan.outputPartitioning)
+      else UnknownPartitioning(0)
+    (CDataset.ofRows(spark, LogicalRDD(
       cds.queryExecution.analyzed.output,
       internalRdd,
-      UnknownPartitioning(0),
-      Nil,
+      partitioning,
+      if (keepPartitioning) physicalPlan.outputOrdering else Nil,
       false,
-      None)(spark, None, None))
+      None)(spark, None, None)), internalRdd.id)
   }
 }
