@@ -2436,6 +2436,62 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The token rows both token-space SA gates (sa5/sa6) index:
+    * t30's BPE encode (full-corpus merges, 50-doc slice encode) as
+    * `(doc_id, pos, code)` with token ids assigned by lexicographic
+    * rank of the token STRING (binary UTF-8 order on both engines —
+    * deterministic, oracle-replayable; vocab-bounded two-pass rank).
+    */
+  private def sliceTokenRows(
+      spark: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, d)
+    val slice = docs.where($"doc_id" < 50).select($"doc_id", $"text")
+    val merges = graft.text.BpeTrainer.train(docs, "text", 30)
+    val enc = graft.text.BpeTrainer.encode(slice, "doc_id", "text", merges)
+    val trows = enc.select($"doc_id", posexplode($"tokens").as(Seq("pos0", "tok")))
+      .select($"doc_id", ($"pos0" + 1L).as("pos"), $"tok")
+    val dict = graft.operators.GlobalRank.withGlobalRank(
+      trows.select($"tok").distinct(), "code", nParts = 4, col("tok"))
+    trows.join(dict, Seq("tok")).select($"doc_id", $"pos", $"code")
+  }
+
+  /** Battery-shared TOKEN-SPACE SA-with-LCP memo (the saLcpMemo
+    * pattern at token granularity): ONE retained-levels token index +
+    * adjacent-pair LCP materialization feeds the sa6 cleaning pass —
+    * the production shape where the tokenized corpus's LCP relation is
+    * written once and consumed by audit and removal alike. Holds the
+    * COLLECTED LCP pairs and token addressing `(doc_id, pos, gid,
+    * code)` of the FIXED 50-doc slice (both slice-bounded, ~15 k rows),
+    * keyed by corpus dir + content digest; the oracle replays the full
+    * merge → encode → fixed-width-code suffix sort → guarded-halving
+    * chain from scratch.
+    */
+  private val saTokenLcpMemo = scala.collection.concurrent.TrieMap[
+    String,
+    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+
+  private def sharedTokenSaLcp(
+      spark: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val (ls, lr, as_, ar) = saTokenLcpMemo.getOrElseUpdate(
+      s"$d|${graft.operators.Bucketing.suffix(spark, d)}", {
+        val slice = documents(spark, d).where($"doc_id" < 50).select($"doc_id")
+        val ix = graft.text.SuffixArray.buildIndexFromRows(
+          slice, sliceTokenRows(spark, d), "doc_id", sepCode = 0L,
+          retainLevels = true)
+        val lcp = graft.text.SuffixArray.lcpAdjacent(ix)
+        val addrText = ix.addr.filter(col("code") =!= lit(0L))
+          .select($"doc_id", $"pos", $"gid", $"code")
+        (lcp.schema, lcp.collect().toSeq, addrText.schema, addrText.collect().toSeq)
+      })
+    import scala.jdk.CollectionConverters._
+    (spark.createDataFrame(lr.asJava, ls), spark.createDataFrame(ar.asJava, as_))
+  }
+
   /** sa5 — TOKEN-SPACE suffix-array census: the composition Lee et al.
     * actually ship — dedup over the TOKENIZED corpus, so span
     * boundaries land on token edges by construction. t30's BPE encode
@@ -2498,23 +2554,192 @@ object TextQueries {
          |ORDER BY o.doc_id""".stripMargin
     Query("sa5_token_dup_census", sql) { (spark, d) =>
       import spark.implicits._
-      val docs = documents(spark, d)
-      val slice = docs.where($"doc_id" < 50).select($"doc_id", $"text")
-      val merges = graft.text.BpeTrainer.train(docs, "text", rounds)
-      val enc = graft.text.BpeTrainer.encode(slice, "doc_id", "text", merges)
-      val trows = enc.select($"doc_id", posexplode($"tokens").as(Seq("pos0", "tok")))
-        .select($"doc_id", ($"pos0" + 1L).as("pos"), $"tok")
-      // token ids by lexicographic rank of the token STRING (binary
-      // UTF-8 order on both engines) — vocab-bounded two-pass rank
-      val dict = graft.operators.GlobalRank.withGlobalRank(
-        trows.select($"tok").distinct(), "code", nParts = 4, col("tok"))
-      val rows = trows.join(dict, Seq("tok")).select($"doc_id", $"pos", $"code")
-      graft.text.SuffixArray
+      val slice = documents(spark, d).where($"doc_id" < 50)
+        .select($"doc_id", $"text")
+      val rows = sliceTokenRows(spark, d)
+      val census = graft.text.SuffixArray
         .prefixGroupsFromRows(slice.select($"doc_id"), rows, "doc_id",
           sepCode = 0L, prefixLen = k)
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tok"),
           sum(when($"grp_size" > 1, 1L).otherwise(0L)).as("n_dup8"))
+      // LEFT-join the slice ids (the sa4/lid1 discipline): a doc that
+      // BPE-encodes to zero tokens has no census row, but the oracle's
+      // offs6 LEFT JOIN emits (doc_id, 0, 0) for it.
+      slice.select($"doc_id")
+        .join(census, Seq("doc_id"), "left_outer")
+        .select($"doc_id", coalesce($"n_tok", lit(0L)).as("n_tok"),
+          coalesce($"n_dup8", lit(0L)).as("n_dup8"))
+        .orderBy($"doc_id")
+    }
+  }
+
+  /** sa6 — TOKEN-SPACE EXACT-SUBSTRING DEDUP + RE-PACK, end to end:
+    * the full shape Lee et al. 2022 ship — tokenize (t30's BPE
+    * encode), suffix-array the TOKEN corpus
+    * ([[graft.text.SuffixArray.buildIndexFromRows]], retained levels),
+    * LCP every adjacent pair ([[graft.text.SuffixArray.lcpAdjacent]]),
+    * cut every occurrence of every duplicated span ≥ 16 TOKENS
+    * ([[graft.text.SuffixArray.removeTokenSpansFromLcp]] — span
+    * boundaries land on token edges by construction), and lay the
+    * cleaned sequences into training bins (t32's `packChunks`,
+    * 512-token bins per `doc_id mod 4` shard). sa5 censuses
+    * duplication in token space; THIS gate closes the loop: per slice
+    * document the removed/kept token counts, the md5 of the cleaned
+    * token-id sequence (every cut boundary pinned), and the cleaned
+    * doc's (shard, bin, bin_offset) slot (every downstream packing
+    * offset pinned). The oracle replays merge chain → encode → token
+    * dict → fixed-width code-string suffix sort → guarded-halving LCP
+    * (in token units at stride 6) → interval union/merge/clip →
+    * complement → re-pack, all from scratch. Docs with and without
+    * removal are live at sf0.001/0.01/0.1.
+    */
+  val saTokenSpanRemoval: Query = {
+    val rounds = 30
+    val sep = "chr(31)"
+    val minLen = 16
+    val budget = 512
+    val lcpCtes = {
+      val sb = new StringBuilder
+      sb.append(""",
+        |l6_0 AS MATERIALIZED (
+        |  SELECT sa_rank, gid1, gid2, CAST(0 AS BIGINT) AS h FROM adj6)""".stripMargin)
+      var prev = "l6_0"
+      var idx = 0
+      // guarded binary halving in TOKEN units over the stride-6 code
+      // string; 17 levels (2^16 ≥ any slice token count) keep the
+      // greedy exact, the sa3 discipline
+      for (k <- 16 to 0 by -1) {
+        val step = 1L << k
+        val nxt = s"l6_${idx + 1}"
+        sb.append(
+          s""",
+             |$nxt AS MATERIALIZED (
+             |  SELECT sa_rank, gid1, gid2,
+             |         h + CASE WHEN gid1 + h + $step - 1 <= c.nn AND gid2 + h + $step - 1 <= c.nn
+             |                   AND substr(c.s, CAST((gid1 + h - 1) * 6 + 1 AS INTEGER), ${step * 6}) =
+             |                       substr(c.s, CAST((gid2 + h - 1) * 6 + 1 AS INTEGER), ${step * 6})
+             |              THEN $step ELSE 0 END AS h
+             |  FROM $prev, cat6 c)""".stripMargin)
+        prev = nxt
+        idx += 1
+      }
+      (sb.toString, prev)
+    }
+    val sql = "WITH " + bpeMergeChainCtes(rounds) + bpeEncodeChainCtes(rounds) +
+      s""",
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CASE WHEN trim(s, $sep) = '' THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split(trim(s, $sep), $sep || $sep) END AS ts
+         |  FROM enc$rounds WHERE doc_id < 50),
+         |dict AS MATERIALIZED (
+         |  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS code
+         |  FROM (SELECT DISTINCT UNNEST(ts) AS tok FROM toks)),
+         |trows AS MATERIALIZED (
+         |  SELECT t.doc_id, i AS pos, dd.code
+         |  FROM toks t, UNNEST(range(1, len(t.ts) + 1)) AS u(i)
+         |  JOIN dict dd ON dd.tok = t.ts[CAST(i AS INTEGER)]),
+         |codestr AS MATERIALIZED (
+         |  SELECT t.doc_id, COALESCE(r.cs, '') || '000000' AS cs, COALESCE(r.n, 0) AS n
+         |  FROM toks t LEFT JOIN (
+         |    SELECT doc_id,
+         |           string_agg(lpad(CAST(code AS VARCHAR), 6, '0'), '' ORDER BY pos) AS cs,
+         |           COUNT(*) AS n
+         |    FROM trows GROUP BY doc_id) r USING (doc_id)),
+         |cat6 AS MATERIALIZED (
+         |  SELECT string_agg(cs, '' ORDER BY doc_id) AS s,
+         |         CAST(SUM(n + 1) AS BIGINT) AS nn
+         |  FROM codestr),
+         |offs6 AS MATERIALIZED (
+         |  SELECT doc_id, n, SUM(n + 1) OVER (ORDER BY doc_id) - n - 1 AS off
+         |  FROM codestr),
+         |sufs6 AS MATERIALIZED (
+         |  SELECT g AS gid,
+         |         ROW_NUMBER() OVER (ORDER BY substr(s, CAST((g - 1) * 6 + 1 AS INTEGER)), g) AS sa_rank
+         |  FROM cat6, UNNEST(range(1, nn + 1)) AS t(g)),
+         |adj6 AS MATERIALIZED (
+         |  SELECT a.sa_rank, a.gid AS gid1, b.gid AS gid2
+         |  FROM sufs6 a JOIN sufs6 b ON b.sa_rank = a.sa_rank + 1)${lcpCtes._1},
+         |ivals6 AS MATERIALIZED (
+         |  SELECT gid1 AS lo, gid1 + h AS hi FROM ${lcpCtes._2} WHERE h >= $minLen
+         |  UNION
+         |  SELECT gid2 AS lo, gid2 + h AS hi FROM ${lcpCtes._2} WHERE h >= $minLen),
+         |flagged6 AS MATERIALIZED (
+         |  SELECT lo, hi,
+         |         CASE WHEN MAX(hi) OVER (ORDER BY lo, hi
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |               OR lo > MAX(hi) OVER (ORDER BY lo, hi
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |              THEN 1 ELSE 0 END AS st
+         |  FROM ivals6),
+         |merged6 AS MATERIALIZED (
+         |  SELECT MIN(lo) AS lo, MAX(hi) AS hi FROM (
+         |    SELECT lo, hi, SUM(st) OVER (ORDER BY lo, hi ROWS UNBOUNDED PRECEDING) AS isl
+         |    FROM flagged6) GROUP BY isl),
+         |cov6 AS MATERIALIZED (
+         |  SELECT o.doc_id, g.gid - o.off AS pos
+         |  FROM (SELECT UNNEST(range(lo, hi)) AS gid FROM merged6) g
+         |  JOIN offs6 o ON g.gid > o.off AND g.gid <= o.off + o.n),
+         |kept6 AS MATERIALIZED (
+         |  SELECT t.doc_id, t.pos, t.code
+         |  FROM trows t LEFT JOIN cov6 c ON c.doc_id = t.doc_id AND c.pos = t.pos
+         |  WHERE c.doc_id IS NULL),
+         |cleaned6 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         string_agg(lpad(CAST(code AS VARCHAR), 6, '0'), '' ORDER BY pos) AS cs,
+         |         COUNT(*) AS n_kept
+         |  FROM kept6 GROUP BY doc_id),
+         |summary6 AS MATERIALIZED (
+         |  SELECT o.doc_id,
+         |         CAST(o.n - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+         |         CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+         |         md5(COALESCE(c.cs, '')) AS clean_md5
+         |  FROM offs6 o LEFT JOIN cleaned6 c USING (doc_id)),
+         |packed6 AS MATERIALIZED (
+         |  SELECT doc_id, doc_id % 4 AS shard, n_kept, n_removed, clean_md5,
+         |         COALESCE(SUM(n_kept) OVER (
+         |           PARTITION BY doc_id % 4 ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM summary6)
+         |SELECT doc_id, n_removed, n_kept, clean_md5,
+         |       CAST(shard AS BIGINT) AS shard,
+         |       CAST(prior // $budget AS BIGINT) AS bin,
+         |       CAST(prior % $budget AS BIGINT) AS bin_offset
+         |FROM packed6
+         |ORDER BY doc_id""".stripMargin
+    Query("sa6_token_span_dedup", sql) { (spark, d) =>
+      import spark.implicits._
+      val slice = documents(spark, d).where($"doc_id" < 50).select($"doc_id")
+      val (lcp, addrText) = sharedTokenSaLcp(spark, d)
+      val kept = graft.text.SuffixArray
+        .removeTokenSpansFromLcp(addrText, "doc_id", lcp,
+          minLen = minLen.toLong, np = 32)
+      val cleaned = kept.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        // same fixed-width convention as the oracle: 6-wide zero-padded
+        // code string in pos order — the cleaned token-id sequence
+        expr("md5(array_join(transform(array_sort(collect_list(" +
+          "struct(pos, code))), x -> lpad(cast(x.code as string), 6, '0')), ''))")
+          .as("clean_md5"))
+      val lens = addrText.groupBy($"doc_id").agg(count(lit(1)).as("n_tok"))
+      val summary = slice
+        .join(lens, Seq("doc_id"), "left_outer")
+        .join(cleaned, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          (coalesce($"n_tok", lit(0L)) - coalesce($"n_kept", lit(0L))).as("n_removed"),
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"clean_md5", md5(lit(""))).as("clean_md5"))
+      val counts = summary.select($"doc_id", lit(0L).as("chunk_idx"),
+        $"n_kept".as("n_tokens"), ($"doc_id" % 4).as("shard"))
+      graft.text.TextOps
+        .packChunks(counts, "doc_id", "chunk_idx", "n_tokens", "shard",
+          budget = budget)
+        .select($"doc_id", $"shard".cast("long").as("shard"),
+          $"bin".cast("long").as("bin"), $"bin_offset".cast("long").as("bin_offset"))
+        .join(summary, Seq("doc_id"))
+        .select($"doc_id", $"n_removed", $"n_kept", $"clean_md5",
+          $"shard", $"bin", $"bin_offset")
         .orderBy($"doc_id")
     }
   }
@@ -2756,6 +2981,10 @@ object TextQueries {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] MEMO WARMUP FAILED text/salcp: ${e.getMessage}")
     }
+    try sharedTokenSaLcp(spark, d)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] MEMO WARMUP FAILED text/satoklcp: ${e.getMessage}")
+    }
   }
 
   val all: Seq[Query] = Seq(
@@ -2769,5 +2998,5 @@ object TextQueries {
     bpeVocabGate, bpePackCorpus, corpusCensus, lmPerplexity, dsirSelection,
     dsirOnline, domainKlWeights, klMixture, corpusShards, shardDealOnline,
     suffixArraySlice, dupPrefixCensus, saLcpPairs, saSpanRemoval,
-    saTokenCensus, langIdModel, shardManifest)
+    saTokenCensus, saTokenSpanRemoval, langIdModel, shardManifest)
 }

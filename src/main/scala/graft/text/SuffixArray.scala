@@ -440,6 +440,53 @@ object SuffixArray {
       minLen, rankParts(ix.addr, ix.total))
   }
 
+  /** TOKEN-SPACE exact-substring dedup — the composition Lee et al.
+    * 2022 actually ship: dedup the TOKENIZED corpus, so removed-span
+    * boundaries land on token edges by construction and the cleaned
+    * token sequences feed sequence packing directly. Cuts every
+    * occurrence of every duplicated token span ≥ `minLen` TOKENS from
+    * the sequences of a token-space index (same interval algebra as
+    * the char path: both copies' intervals from every adjacent pair
+    * with LCP ≥ minLen, merged islands, clipped to documents by
+    * equi-join). The complement needs no substring re-assembly here —
+    * a kept token is simply a position not covered, so the cut is ONE
+    * anti-join on `(id, pos)`; returns the kept rows
+    * `(idCol, pos, code)` with ORIGINAL positions (order preserved —
+    * consumers renumber or aggregate as needed). Untouched documents
+    * pass through; fully-covered or empty documents return no rows
+    * (callers left-join their id list, the gate discipline).
+    *
+    * `addrText` is the index's text addressing
+    * `(idCol, pos, gid, code)` — SEP rows already filtered, so spans
+    * crossing document fences clip at the fence by construction.
+    */
+  def removeTokenSpansFromLcp(addrText: DataFrame, idCol: String,
+                              lcpPairs: DataFrame, minLen: Long,
+                              np: Int): DataFrame = {
+    val covered = duplicatedIntervals(lcpPairs, minLen, np)
+      .select(explode(sequence(col("lo"), col("hi") - 1)).as("gid"))
+      .join(addrText.select(col(idCol), col("pos"), col("gid")), Seq("gid"))
+      .select(col(idCol), col("pos"))
+    addrText
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .select(col(idCol), col("pos"), col("code"))
+  }
+
+  /** [[removeTokenSpansFromLcp]] end to end: build the token-space
+    * index with retained levels over `(idCol, pos, code)` rows, LCP
+    * every adjacent pair, cut. The production one-call form.
+    */
+  def removeDuplicatedTokenSpans(ids: DataFrame, rows: DataFrame, idCol: String,
+                                 sepCode: Long, minLen: Long,
+                                 maxRounds: Int = 40): DataFrame = {
+    val ix = buildIndexFromRows(ids, rows, idCol, sepCode, maxRounds,
+      retainLevels = true)
+    removeTokenSpansFromLcp(
+      ix.addr.filter(col("code") =!= ix.sepCode)
+        .select(col(idCol), col("pos"), col("gid"), col("code")),
+      idCol, lcpAdjacent(ix), minLen, rankParts(ix.addr, ix.total))
+  }
+
   /** The removal half of [[removeDuplicatedSpans]], from a precomputed
     * adjacent-pair LCP table and text addressing — the entry a
     * production pipeline (which materializes the LCP relation once and
@@ -455,13 +502,16 @@ object SuffixArray {
       .select(col(idCol), col("pos"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spans = covered
+    // Checkpoints.eager (house discipline): consumed by segments,
+    // tails, and the flag. The token outlives this call — the returned
+    // lazy frame re-reads `spans` per execution — so it is not freed
+    // here; ContextCleaner reclaims the blocks.
+    val spans = Checkpoints.eager(covered
       .withColumn("__st", when(lag(col("pos"), 1).over(w).isNull ||
         col("pos") > lag(col("pos"), 1).over(w) + 1L, 1L).otherwise(0L))
       .withColumn("__isl", sum(col("__st")).over(wsum))
       .groupBy(col(idCol), col("__isl"))
-      .agg(min(col("pos")).as("rm_lo"), (max(col("pos")) + 1L).as("rm_hi"))
-      .localCheckpoint(true) // consumed by segments, tails, and the flag
+      .agg(min(col("pos")).as("rm_lo"), (max(col("pos")) + 1L).as("rm_hi")))._1
     val lens = docs.select(col(idCol), length(col(textCol)).cast("long").as("__n"))
     val w2 = Window.partitionBy(col(idCol)).orderBy(col("rm_lo"))
     val mids = spans

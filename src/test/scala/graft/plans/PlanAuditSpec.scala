@@ -68,7 +68,14 @@ class PlanAuditSpec extends SparkSpec {
     // tables like sa2 (broadcast = GlobalRank's offset join).
     "sa3_lcp_adjacent" -> ((false, false, false, true)),
     "sa4_exact_substring_dedup" -> ((true, true, true, true)),
-    "sa5_token_dup_census" -> ((false, false, true, true)))
+    // (sa5 since round 15 LEFT-joins the slice-id documents scan —
+    // the zero-token-doc fix — so its scan flags went live too)
+    "sa5_token_dup_census" -> ((true, true, true, true)),
+    // Round-15: sa6's final plan joins the slice-id documents scan
+    // (pushdown/pruning live) with the memo-served LCP's merged-
+    // interval complement (broadcast = GlobalRank's offset join +
+    // the interval clip); its pack window partitions by shard.
+    "sa6_token_span_dedup" -> ((true, true, true, true)))
 
   // Gates whose whole point is avoiding the global-window shape: any
   // `Window` fed by an `Exchange SinglePartition` in their final plan
@@ -77,7 +84,8 @@ class PlanAuditSpec extends SparkSpec {
     Set("t33_lm_perplexity", "t34_dsir_selection", "t37_corpus_shards",
       "sa1_suffix_array", "sa2_dup_prefix_census", "t34b_dsir_online",
       "t38_shard_deal_online", "sa3_lcp_adjacent",
-      "sa4_exact_substring_dedup", "sa5_token_dup_census")
+      "sa4_exact_substring_dedup", "sa5_token_dup_census",
+      "sa6_token_span_dedup")
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {

@@ -206,6 +206,62 @@ class SuffixArraySpec extends SparkSpec {
     assert(!got.exists(_._1 == 3L)) // empty doc has no text positions
   }
 
+  test("removeDuplicatedTokenSpans cuts exactly the union of >=L duplicated token intervals") {
+    // doc 2 embeds doc 0's first six tokens; doc 3 fully duplicates
+    // doc 0; doc 1 is unique; doc 4 is empty (fence only)
+    val seqs = Map(
+      0L -> Seq(5L, 7L, 9L, 5L, 7L, 9L, 11L, 13L),
+      1L -> Seq(21L, 22L, 23L, 24L),
+      2L -> Seq(31L, 5L, 7L, 9L, 5L, 7L, 9L, 32L),
+      3L -> Seq(5L, 7L, 9L, 5L, 7L, 9L, 11L, 13L),
+      4L -> Seq.empty[Long])
+    val L = 4L
+    val rows = seqs.toSeq.flatMap { case (id, cs) =>
+      cs.zipWithIndex.map { case (c, i) => (id, i + 1L, c) }
+    }.toDF("doc_id", "pos", "code")
+    val ids = seqs.keys.toSeq.sorted.toDF("doc_id")
+    // brute: fenced code corpus (sep = 0), literal suffix sort, LCP of
+    // adjacent pairs, covered = union of both copies' intervals >= L
+    val corpus = seqs.toSeq.sortBy(_._1).flatMap { case (_, cs) => cs :+ 0L }
+    val n = corpus.length
+    val order = (0 until n).sortWith { (a, b) =>
+      var i = 0
+      while (a + i < n && b + i < n && corpus(a + i) == corpus(b + i)) i += 1
+      if (a + i == n) true else if (b + i == n) false else corpus(a + i) < corpus(b + i)
+    }
+    val covered = scala.collection.mutable.Set[Long]()
+    (0 until n - 1).foreach { r =>
+      val (a, b) = (order(r), order(r + 1))
+      var i = 0
+      while (a + i < n && b + i < n && corpus(a + i) == corpus(b + i)) i += 1
+      if (i >= L) {
+        (a + 1L until a + 1L + i).foreach(covered += _)
+        (b + 1L until b + 1L + i).foreach(covered += _)
+      }
+    }
+    val expected = {
+      var gid = 1L
+      seqs.toSeq.sortBy(_._1).flatMap { case (id, cs) =>
+        val kept = cs.zipWithIndex.collect {
+          case (c, i) if !covered.contains(gid + i) => (id, i + 1L, c)
+        }
+        gid += cs.length + 1
+        kept
+      }
+    }
+    val got = SuffixArray
+      .removeDuplicatedTokenSpans(ids, rows, "doc_id", sepCode = 0L, minLen = L)
+      .orderBy($"doc_id", $"pos")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // classes live: an untouched doc, a partially-cut doc, a fully-cut doc
+    val keptByDoc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(keptByDoc.getOrElse(1L, 0) == seqs(1L).size) // untouched
+    assert(keptByDoc.getOrElse(2L, 0) > 0 &&
+      keptByDoc.getOrElse(2L, 0) < seqs(2L).size) // partial cut
+    assert(keptByDoc.getOrElse(0L, 0) == 0 || keptByDoc.getOrElse(3L, 0) == 0) // full cut
+  }
+
   test("prefixLen must be a power of two") {
     intercept[IllegalArgumentException] {
       SuffixArray.prefixGroups(Seq((0L, "abc")).toDF("doc_id", "text"),
