@@ -30,12 +30,20 @@ import org.apache.spark.sql.functions._
   *     list of identical vectors would land entirely in sub-cluster 0
   *     forever. Spec-pinned (`RebalanceSpec` identical-vector case).
   *
-  * Scale shape: the split-list id set is tiny and broadcast; every
-  * join in the seed/iterate chain is keyed on the list id, so the work
-  * shuffles only the over-full lists' vectors — O(drift), not O(index).
-  * Untouched lists pass through with an anti-join. The new list id is
-  * `old + newListOffset` (one split per list per pass; run the pass
-  * again if a list is still over-full after doubling).
+  * Scale shape: the split-list id set is tiny and broadcast; the
+  * seed/degeneracy/init derivation is ONE window chain over the split
+  * lists' vectors — every window partitions by the list id, so they
+  * share a single exchange (seed A = first vector by id, its cosine,
+  * the list's min cosine for the degeneracy test, seed B = first
+  * vector by (cosine, id) — all per-row columns of the same pass) —
+  * and the result is checkpointed ONCE, so the Lloyd rounds, the
+  * id-parity fallback and the final centroid aggregation read blocks
+  * instead of re-executing the join chain per consumer (the r12–r14
+  * shape recomputed it up to six times — measured ~2× the whole gate).
+  * The work shuffles only the over-full lists' vectors — O(drift),
+  * not O(index). Untouched lists pass through with an anti-join. The
+  * new list id is `old + newListOffset` (one split per list per pass;
+  * run the pass again if a list is still over-full after doubling).
   */
 object Rebalance {
 
@@ -61,6 +69,40 @@ object Rebalance {
     splitListsServable(
       assignments, vectors, idCol, vecCol, listCol, maxListSize,
       newListOffset, iters)._1
+
+  /** The `iters` Lloyd rounds shared by both split paths: per-(list,
+    * sub) 6-dp centroids, (cosine DESC, sub ASC) argmax reassign.
+    * `cur` is `(idCol, listCol, __vec, __sub)` and SHOULD be a
+    * checkpointed frame — each round consumes it twice (centroid
+    * aggregation + join-back).
+    */
+  private def lloyd(cur0: DataFrame, idCol: String, listCol: String,
+                    iters: Int): DataFrame = {
+    var cur = cur0
+    (1 to iters).foreach { i =>
+      val cents = cur
+        .select(col(listCol), col("__sub"), posexplode(col("__vec")).as(Seq("__pos", "__v")))
+        .groupBy(col(listCol), col("__sub"), col("__pos"))
+        .agg(avg(col("__v").cast("double")).as("__c"))
+        .groupBy(col(listCol), col("__sub"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__c")))).as("__pc"))
+        .select(col(listCol), col("__sub"),
+          transform(col("__pc"), x => round(x.getField("__c"), 6)).as("__cent"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("__sub"))
+      val next = cur.select(col(idCol), col(listCol), col("__vec"))
+        .join(broadcast(cents), Seq(listCol))
+        .select(col(idCol), col(listCol), col("__vec"), col("__sub"),
+          round(Ann.cosine(col("__vec"), col("__cent")), 6).as("__cos"))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .select(col(idCol), col(listCol), col("__vec"), col("__sub"))
+      // checkpoint all but the last round: round i+1 reads round i
+      // TWICE (centroid aggregation + join-back), so an unsevered
+      // chain re-executes each earlier round's join+window per read;
+      // the last round flows straight to the (single-consumer) output
+      cur = if (i < iters) graft.operators.Checkpoints.eager(next)._1 else next
+    }
+    cur
+  }
 
   /** K-WAY split — one pass where the 2-means ladder needs
     * log₂(size/target): each list over `maxListSize` splits directly
@@ -107,41 +149,27 @@ object Rebalance {
     val sv = asn.join(broadcast(split), Seq(listCol))
       .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol), col(listCol), col("__n"), col("__k"), col(vecCol).as("__vec"))
+    // ONE window chain, one exchange (every window partitions by the
+    // list): positional rank + init sub, seed A = first vector by id,
+    // per-list min 6-dp cosine to seed A (degeneracy test) — then ONE
+    // checkpoint that the Lloyd rounds, the degenerate pass-through and
+    // the centroid aggregation all read.
     val wId = Window.partitionBy(col(listCol)).orderBy(col(idCol))
-    val init = sv
+    val wList = Window.partitionBy(col(listCol))
+    val base = graft.operators.Checkpoints.eager(sv
       .withColumn("__r", row_number().over(wId))
+      .withColumn("__va", first(col("__vec")).over(wId))
+      .withColumn("__mc",
+        min(round(Ann.cosine(col("__vec"), col("__va")), 6)).over(wList))
       .select(col(idCol), col(listCol), col("__vec"),
-        expr("((CAST(__r AS BIGINT) - 1) * __k) DIV __n").as("__sub"))
-    // Degenerate lists (min 6-dp cosine to the first-by-id vector is
-    // 1.0 ⇒ all vectors rounded-identical): Lloyd's tie-break would
-    // collapse every row to sub 0 — keep the balanced positional init.
-    val seedA = sv.withColumn("__r", row_number().over(wId)).filter(col("__r") === 1)
-      .select(col(listCol), col("__vec").as("__va"))
-    val degen = sv.join(broadcast(seedA), Seq(listCol))
-      .groupBy(col(listCol))
-      .agg(min(round(Ann.cosine(col("__vec"), col("__va")), 6)).as("__mc"))
-      .filter(col("__mc") >= 1.0).select(col(listCol))
-    val degInit = init.join(broadcast(degen), Seq(listCol))
+        expr("((CAST(__r AS BIGINT) - 1) * __k) DIV __n").as("__sub"),
+        (col("__mc") >= 1.0).as("__degen")))._1
+    val degInit = base.filter(col("__degen"))
       .select(col(idCol), col(listCol), col("__vec"), col("__sub"))
-    var cur = init.join(broadcast(degen), Seq(listCol), "left_anti")
-      .select(col(idCol), col(listCol), col("__vec"), col("__sub"))
-    (1 to iters).foreach { _ =>
-      val cents = cur
-        .select(col(listCol), col("__sub"), posexplode(col("__vec")).as(Seq("__pos", "__v")))
-        .groupBy(col(listCol), col("__sub"), col("__pos"))
-        .agg(avg(col("__v").cast("double")).as("__c"))
-        .groupBy(col(listCol), col("__sub"))
-        .agg(array_sort(collect_list(struct(col("__pos"), col("__c")))).as("__pc"))
-        .select(col(listCol), col("__sub"),
-          transform(col("__pc"), x => round(x.getField("__c"), 6)).as("__cent"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("__sub"))
-      cur = cur.select(col(idCol), col(listCol), col("__vec"))
-        .join(broadcast(cents), Seq(listCol))
-        .select(col(idCol), col(listCol), col("__vec"), col("__sub"),
-          round(Ann.cosine(col("__vec"), col("__cent")), 6).as("__cos"))
-        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-        .select(col(idCol), col(listCol), col("__vec"), col("__sub"))
-    }
+    val cur = lloyd(
+      base.filter(!col("__degen"))
+        .select(col(idCol), col(listCol), col("__vec"), col("__sub")),
+      idCol, listCol, iters)
     val moved = cur.unionByName(degInit).select(col(idCol),
       (col(listCol) + col("__sub") * lit(newListOffset)).as(listCol))
     val newAsn = asn.join(broadcast(split.select(col(listCol))), Seq(listCol), "left_anti")
@@ -149,7 +177,7 @@ object Rebalance {
       .unionByName(moved)
     val splitCents = Ann
       .centroids(
-        moved.join(sv.select(col(idCol), col("__vec").as(vecCol)), Seq(idCol)),
+        moved.join(base.select(col(idCol), col("__vec").as(vecCol)), Seq(idCol)),
         listCol, vecCol)
       .select(col(listCol),
         transform(col("centroid"), x => round(x, 6)).as("centroid"))
@@ -184,45 +212,39 @@ object Rebalance {
     val sv = asn.join(broadcast(split), Seq(listCol))
       .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol), col(listCol), col(vecCol).as("__vec"))
+    // ONE window chain, one exchange (all three windows partition by
+    // the list id): rank by id, seed A = the list's first vector,
+    // __ca = 6-dp cosine to seed A, the list's min __ca (degeneracy
+    // test), seed B = the list's first vector by (__ca, id) — computed
+    // per row, then ONE checkpoint read by the id-parity fallback, the
+    // Lloyd rounds and the final centroid aggregation alike.
     val wA = Window.partitionBy(col(listCol)).orderBy(col(idCol))
-    val seedA = sv.withColumn("__r", row_number().over(wA)).filter(col("__r") === 1)
-      .select(col(listCol), col("__vec").as("__va"))
-    val withA = sv.join(broadcast(seedA), Seq(listCol))
-      .withColumn("__ca", round(Ann.cosine(col("__vec"), col("__va")), 6))
+    val wList = Window.partitionBy(col(listCol))
+    val base = graft.operators.Checkpoints.eager {
+      val withA = sv
+        .withColumn("__r", row_number().over(wA))
+        .withColumn("__va", first(col("__vec")).over(wA))
+        .withColumn("__ca", round(Ann.cosine(col("__vec"), col("__va")), 6))
+      val wB = Window.partitionBy(col(listCol)).orderBy(col("__ca"), col(idCol))
+      withA
+        .withColumn("__mc", min(col("__ca")).over(wList))
+        .withColumn("__vb", first(col("__vec")).over(wB))
+        .select(col(idCol), col(listCol), col("__vec"), col("__r"),
+          (col("__mc") >= 1.0).as("__degen"),
+          when(col("__ca") >= round(Ann.cosine(col("__vec"), col("__vb")), 6), 0)
+            .otherwise(1).as("__sub"))
+    }._1
     // Degenerate lists: min 6-dp cosine to seed A is 1.0 ⇒ every vector
-    // is (rounded-)identical to the seed, 2-means cannot make progress.
-    val degen = withA.groupBy(col(listCol)).agg(min(col("__ca")).as("__mc"))
-      .filter(col("__mc") >= 1.0).select(col(listCol))
-    val degMoved = withA.join(broadcast(degen), Seq(listCol))
-      .withColumn("__r", row_number().over(wA))
+    // is (rounded-)identical to the seed, 2-means cannot make progress
+    // — id-parity split instead: odd ranks stay, even ranks move.
+    val degMoved = base.filter(col("__degen"))
       .select(col(idCol),
         when(pmod(col("__r"), lit(2)) === 1, col(listCol))
           .otherwise(col(listCol) + lit(newListOffset)).as(listCol))
-    val normal = withA.join(broadcast(degen), Seq(listCol), "left_anti")
-    val wB = Window.partitionBy(col(listCol)).orderBy(col("__ca"), col(idCol))
-    val seedB = normal.withColumn("__r", row_number().over(wB)).filter(col("__r") === 1)
-      .select(col(listCol), col("__vec").as("__vb"))
-    var cur = normal.join(broadcast(seedB), Seq(listCol))
-      .select(col(idCol), col(listCol), col("__vec"),
-        when(col("__ca") >= round(Ann.cosine(col("__vec"), col("__vb")), 6), 0)
-          .otherwise(1).as("__sub"))
-    (1 to iters).foreach { _ =>
-      val cents = cur
-        .select(col(listCol), col("__sub"), posexplode(col("__vec")).as(Seq("__pos", "__v")))
-        .groupBy(col(listCol), col("__sub"), col("__pos"))
-        .agg(avg(col("__v").cast("double")).as("__c"))
-        .groupBy(col(listCol), col("__sub"))
-        .agg(array_sort(collect_list(struct(col("__pos"), col("__c")))).as("__pc"))
-        .select(col(listCol), col("__sub"),
-          transform(col("__pc"), x => round(x.getField("__c"), 6)).as("__cent"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("__sub"))
-      cur = cur.select(col(idCol), col(listCol), col("__vec"))
-        .join(broadcast(cents), Seq(listCol))
-        .select(col(idCol), col(listCol), col("__vec"), col("__sub"),
-          round(Ann.cosine(col("__vec"), col("__cent")), 6).as("__cos"))
-        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-        .select(col(idCol), col(listCol), col("__vec"), col("__sub"))
-    }
+    val cur = lloyd(
+      base.filter(!col("__degen"))
+        .select(col(idCol), col(listCol), col("__vec"), col("__sub")),
+      idCol, listCol, iters)
     val moved = cur.select(col(idCol),
       when(col("__sub") === 0, col(listCol))
         .otherwise(col(listCol) + lit(newListOffset)).as(listCol))
@@ -236,7 +258,7 @@ object Rebalance {
     // round stale). One aggregation over the split lists' vectors only.
     val splitCents = Ann
       .centroids(
-        moved.join(sv.select(col(idCol), col("__vec").as(vecCol)), Seq(idCol)),
+        moved.join(base.select(col(idCol), col("__vec").as(vecCol)), Seq(idCol)),
         listCol, vecCol)
       .select(col(listCol),
         transform(col("centroid"), x => round(x, 6)).as("centroid"))
