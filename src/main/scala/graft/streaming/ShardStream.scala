@@ -69,27 +69,48 @@ object ShardStream {
     * job checks before reading a shard: `(shard, n_docs, n_tokens,
     * content_md5)` where `content_md5` is an ORDER-DEPENDENT digest of
     * the shard's documents in `pos_in_shard` order. The digest is
-    * Merkle-shaped so no fold ever holds a shard's worth of state:
+    * Merkle-shaped so NO fold ever holds more than `blockSize` hashes:
     * per-doc md5(text) → per-BLOCK md5 of the ≤`blockSize` ordered doc
-    * hashes (bounded sorted list per group, the t17 idiom) → per-shard
-    * md5 of the ordered block hashes. Two bounded levels cover any
-    * gate corpus; at 100 TB the same recursion adds levels — each is
-    * one map-side-combinable groupBy. Every step is engine-portable
-    * (md5 + ordered string concat), so the oracle replays it exactly.
+    * hashes (bounded sorted list per group, the t17 idiom) → recurse —
+    * whenever a shard still holds more than `blockSize` block hashes,
+    * another level folds each run of `blockSize` ordered hashes into
+    * one (a 100 M-doc shard at 1024 is three levels) — until the
+    * per-shard fold is bounded too. The level count is decided by ONE
+    * scalar aggregate over the deal (max `pos_in_shard`), so the plan
+    * is deterministic in the corpus size; with everything in one block
+    * level the output is byte-identical to the original two-level fold
+    * (spec-pinned). Each level is one map-side-combinable groupBy;
+    * every step is engine-portable (md5 + ordered string concat), so
+    * the oracle replays it exactly.
     */
   def manifestOf(dealt: DataFrame, docsText: DataFrame,
                  blockSize: Int = 1024): DataFrame = {
     val withHash = dealt
       .join(docsText.select(col("doc_id"), md5(col("text")).as("__dh")),
         Seq("doc_id"))
-    val blocks = withHash
+    var level = withHash
       .groupBy(col("shard"),
         (col("pos_in_shard") - col("pos_in_shard") % blockSize)
           .divide(blockSize).cast("long").as("__blk"))
       .agg(count(lit(1)).as("__n"), sum(col("n_tokens")).as("__t"),
         md5(concat_ws("", expr("transform(array_sort(collect_list(" +
           "struct(pos_in_shard, __dh))), x -> x.__dh)"))).as("__bh"))
-    blocks
+    // hashes per shard after the first fold; each further level
+    // divides by blockSize until the final per-shard fold is bounded
+    var groups = (dealt.agg(coalesce(max(col("pos_in_shard")), lit(0L)))
+      .head().getLong(0) / blockSize) + 1L
+    while (groups > blockSize) {
+      level = level
+        .groupBy(col("shard"),
+          (col("__blk") - col("__blk") % blockSize)
+            .divide(blockSize).cast("long").as("__blk2"))
+        .agg(sum(col("__n")).as("__n"), sum(col("__t")).as("__t"),
+          md5(concat_ws("", expr("transform(array_sort(collect_list(" +
+            "struct(__blk, __bh))), x -> x.__bh)"))).as("__bh"))
+        .withColumnRenamed("__blk2", "__blk")
+      groups = (groups - 1L) / blockSize + 1L
+    }
+    level
       .groupBy(col("shard"))
       .agg(sum(col("__n")).as("n_docs"), sum(col("__t")).as("n_tokens"),
         md5(concat_ws("", expr("transform(array_sort(collect_list(" +

@@ -126,4 +126,76 @@ class ShardStreamSpec extends SparkSpec {
     assert(got == t37.sortBy(_._1).toSeq,
       "stream-dealt layout diverged from t37's batch layout")
   }
+
+  // --- Merkle digest recursion ------------------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Brute recursive Merkle over collected deal rows, replicating the
+    * engine's GLOBAL level rule: the level count is decided once from
+    * the corpus-wide max position, so every shard folds the same
+    * number of times (equal-depth digests across shards).
+    */
+  private def bruteManifest(
+      rows: Seq[(Long, Long, Long, String)], // (shard, pos, n_tokens, doc_md5)
+      blockSize: Int): Map[Long, (Long, Long, String)] = {
+    val maxPos = rows.map(_._2).max
+    rows.groupBy(_._1).map { case (shard, rs) =>
+      var hs: Seq[(Long, String)] = rs.sortBy(_._2)
+        .groupBy(r => r._2 / blockSize).toSeq.sortBy(_._1)
+        .map { case (blk, blkRows) =>
+          (blk, md5hex(blkRows.sortBy(_._2).map(_._4).mkString))
+        }
+      var groups = maxPos / blockSize + 1L
+      while (groups > blockSize) {
+        hs = hs.groupBy(h => h._1 / blockSize).toSeq.sortBy(_._1)
+          .map { case (blk2, bs) =>
+            (blk2, md5hex(bs.sortBy(_._1).map(_._2).mkString))
+          }
+        groups = (groups - 1L) / blockSize + 1L
+      }
+      shard -> (rs.size.toLong, rs.map(_._3).sum, md5hex(hs.sortBy(_._1).map(_._2).mkString))
+    }
+  }
+
+  private def dealRows: Seq[(Long, Long, Long, String)] =
+    ShardStream.batchDeal(docsAll, K)
+      .join(docsAll.select($"doc_id", md5($"text").as("dh")), "doc_id")
+      .select($"shard", $"pos_in_shard", $"n_tokens", $"dh")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("manifest recursion bounds every fold: >=3 digest levels match the brute Merkle") {
+    val rows = dealRows
+    // blockSize 2 on ~60 docs/shard forces the while loop several
+    // times: 32 block hashes -> 16 -> 8 -> 4 -> 2 before the final fold
+    assert(rows.map(_._2).max / 2 + 1 > 2, "corpus too small to force recursion")
+    val got = ShardStream.manifestOf(ShardStream.batchDeal(docsAll, K), docsAll,
+      blockSize = 2)
+      .orderBy($"shard").as[(Long, Long, Long, String)].collect().toSeq
+    val want = bruteManifest(rows, 2)
+    assert(got.size == K)
+    got.foreach { case (sh, n, t, m) =>
+      val (wn, wt, wm) = want(sh)
+      assert((n, t, m) == (wn, wt, wm), s"shard $sh: got ($n,$t,$m) want ($wn,$wt,$wm)")
+    }
+  }
+
+  test("one-block-level corpora keep the original two-level digest byte-identical") {
+    // blockSize 1024 >> blocks/shard: the recursion must not fire and
+    // the digest must equal the direct two-level fold (the frozen t39
+    // oracle's shape) — per-doc md5 -> one block hash -> shard hash
+    val rows = dealRows
+    val got = ShardStream.manifestOf(ShardStream.batchDeal(docsAll, K), docsAll,
+      blockSize = 1024)
+      .orderBy($"shard").as[(Long, Long, Long, String)].collect().toSeq
+    val want = rows.groupBy(_._1).map { case (shard, rs) =>
+      val blockHash = md5hex(rs.sortBy(_._2).map(_._4).mkString)
+      shard -> (rs.size.toLong, rs.map(_._3).sum, md5hex(blockHash))
+    }
+    got.foreach { case (sh, n, t, m) =>
+      assert((n, t, m) == want(sh), s"shard $sh two-level digest changed")
+    }
+  }
 }
