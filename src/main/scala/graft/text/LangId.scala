@@ -66,11 +66,50 @@ object LangId {
     * `(idCol, n_grams, s_<lang>..., pred_lang)`.
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
-               numBuckets: Int, salt: String): DataFrame = {
+               numBuckets: Int, salt: String): DataFrame =
+    classifyScored(docs, idCol, textCol, numBuckets,
+      l => b => weight(b, salt, l))
+
+  /** [[classify]] with TRAINED weights from a `(bucket, lang, weight)`
+    * table instead of the hash derivation — the swap-in path the
+    * hash-derived gate exercises structurally. The table is
+    * model-sized (`numBuckets · |Langs|` rows — the codebook-collect
+    * class), so it rides to every task as one literal lookup array per
+    * language and scoring stays the same zero-shuffle codegen'd fold;
+    * buckets absent from the table weigh 0. `LangIdSpec` pins this
+    * ≡ [[classify]] when fed the hash-derived weights as a table.
+    */
+  def classifyWithWeights(docs: DataFrame, idCol: String, textCol: String,
+                          numBuckets: Int, weights: DataFrame): DataFrame = {
+    val luts: Map[String, Array[Long]] = {
+      val rows = weights
+        .select(col("lang").cast("string"), col("bucket").cast("long"),
+          col("weight").cast("long"))
+        .collect()
+      Langs.map { l =>
+        val arr = Array.fill(numBuckets)(0L)
+        rows.foreach { r =>
+          if (r.getString(0) == l) arr(r.getLong(1).toInt) = r.getLong(2)
+        }
+        l -> arr
+      }.toMap
+    }
+    classifyScored(docs, idCol, textCol, numBuckets,
+      l => b => element_at(typedlit(luts(l).toSeq), (b + 1).cast("int")))
+  }
+
+  /** Shared scoring/argmax plan: one projected bucket array, one fold
+    * per language with the given per-bucket weight expression, the
+    * deterministic argmax chain.
+    */
+  private def classifyScored(docs: DataFrame, idCol: String, textCol: String,
+                             numBuckets: Int,
+                             weightOf: String => Column => Column): DataFrame = {
     val withBuckets = docs.select(col(idCol), col(textCol))
       .withColumn("__bk", bucketArray(col(textCol), numBuckets))
     val scored = Langs.foldLeft(withBuckets) { (df, l) =>
-      df.withColumn(s"s_$l", langScore(col("__bk"), salt, l))
+      df.withColumn(s"s_$l",
+        aggregate(col("__bk"), lit(0L), (acc, b) => acc + weightOf(l)(b)))
     }
     // argmax with ties to the smallest language name: the first
     // language (inventory is sorted) whose score is >= all later ones.

@@ -58,9 +58,40 @@ object QualityModel {
       textCol: String,
       numBuckets: Int,
       salt: String): DataFrame =
+    classifyScored(docs, idCol, textCol,
+      score(col(textCol), numBuckets, salt))
+
+  /** [[classify]] with TRAINED weights from a `(bucket, weight)` table
+    * instead of the hash derivation — the swap-in path the
+    * hash-derived gate exercises structurally. The table is
+    * model-sized (≤ `numBuckets` rows — the codebook-collect class),
+    * so it rides to every task as one literal lookup array and scoring
+    * stays the same zero-shuffle codegen'd fold; buckets absent from
+    * the table weigh 0. `QualityModelSpec` pins this ≡ [[classify]]
+    * when fed the hash-derived weights as a table.
+    */
+  def classifyWithWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int,
+      weights: DataFrame): DataFrame = {
+    val lut = Array.fill(numBuckets)(0L)
+    weights.select(col("bucket").cast("long"), col("weight").cast("long"))
+      .collect().foreach(r => lut(r.getLong(0).toInt) = r.getLong(1))
+    val scoreCol = aggregate(
+      transform(split(col(textCol), " "),
+        t => element_at(typedlit(lut.toSeq), (bucket(t, numBuckets) + 1).cast("int"))),
+      lit(0L),
+      (acc, w) => acc + w)
+    classifyScored(docs, idCol, textCol, scoreCol)
+  }
+
+  private def classifyScored(docs: DataFrame, idCol: String, textCol: String,
+                             scoreCol: Column): DataFrame =
     docs.select(
       col(idCol),
       graft.functions.Exprs.tokenCount(col(textCol)).as("n_tokens"),
-      score(col(textCol), numBuckets, salt).as("score"))
+      scoreCol.as("score"))
       .withColumn("kept", when(col("score") > 0, 1L).otherwise(0L))
 }

@@ -68,4 +68,29 @@ class LangIdSpec extends SparkSpec {
     assert(LangId.Langs.exists(l =>
       got(0).getAs[Long](s"s_$l") != got(1).getAs[Long](s"s_$l")))
   }
+
+  test("classifyWithWeights fed the hash-derived weights equals classify") {
+    // the swap-in contract the scaladoc claims: TRAINED weights load as
+    // a (bucket, lang, weight) table and change nothing else
+    val nb = 512
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").where($"doc_id" < 100)
+    val weights = (0 until nb).flatMap(b => LangId.Langs.map(l =>
+      (b.toLong, l, h28(s"wspec:$l:$b") % 201 - 100)))
+      .toDF("bucket", "lang", "weight")
+    val a = LangId.classify(docs, "doc_id", "text", nb, "wspec")
+      .orderBy($"doc_id").collect().toSeq
+    val b = LangId.classifyWithWeights(docs, "doc_id", "text", nb, weights)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b, "weights-table variant diverged from the hash-derived fold")
+  }
+
+  test("classifyWithWeights: a table favoring one language wins every doc") {
+    val docs = Seq((0L, "hello there"), (1L, "bonjour le monde")).toDF("doc_id", "text")
+    val nb = 64
+    val weights = (0 until nb).map(b => (b.toLong, "fr", 5L)).toDF("bucket", "lang", "weight")
+    val got = LangId.classifyWithWeights(docs, "doc_id", "text", nb, weights)
+      .select($"pred_lang").as[String].collect()
+    assert(got.forall(_ == "fr"))
+  }
 }

@@ -48,4 +48,21 @@ class QualityModelSpec extends SparkSpec {
       .select(sum($"score")).as[Long].head()
     assert(a != b)
   }
+
+  test("classifyWithWeights fed the hash-derived weights equals classify") {
+    // the swap-in contract the scaladoc claims: TRAINED weights load as
+    // a (bucket, weight) table and change nothing else
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h28(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(7), 16)
+    val nb = 512
+    val weights = (0 until nb).map(b => (b.toLong, h28(s"s:$b") % 201 - 100))
+      .toDF("bucket", "weight")
+    val a = QualityModel.classify(docs, "doc_id", "text", nb, "s")
+      .orderBy($"doc_id").collect().toSeq
+    val b = QualityModel.classifyWithWeights(docs, "doc_id", "text", nb, weights)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b, "weights-table variant diverged from the hash-derived fold")
+  }
 }
