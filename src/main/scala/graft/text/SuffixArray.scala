@@ -495,11 +495,26 @@ object SuffixArray {
     */
   def removeSpansFromLcp(docs: DataFrame, idCol: String, textCol: String,
                          lcpPairs: DataFrame, addrText: DataFrame,
-                         minLen: Long, np: Int): DataFrame = {
-    val covered = duplicatedIntervals(lcpPairs, minLen, np)
-      .select(explode(sequence(col("lo"), col("hi") - 1)).as("gid"))
-      .join(addrText.select(col(idCol), col("pos"), col("gid")), Seq("gid"))
-      .select(col(idCol), col("pos"))
+                         minLen: Long, np: Int): DataFrame =
+    cutCoveredPositions(docs, idCol, textCol,
+      duplicatedIntervals(lcpPairs, minLen, np)
+        .select(explode(sequence(col("lo"), col("hi") - 1)).as("gid"))
+        .join(addrText.select(col(idCol), col("pos"), col("gid")), Seq("gid"))
+        .select(col(idCol), col("pos")))
+
+  /** Cut a COVERED POSITION SET from each document: `covered` is
+    * `(idCol, pos)` — the 1-based codepoint positions to remove
+    * (duplicate rows tolerated) — and the result is
+    * `(idCol, clean_text, n_removed)` for EVERY input document, the
+    * [[removeSpansFromLcp]] output contract. Per-document windows (few
+    * spans per doc) do the island merge and segment complement —
+    * partition-parallel, never global. This is the removal tail shared
+    * by the batch SA path and the streaming admission twin
+    * ([[graft.streaming.SaDedupStream]]), which derive `covered`
+    * differently but cut identically.
+    */
+  def cutCoveredPositions(docs: DataFrame, idCol: String, textCol: String,
+                          covered: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Checkpoints.eager (house discipline): consumed by segments,

@@ -81,6 +81,52 @@ object SuffixArrayProbe {
       println(s"""{"detail":"span_removal","n_docs":${out.getLong(0)},"removed_cp":${out.getLong(1)}}""")
       out.getLong(0)
     }
+
+    // Round-15: TOKEN-SPACE end to end (sa6's full-corpus row —
+    // tokenize → SA → LCP → cut duplicated ≥16-TOKEN spans, the shape
+    // Lee et al. ship). The char-space legs' blocks are swept first:
+    // holding both tiers' retained levels would thrash storage and
+    // measure eviction, not the operators.
+    ix = null; lcp = null
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    docs.cache(); docs.count()
+    var trows: org.apache.spark.sql.DataFrame = null
+    timed("token_rows_bpe30") {
+      val merges = graft.text.BpeTrainer.train(docs, "text", 30)
+      val enc = graft.text.BpeTrainer.encode(docs, "doc_id", "text", merges)
+      val tr = enc
+        .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1L).as("pos"), col("tok"))
+      val dict = graft.operators.GlobalRank.withGlobalRank(
+        tr.select(col("tok")).distinct(), "code", nParts = 32, col("tok"))
+      val (ck, _, n) = graft.operators.Checkpoints.eagerCounted(
+        tr.join(dict, Seq("tok")).select(col("doc_id"), col("pos"), col("code")))
+      trows = ck
+      n
+    }
+    var tix: graft.text.SuffixArray.Index = null
+    timed("token_sa_build_with_levels") {
+      tix = graft.text.SuffixArray.buildIndexFromRows(
+        docs.select(col("doc_id")), trows, "doc_id", sepCode = 0L,
+        retainLevels = true)
+      println(s"""{"detail":"token_levels","n":${tix.levels.length},"total":${tix.total}}""")
+      tix.total
+    }
+    var tlcp: org.apache.spark.sql.DataFrame = null
+    timed("token_lcp_adjacent_full") {
+      tlcp = graft.text.SuffixArray.lcpAdjacent(tix)
+      tlcp.count()
+    }
+    timed("token_span_removal_L16") {
+      val kept = graft.text.SuffixArray
+        .removeTokenSpansFromLcp(
+          tix.addr.filter(col("code") =!= lit(0L))
+            .select(col("doc_id"), col("pos"), col("gid"), col("code")),
+          "doc_id", tlcp, minLen = 16L, np = 32)
+        .agg(count(lit(1))).head().getLong(0)
+      println(s"""{"detail":"token_span_removal","kept_tokens":$kept}""")
+      kept
+    }
     spark.stop()
   }
 }
