@@ -2972,6 +2972,168 @@ object TextQueries {
     * hook): t15/t17's duplicated-span table. See
     * `SimQueries.warmMemos`.
     */
+  // ---------------------------------------------------------------------
+  // t40/t40b — IN-ENGINE TRAINING of the quality classifier: distill the
+  // heuristic filter (t2's predicate) into a servable (bucket, weight)
+  // table by the exact-integer batch perceptron (QualityModel.train),
+  // then serve through classifyWithWeights — the full train → store →
+  // serve loop the round-15 weights-table work set up. Training is
+  // deterministic (labels ±1, counts and weights all longs, updates
+  // order-independent sums), so the oracle replays every epoch
+  // bit-for-bit with unrolled CTEs — the t27b merge-chain discipline.
+  // ---------------------------------------------------------------------
+
+  private val DistillBuckets = 1024
+  private val DistillEpochs = 16
+
+  private val distillMemo =
+    scala.collection.concurrent.TrieMap[String, Array[Long]]()
+
+  /** Batery-shared trained weights: t40 pins the weights table, t40b
+    * prices serving — one training run feeds both (the production
+    * shape: a model is trained once and served many times).
+    */
+  private def sharedDistill(
+      spark: org.apache.spark.sql.SparkSession, d: String): Array[Long] = {
+    val dKey = s"$d|${graft.operators.Bucketing.suffix(spark, d)}"
+    distillMemo.getOrElseUpdate(dKey, {
+      import spark.implicits._
+      val nStop = size(filter(split($"text", " "),
+        x => x === "the" || x === "a")).cast("long")
+      val nTok = tokenCount($"text")
+      val labeled = documents(spark, d).select(
+        $"doc_id", $"text",
+        // t2's keep predicate with the ratio cross-multiplied so the
+        // label is integer-exact on both engines: n_stop/n_tok < 0.2
+        // ⇔ 5·n_stop < n_tok (n_tok ≥ 1 always — split("") = [""]).
+        when(nTok >= 30 && nStop * 5 < nTok, 1L).otherwise(-1L).as("y"))
+      graft.text.QualityModel.train(labeled, "doc_id", "text", "y",
+        numBuckets = DistillBuckets, epochs = DistillEpochs)
+    })
+  }
+
+  /** The unrolled-epoch CTE chain shared by both distillation oracles:
+    * `lab` (±1 heuristic labels), `feat` (per-doc bucket counts PLUS
+    * the always-on bias feature at bucket `DistillBuckets`), then per
+    * epoch the misclassified set (margin ≤ 0 under the previous
+    * weights) and the perceptron update folded into the next weight
+    * table; finally the POCKET pick — the epoch with the fewest
+    * misclassified documents (earliest on ties). All integer;
+    * `pocket` is the trained model.
+    */
+  private def distillChainCtes(epochs: Int): String = {
+    val b = DistillBuckets
+    val head =
+      s"""lab AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) >= 30
+         |               AND 5 * len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+         |                   < (length(text) - length(replace(text, ' ', '')) + 1)
+         |              THEN 1 ELSE -1 END AS y
+         |  FROM documents),
+         |feat AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST(CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) % $b AS BIGINT) AS bucket,
+         |         COUNT(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, bucket
+         |  UNION ALL
+         |  SELECT doc_id, CAST($b AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS cnt
+         |  FROM documents),
+         |w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS weight FROM feat)""".stripMargin
+    // Epoch i evaluates w{i-1}: mis{i} is its misclassified set, w{i}
+    // the updated weights. The LAST evaluation needs no update table.
+    val rounds = (1 until epochs).map { i =>
+      s"""mis$i AS MATERIALIZED (
+         |  SELECT f.doc_id, l.y
+         |  FROM feat f JOIN lab l USING (doc_id) LEFT JOIN w${i - 1} w USING (bucket)
+         |  GROUP BY f.doc_id, l.y
+         |  HAVING l.y * SUM(f.cnt * COALESCE(w.weight, 0)) <= 0),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.bucket, CAST(w.weight + COALESCE(u.u, 0) AS BIGINT) AS weight
+         |  FROM w${i - 1} w LEFT JOIN (
+         |    SELECT f.bucket, SUM(m.y * f.cnt) AS u
+         |    FROM feat f JOIN mis$i m USING (doc_id)
+         |    GROUP BY f.bucket) u USING (bucket))""".stripMargin
+    }
+    val lastMis =
+      s"""mis$epochs AS MATERIALIZED (
+         |  SELECT f.doc_id, l.y
+         |  FROM feat f JOIN lab l USING (doc_id) LEFT JOIN w${epochs - 1} w USING (bucket)
+         |  GROUP BY f.doc_id, l.y
+         |  HAVING l.y * SUM(f.cnt * COALESCE(w.weight, 0)) <= 0)""".stripMargin
+    val nm = "nm AS (\n" + (1 to epochs).map { i =>
+      s"  SELECT ${i - 1} AS epoch, (SELECT COUNT(*) FROM mis$i) AS c"
+    }.mkString("\n  UNION ALL\n") + ")"
+    val wall = "wall AS (\n" + (0 until epochs).map { i =>
+      s"  SELECT $i AS epoch, bucket, weight FROM w$i"
+    }.mkString("\n  UNION ALL\n") + ")"
+    val pocket =
+      """best AS (SELECT epoch FROM nm ORDER BY c, epoch LIMIT 1),
+        |pocket AS (SELECT bucket, weight FROM wall JOIN best USING (epoch))""".stripMargin
+    ((head +: rounds) ++ Seq(lastMis, nm, wall, pocket)).mkString(",\n")
+  }
+
+  /** t40 — the trained weights table itself (non-zero rows; the bias
+    * is bucket 1024): the model artifact a production run writes to
+    * the lake and every serving job broadcast-loads. Hash-green ⇔ all
+    * 16 epochs' margins, update sums, weight folds AND the pocket pick
+    * agree bit-for-bit with the replay.
+    */
+  val qualityDistill: Query = Query(
+    "t40_quality_distill",
+    s"""WITH ${distillChainCtes(DistillEpochs)}
+       |SELECT bucket, weight FROM pocket WHERE weight <> 0
+       |ORDER BY bucket""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    graft.text.QualityModel.weightsTable(spark, sharedDistill(spark, d))
+      .orderBy($"bucket")
+  }
+
+  /** t40b — SERVE the trained model: classifyWithModel over the
+    * corpus under t40's weights, plus the heuristic label and the
+    * agreement bit — the distillation-fidelity readout (how much of
+    * the rule suite the linear head recovered; measured 0.91/0.82 at
+    * sf0.01/0.1 vs keep-everything base rates 0.79/0.78). Scoring is
+    * the same zero-shuffle literal-lookup fold as t26; only the
+    * weights differ (the bias rides in as the fold's seed).
+    */
+  val distillServe: Query = Query(
+    "t40b_distill_serve",
+    s"""WITH ${distillChainCtes(DistillEpochs)},
+       |scored AS (
+       |  SELECT f.doc_id, CAST(SUM(f.cnt * COALESCE(w.weight, 0)) AS BIGINT) AS score
+       |  FROM feat f LEFT JOIN pocket w USING (bucket)
+       |  GROUP BY f.doc_id)
+       |SELECT d.doc_id,
+       |       length(d.text) - length(replace(d.text, ' ', '')) + 1 AS n_tokens,
+       |       s.score,
+       |       CAST(CASE WHEN s.score > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       |       CAST(CASE WHEN l.y = 1 THEN 1 ELSE 0 END AS BIGINT) AS label,
+       |       CAST(CASE WHEN (CASE WHEN s.score > 0 THEN 1 ELSE 0 END)
+       |                    = (CASE WHEN l.y = 1 THEN 1 ELSE 0 END)
+       |            THEN 1 ELSE 0 END AS BIGINT) AS agree
+       |FROM documents d
+       |JOIN scored s USING (doc_id)
+       |JOIN lab l USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val wt = graft.text.QualityModel
+      .weightsTable(spark, sharedDistill(spark, d))
+    val docs = documents(spark, d)
+    val nStop = size(filter(split($"text", " "),
+      x => x === "the" || x === "a")).cast("long")
+    val nTok = tokenCount($"text")
+    val lab = docs.select($"doc_id",
+      when(nTok >= 30 && nStop * 5 < nTok, 1L).otherwise(0L).as("label"))
+    graft.text.QualityModel
+      .classifyWithModel(docs, "doc_id", "text", DistillBuckets, wt)
+      .join(lab, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens", $"score", $"kept", $"label",
+        when($"kept" === $"label", 1L).otherwise(0L).as("agree"))
+      .orderBy($"doc_id")
+  }
+
   def warmMemos(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
     try sharedSpans(spark, d).count()
     catch { case scala.util.control.NonFatal(e) =>
@@ -2998,5 +3160,6 @@ object TextQueries {
     bpeVocabGate, bpePackCorpus, corpusCensus, lmPerplexity, dsirSelection,
     dsirOnline, domainKlWeights, klMixture, corpusShards, shardDealOnline,
     suffixArraySlice, dupPrefixCensus, saLcpPairs, saSpanRemoval,
-    saTokenCensus, saTokenSpanRemoval, langIdModel, shardManifest)
+    saTokenCensus, saTokenSpanRemoval, langIdModel, shardManifest,
+    qualityDistill, distillServe)
 }

@@ -75,7 +75,13 @@ class PlanAuditSpec extends SparkSpec {
     // (pushdown/pruning live) with the memo-served LCP's merged-
     // interval complement (broadcast = GlobalRank's offset join +
     // the interval clip); its pack window partitions by shard.
-    "sa6_token_span_dedup" -> ((true, true, true, true)))
+    "sa6_token_span_dedup" -> ((true, true, true, true)),
+    // Round-15 (extension): t40b serves the distilled model — two
+    // narrow documents scans (the literal-lookup score fold + the
+    // label projection) broadcast-joined on doc_id; training happened
+    // driver-coordinated in the memo, so the final plan is pure
+    // serving: pushdown/pruning live, zero wide shuffle.
+    "t40b_distill_serve" -> ((true, true, true, true)))
 
   // Gates whose whole point is avoiding the global-window shape: any
   // `Window` fed by an `Exchange SinglePartition` in their final plan
@@ -85,7 +91,7 @@ class PlanAuditSpec extends SparkSpec {
       "sa1_suffix_array", "sa2_dup_prefix_census", "t34b_dsir_online",
       "t38_shard_deal_online", "sa3_lcp_adjacent",
       "sa4_exact_substring_dedup", "sa5_token_dup_census",
-      "sa6_token_span_dedup")
+      "sa6_token_span_dedup", "t40b_distill_serve")
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {

@@ -65,4 +65,113 @@ class QualityModelSpec extends SparkSpec {
       .orderBy($"doc_id").collect().toSeq
     assert(a == b, "weights-table variant diverged from the hash-derived fold")
   }
+
+  // ---- train (pocket batch perceptron) ------------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def h28(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(7), 16)
+
+  /** Local replay of the pocket batch perceptron — the oracle's exact
+    * arithmetic in plain Scala, used to pin the distributed loop
+    * bit-for-bit on a small corpus.
+    */
+  private def pocketRef(texts: Seq[(String, Long)], nb: Int, epochs: Int): Array[Long] = {
+    val feats = texts.map { case (t, y) =>
+      val cnt = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      t.split(" ", -1).foreach(tok => cnt(((h28(tok) % nb).toInt)) += 1L)
+      cnt(nb) += 1L // bias
+      (cnt.toMap, y)
+    }
+    var w = Array.fill(nb + 1)(0L)
+    var best = w.clone(); var bestMis = Long.MaxValue
+    var e = 0; var stop = false
+    while (e < epochs && !stop) {
+      val mis = feats.filter { case (cnt, y) =>
+        y * cnt.map { case (b, c) => w(b) * c }.sum <= 0L
+      }
+      if (mis.size < bestMis) { bestMis = mis.size; best = w.clone() }
+      if (mis.isEmpty) stop = true
+      else {
+        val nw = w.clone()
+        mis.foreach { case (cnt, y) =>
+          cnt.foreach { case (b, c) => nw(b) += y * c }
+        }
+        w = nw
+      }
+      e += 1
+    }
+    best
+  }
+
+  private val trainDocs = Seq(
+    (1L, "alpha beta gamma delta", 1L),
+    (2L, "alpha beta gamma", 1L),
+    (3L, "zeta eta theta iota", -1L),
+    (4L, "zeta eta theta", -1L),
+    (5L, "alpha zeta", 1L),
+    (6L, "beta eta", -1L),
+    (7L, "gamma gamma gamma", 1L),
+    (8L, "theta theta", -1L),
+    (9L, "", -1L),
+    (10L, "alpha alpha alpha beta", 1L)
+  )
+
+  test("train equals the local pocket replay bit-for-bit") {
+    val df = trainDocs.toDF("doc_id", "text", "y")
+    for (epochs <- Seq(1, 3, 8)) {
+      val got = QualityModel.train(df, "doc_id", "text", "y", 32, epochs)
+      val want = pocketRef(trainDocs.map(t => (t._2, t._3)), 32, epochs)
+      assert(got.toSeq == want.toSeq, s"diverged at epochs=$epochs")
+    }
+  }
+
+  test("train on separable labels converges and the served model reproduces them") {
+    // Labels ARE a linear function of the features (token 'pos' vs
+    // 'neg'), so the perceptron convergence theorem applies: the
+    // pocket reaches zero misclassifications within the budget.
+    val sep = (1L to 40L).map { i =>
+      if (i % 2 == 0) (i, s"pos filler$i common", 1L)
+      else (i, s"neg filler$i common", -1L)
+    }
+    val df = sep.toDF("doc_id", "text", "y")
+    val w = QualityModel.train(df, "doc_id", "text", "y", 256, epochs = 64)
+    val served = QualityModel
+      .classifyWithModel(df, "doc_id", "text", 256,
+        QualityModel.weightsTable(spark, w))
+      .select($"doc_id", $"kept").as[(Long, Long)].collect().toMap
+    sep.foreach { case (id, _, y) =>
+      assert(served(id) == (if (y > 0) 1L else 0L), s"doc $id misclassified")
+    }
+  }
+
+  test("train is deterministic across runs and partitionings") {
+    val df = trainDocs.toDF("doc_id", "text", "y")
+    val a = QualityModel.train(df, "doc_id", "text", "y", 32, 5)
+    val b = QualityModel.train(df.repartition(7), "doc_id", "text", "y", 32, 5)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("classifyWithModel is a narrow map: no Exchange in the plan") {
+    val w = Array.tabulate(33)(i => (i % 7 - 3).toLong)
+    val plan = QualityModel
+      .classifyWithModel(docs, "doc_id", "text", 32,
+        QualityModel.weightsTable(spark, w))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"trained-model serving shuffled:\n$plan")
+  }
+
+  test("classifyWithModel folds the bias in as the score seed") {
+    val w = Array.fill(33)(0L); w(32) = 7L // bias-only model
+    val out = QualityModel
+      .classifyWithModel(docs, "doc_id", "text", 32,
+        QualityModel.weightsTable(spark, w))
+      .select($"doc_id", $"score", $"kept").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("score") == 7L)
+      assert(r.getAs[Long]("kept") == 1L)
+    }
+  }
 }
