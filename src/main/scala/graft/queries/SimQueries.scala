@@ -2359,6 +2359,166 @@ object SimQueries {
     (spark.read.parquet(asnPath), spark.createDataFrame(cr.asJava, cs))
   }
 
+  /** e21 — GRAPH-BASED ANN SERVING: batched beam search over a
+    * degree-16 kNN graph (HNSW-family retrieval — its layer-0 search
+    * over the symmetrized neighbour graph), the one ANN tier the IVF
+    * probe family doesn't cover. Entry points = the min id of each
+    * coarse list (HNSW's spread-the-starts role), 5 hops of
+    * expand-neighbours → exact-rescore → keep-beam-16, final top-5 per
+    * query, plus the `hit` bit against the brute-force exact top-5 —
+    * the recall readout priced into the gate (0.96/0.96/0.92 at
+    * sf0.001/0.01/0.1; the untuned directed-3-edge config measured
+    * 0.04–0.10, the parameter sweep is in PLANS.md). Deterministic
+    * end-to-end (6-dp cosine + id tiebreak at every rank), so the
+    * oracle replays graph build + symmetrization + every hop as
+    * unrolled SQL. Scale shape: per hop the frontier is
+    * |queries|·beam·(degree+1) rows — corpus-independent; each query
+    * touches hops·beam·degree vectors instead of nprobe·corpus/lists
+    * candidates, the graph search's point (the brute leg here is the
+    * gate's ground truth, panel-sized like e1's).
+    */
+  private val beamHops = 5
+  private val beamWidthE21 = 16
+
+  private def beamHopCtes(hops: Int, beamWidth: Int): String = {
+    // c0: per-list entries per query; hop i: neighbours ∪ beam, rescored.
+    val c0 =
+      s"""ent AS (SELECT MIN(vec_id) AS bid FROM embeddings GROUP BY label),
+         |c0 AS (
+         |  SELECT DISTINCT q.qid, ent.bid
+         |  FROM (SELECT DISTINCT qid FROM q) q CROSS JOIN ent
+         |  WHERE q.qid <> ent.bid)""".stripMargin
+    def rescore(i: Int): String =
+      s"""sc$i AS MATERIALIZED (
+         |  SELECT qid, bid, round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine FROM (
+         |    SELECT c.qid, c.bid,
+         |           SUM(qv.v * b.v) AS dot,
+         |           SUM(qv.v * qv.v) AS qq,
+         |           SUM(b.v * b.v) AS bb
+         |    FROM c$i c
+         |    JOIN q qv ON qv.qid = c.qid
+         |    JOIN ev b ON b.vec_id = c.bid AND b.i = qv.i
+         |    GROUP BY c.qid, c.bid)),
+         |beam$i AS MATERIALIZED (
+         |  SELECT qid, bid, cosine FROM (
+         |    SELECT qid, bid, cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY cosine DESC, bid) AS r
+         |    FROM sc$i)
+         |  WHERE r <= $beamWidth)""".stripMargin
+    val hopsSql = (1 to hops).map { i =>
+      s"""c$i AS (
+         |  SELECT DISTINCT qid, bid FROM (
+         |    SELECT b.qid, e.dst AS bid FROM beam${i - 1} b JOIN sedges e ON e.src = b.bid
+         |    UNION ALL
+         |    SELECT qid, bid FROM beam${i - 1})
+         |  WHERE qid <> bid),
+         |${rescore(i)}""".stripMargin
+    }
+    ((c0 + ",\n" + rescore(0)) +: hopsSql).mkString(",\n")
+  }
+
+  val graphBeamSearch: Query = Query(
+    "e21_graph_beam_search",
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |         generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings
+       |),
+       |cent AS (
+       |  SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i
+       |),
+       |qdots AS (
+       |  SELECT ev.vec_id AS qid, cent.label,
+       |         SUM(ev.v * cent.c) AS dot,
+       |         SUM(ev.v * ev.v) AS qq,
+       |         SUM(cent.c * cent.c) AS cc
+       |  FROM ev JOIN cent ON ev.i = cent.i
+       |  GROUP BY qid, cent.label
+       |),
+       |probes AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+       |    FROM qdots)
+       |  WHERE pr <= 4
+       |),
+       |bdots AS (
+       |  SELECT p.qid, b.vec_id AS bid,
+       |         SUM(qv.v * b.v) AS dot,
+       |         SUM(qv.v * qv.v) AS qq,
+       |         SUM(b.v * b.v) AS bb
+       |  FROM probes p
+       |  JOIN ev b ON b.label = p.label
+       |  JOIN ev qv ON qv.vec_id = p.qid AND qv.i = b.i
+       |  WHERE b.vec_id <> p.qid
+       |  GROUP BY p.qid, b.vec_id
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT qid, bid FROM (
+       |    SELECT qid, bid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank
+       |    FROM bdots)
+       |  WHERE rank <= 16
+       |),
+       |sedges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT qid AS src, bid AS dst FROM edges
+       |    UNION ALL
+       |    SELECT bid AS src, qid AS dst FROM edges)
+       |),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, i, v FROM ev WHERE vec_id < 10
+       |),
+       |${beamHopCtes(beamHops, beamWidthE21)},
+       |ex AS MATERIALIZED (
+       |  SELECT qid, bid FROM (
+       |    SELECT qid, bid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS r
+       |    FROM (
+       |      SELECT q.qid, b.vec_id AS bid,
+       |             SUM(q.v * b.v) AS dot,
+       |             SUM(q.v * q.v) AS qq,
+       |             SUM(b.v * b.v) AS bb
+       |      FROM q JOIN ev b ON b.i = q.i
+       |      WHERE b.vec_id <> q.qid
+       |      GROUP BY q.qid, b.vec_id))
+       |  WHERE r <= 5
+       |)
+       |SELECT f.qid, CAST(f.r AS BIGINT) AS rank, f.bid, f.cosine,
+       |       CAST(CASE WHEN ex.bid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS hit
+       |FROM (
+       |  SELECT qid, bid, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY cosine DESC, bid) AS r
+       |  FROM beam$beamHops) f
+       |LEFT JOIN ex ON ex.qid = f.qid AND ex.bid = f.bid
+       |WHERE f.r <= 5
+       |ORDER BY f.qid, f.r""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val emb = embeddings(spark, d).select($"vec_id", $"label", $"embedding")
+    val g = graft.similarity.Ann
+      .knnGraph(emb, "vec_id", "embedding", "label", k = 16, nprobe = 4)
+    val corpus = emb.select($"vec_id", $"embedding")
+    val panel = corpus.filter($"vec_id" < 10)
+    val entries = emb.groupBy($"label").agg(min($"vec_id").as("bid"))
+      .select($"bid")
+    val beam = graft.similarity.Ann.beamSearchKnn(
+      g, corpus, panel, "vec_id", "embedding", entries,
+      beamWidth = beamWidthE21, hops = beamHops, k = 5)
+    val exact = graft.similarity.Ann
+      .bruteTopK(corpus, panel, "vec_id", "embedding", k = 5)
+      .select($"qid", $"bid", lit(1L).as("hit"))
+    beam.join(exact, Seq("qid", "bid"), "left_outer")
+      .select($"qid", $"rank", $"bid", $"cosine",
+        coalesce($"hit", lit(0L)).as("hit"))
+      .orderBy($"qid", $"rank")
+  }
+
   /** Battery-shared kNN-graph edge tables: m11b/m11c's operator under
     * test is the CLUSTERING — their graph INPUT is e19b/e19c's
     * operator, which those gates keep computing directly. Corpus×k
@@ -2433,5 +2593,6 @@ object SimQueries {
     pqTopK, pqRecall, ivfPq, pqSampledRecall, ivfPqRecall, unsupIvfPq, unsupRecall,
     residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
     knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing, ivfRebalanceK, rebalanceProbe,
-    knnComponentsLearned, knnComponentsRebalanced, semanticDecontam)
+    knnComponentsLearned, knnComponentsRebalanced, semanticDecontam,
+    graphBeamSearch)
 }

