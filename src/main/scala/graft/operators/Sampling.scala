@@ -46,4 +46,41 @@ object Sampling {
     }
     df.filter(bucket(col(idCol), salt) < rate)
   }
+
+  /** WEIGHTED sample of `n` rows WITHOUT replacement — Efraimidis &
+    * Spirakis' A-ES: each row draws priority `u^(1/w)` (u uniform,
+    * w its weight) and the n largest priorities are the sample, which
+    * realizes exactly the sequential weighted draw (P(first pick = i)
+    * = wᵢ/Σw, then renormalized without i, …) in ONE parallel pass —
+    * the corpus-subsampling primitive (sample 1 B docs proportional to
+    * token count) that a sequential draw cannot do distributed.
+    *
+    * Deterministic and engine-exact: u = (h+1)/2²⁸ from the salted
+    * 28-bit md5 of the id (never a RNG), compared in log space —
+    * `ln(u)` is rounded to integer MICRO-NATS first (the house log
+    * discipline, NgramLm.scala), and the only further float op is one
+    * integer÷integer IEEE division, correctly rounded hence
+    * bit-identical on every engine; ties break on the id. The plan is
+    * a narrow projection into a global top-n (TakeOrdered — never a
+    * full sort): per-partition heaps of n, one n-row driver merge.
+    *
+    * `weightCol` must be a positive integral column (token counts,
+    * byte sizes); zero/negative weights are the caller's bug — they'd
+    * make `ln(u)/w` flip sign or divide by zero, so fail fast there.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      salt: String,
+      n: Int): DataFrame = {
+    val h = conv(substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 7), 16, 10)
+      .cast("long")
+    val lnuMicro = round(log((h + 1).cast("double") / lit(268435456d)) * 1e6)
+      .cast("long")
+    df.withColumn("__prio", lnuMicro.cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("__prio").desc, col(idCol))
+      .limit(n)
+      .drop("__prio")
+  }
 }

@@ -316,7 +316,41 @@ object RelQueries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** r8 — WEIGHTED sample without replacement (Efraimidis–Spirakis
+    * A-ES): 100 documents drawn proportional to token count, the
+    * corpus-subsampling primitive (training mixes sample docs by
+    * token mass, not uniformly). One parallel pass: priority =
+    * micro-nat-rounded ln(u)/w with u hash-derived from the doc id,
+    * global top-100 by TakeOrdered — never a full sort, never an RNG.
+    * The only cross-engine float ops are the house ln→micro rounding
+    * and one integer÷integer IEEE division (correctly rounded, hence
+    * bit-identical), so the SAMPLE SET ITSELF is hash-pinned.
+    */
+  val weightedSample = Query(
+    "r8_weighted_sample",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+      |         CAST(round(ln((CAST(concat('0x', substr(md5(concat('ws1:', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) + 1)
+      |                       / 268435456.0) * 1000000) AS BIGINT) AS lnu
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_tokens FROM w
+      |  ORDER BY CAST(lnu AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC, doc_id
+      |  LIMIT 100)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+      |FROM s ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    Sampling
+      .weightedSample(
+        documents(spark, d)
+          .select($"doc_id", graft.functions.Exprs.tokenCount($"text").as("n_tokens")),
+        "doc_id", "n_tokens", "ws1", n = 100)
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     sessionStats, asOfViewBeforePurchase, clickToPurchase, errorBurstPairs,
-    stratifiedSample, sketchProfile, heavyHitters, scd2Merge, scd2OutOfOrder)
+    stratifiedSample, sketchProfile, heavyHitters, scd2Merge, scd2OutOfOrder,
+    weightedSample)
 }

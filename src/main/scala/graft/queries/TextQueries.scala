@@ -3147,6 +3147,10 @@ object TextQueries {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] MEMO WARMUP FAILED text/satoklcp: ${e.getMessage}")
     }
+    try sharedDistill(spark, d)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] MEMO WARMUP FAILED text/distill: ${e.getMessage}")
+    }
   }
 
   val all: Seq[Query] = Seq(

@@ -149,4 +149,59 @@ class RelOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(ids1 != ids3)
   }
+
+  // ---- weightedSample (Efraimidis–Spirakis A-ES) ---------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The operator's exact arithmetic in plain Scala. */
+  private def aesRef(rows: Seq[(Long, Long)], salt: String, n: Int): Seq[Long] = {
+    rows.map { case (id, w) =>
+      val h = java.lang.Long.parseLong(md5hex(s"$salt:$id").take(7), 16)
+      val lnu = math.round(math.log((h + 1).toDouble / 268435456d) * 1e6)
+      (id, lnu.toDouble / w.toDouble)
+    }.sortBy { case (id, p) => (-p, id) }.take(n).map(_._1)
+  }
+
+  test("weightedSample equals the local A-ES replay bit-for-bit") {
+    val rows = (1L to 300L).map(i => (i, 1L + i % 17))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", "t", 40)
+      .select("id").as[Long].collect().toSet
+    assert(got == aesRef(rows, "t", 40).toSet)
+  }
+
+  test("weightedSample favours heavy weights (inclusion scales with w)") {
+    // one row carries half the total mass; over many salts it must be
+    // sampled (n=1) far more often than any individual light row
+    val rows = (1L to 50L).map(i => (i, if (i == 7L) 49L else 1L))
+    val picks = (0 until 40).map { s =>
+      aesRef(rows, s"salt$s", 1).head
+    }
+    val heavy = picks.count(_ == 7L)
+    assert(heavy >= 10, s"heavy row picked only $heavy/40 — weighting broken")
+    // engine agrees with the replay on a few of those salts
+    val df = rows.toDF("id", "w")
+    Seq("salt0", "salt1", "salt2").foreach { s =>
+      val got = Sampling.weightedSample(df, "id", "w", s, 1)
+        .select("id").as[Long].head()
+      assert(got == aesRef(rows, s, 1).head)
+    }
+  }
+
+  test("weightedSample is deterministic under repartitioning and plans as TakeOrdered") {
+    val rows = (1L to 500L).map(i => (i, 1L + i % 5))
+    val df = rows.toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", "t", 25)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", "t", 25)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    val plan = Sampling.weightedSample(df, "id", "w", "t", 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample lost the top-n plan (full sort?):\n$plan")
+  }
 }
