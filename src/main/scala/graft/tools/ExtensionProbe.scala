@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Scale measurement for the round-15-extension operators — the gates
+  * run fixed panels / bounded models; these are the full-corpus ×10
+  * stress rows: wall + shuffle volume of
+  *
+  *   - `QualityModel.train` (pocket perceptron, B=1024, 16 epochs)
+  *     over every document, plus one serving pass of the result;
+  *   - `Ann.knnGraph` at serving degree (k=16, nprobe=4) over every
+  *     embedding, then `Ann.beamSearchKnn` (beam 16, 5 hops) on the
+  *     10-query panel against the built graph;
+  *   - `Sampling.weightedSample` (A-ES top-100 by token mass).
+  *
+  * Usage: runMain graft.tools.ExtensionProbe [sfDir]
+  */
+object ExtensionProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val write = new AtomicLong
+    val read = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        write.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+      }
+    })
+
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).cache()
+    val nDocs = docs.count()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).cache()
+    val nVec = emb.count()
+
+    def timed(tag: String, n: Long)(f: => Long): Unit = {
+      write.set(0); read.set(0)
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      println(f"""{"probe":"$tag","n":$n,"rows":$rows,"sec":$sec%.2f,"shuffle_write_mb":${write.get / 1e6}%.1f,"shuffle_read_mb":${read.get / 1e6}%.1f,"sf":"$sfDir"}""")
+    }
+
+    // --- in-engine training (t40's operator at corpus scale) --------
+    val nStop = size(filter(split($"text", " "),
+      x => x === "the" || x === "a")).cast("long")
+    val nTok = graft.functions.Exprs.tokenCount($"text")
+    val labeled = docs.select($"doc_id", $"text",
+      when(nTok >= 30 && nStop * 5 < nTok, 1L).otherwise(-1L).as("y")).cache()
+    labeled.count()
+    var w: Array[Long] = null
+    timed("distill_train_b1024_e16", nDocs) {
+      w = graft.text.QualityModel.train(labeled, "doc_id", "text", "y", 1024, 16)
+      w.count(_ != 0L).toLong
+    }
+    timed("distill_serve_full", nDocs) {
+      graft.text.QualityModel.classifyWithModel(docs, "doc_id", "text", 1024,
+        graft.text.QualityModel.weightsTable(spark, w))
+        .agg(sum(col("kept"))).head().getLong(0)
+    }
+
+    // --- graph ANN: build at serving degree, then the panel search ---
+    var graph: org.apache.spark.sql.DataFrame = null
+    timed("knn_graph_k16_np4", nVec) {
+      val (g, _) = graft.operators.Checkpoints.eager(
+        graft.similarity.Ann.knnGraph(emb, "vec_id", "embedding", "label", 16, 4))
+      graph = g
+      g.count()
+    }
+    timed("beam_search_10q_b16_h5", nVec) {
+      val panel = emb.select($"vec_id", $"embedding").filter($"vec_id" < 10)
+      val entries = emb.groupBy($"label").agg(min($"vec_id").as("bid")).select($"bid")
+      graft.similarity.Ann.beamSearchKnn(
+        graph, emb.select($"vec_id", $"embedding"), panel,
+        "vec_id", "embedding", entries, 16, 5, 5).count()
+    }
+
+    // --- weighted sampling ------------------------------------------
+    timed("weighted_sample_100", nDocs) {
+      graft.operators.Sampling.weightedSample(
+        docs.select($"doc_id", nTok.as("n_tokens")),
+        "doc_id", "n_tokens", "ws1", 100).count()
+    }
+
+    spark.stop()
+  }
+}
