@@ -68,19 +68,27 @@ object Sampling {
     * byte sizes); zero/negative weights are the caller's bug — they'd
     * make `ln(u)/w` flip sign or divide by zero, so fail fast there.
     */
+  /** The A-ES priority `ln(u)/w` (u hash-derived, micro-nat-rounded —
+    * see [[weightedSample]]): maximizing it over rows IS the weighted
+    * draw. Exposed so the streaming reservoir ranks by the identical
+    * expression.
+    */
+  def aesPriority(id: Column, weight: Column, salt: String): Column = {
+    val h = conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 7), 16, 10)
+      .cast("long")
+    val lnuMicro = round(log((h + 1).cast("double") / lit(268435456d)) * 1e6)
+      .cast("long")
+    lnuMicro.cast("double") / weight.cast("double")
+  }
+
   def weightedSample(
       df: DataFrame,
       idCol: String,
       weightCol: String,
       salt: String,
-      n: Int): DataFrame = {
-    val h = conv(substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 7), 16, 10)
-      .cast("long")
-    val lnuMicro = round(log((h + 1).cast("double") / lit(268435456d)) * 1e6)
-      .cast("long")
-    df.withColumn("__prio", lnuMicro.cast("double") / col(weightCol).cast("double"))
+      n: Int): DataFrame =
+    df.withColumn("__prio", aesPriority(col(idCol), col(weightCol), salt))
       .orderBy(col("__prio").desc, col(idCol))
       .limit(n)
       .drop("__prio")
-  }
 }
