@@ -3134,6 +3134,150 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // t41 — UNIGRAM-LM TOKENIZER (SentencePiece's model family), the other
+  // real-world subword tokenizer beside the BPE tier (t27–t32): piece
+  // scores in integer micro-nats, Viterbi-best segmentation per word
+  // type, training by deterministic hard EM (substring-seeded counts →
+  // segment → recount → rescore). The oracle replays the ENTIRE chain —
+  // seed counts, both score tables, two unrolled 8-level DPs with the
+  // min-length tie-break, the backtracks, the recount with the
+  // single-char coverage floor, and the per-document piece stream.
+  // ---------------------------------------------------------------------
+
+  private val UniMaxWord = 8
+  private val UniMaxPiece = 4
+
+  /** One generation's score table from a count CTE: the +1 single-char
+    * coverage floor, then micro-nat log probs.
+    */
+  private def uniScoreCtes(g: Int): String =
+    s"""sm$g AS (
+       |  SELECT piece, cnt + CASE WHEN len(piece) = 1 THEN 1 ELSE 0 END AS c
+       |  FROM cnt$g
+       |  WHERE cnt + CASE WHEN len(piece) = 1 THEN 1 ELSE 0 END > 0),
+       |tot$g AS (SELECT SUM(c) AS t FROM sm$g),
+       |sc$g AS MATERIALIZED (
+       |  SELECT piece,
+       |         CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000) AS BIGINT) AS s
+       |  FROM sm$g, tot$g)""".stripMargin
+
+  /** One generation's Viterbi DP + backtrack over the word types:
+    * forward levels b{g}_1..b{g}_{maxWordLen} (each joins the ≤
+    * maxPiece prior levels; ties → min piece length), then the bounded
+    * backtrack walk producing `seg{g}(w, seg)`.
+    */
+  private def uniDpCtes(g: Int): String = {
+    val sep = "chr(31)"
+    val scored =
+      s"""cd$g AS MATERIALIZED (
+         |  SELECT c.w, c.i, c.l, s.s FROM cand c JOIN sc$g s USING (piece)),
+         |b${g}_0 AS (SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS bval,
+         |            CAST(0 AS BIGINT) AS bl FROM words)""".stripMargin
+    val levels = (1 to UniMaxWord).map { i =>
+      val prior = (math.max(0, i - UniMaxPiece) until i)
+        .map(j => s"SELECT * FROM b${g}_$j").mkString(" UNION ALL ")
+      s"""b${g}_$i AS MATERIALIZED (
+         |  SELECT w, pos, bval, bl FROM (
+         |    SELECT c.w, CAST($i AS BIGINT) AS pos,
+         |           p.bval + c.s AS bval, c.l AS bl,
+         |           ROW_NUMBER() OVER (PARTITION BY c.w
+         |             ORDER BY p.bval + c.s DESC, c.l) AS r
+         |    FROM cd$g c
+         |    JOIN ($prior) p ON p.w = c.w AND p.pos = c.i - c.l
+         |    WHERE c.i = $i)
+         |  WHERE r = 1)""".stripMargin
+    }
+    val ball = s"ball$g AS MATERIALIZED (" +
+      (1 to UniMaxWord).map(i => s"SELECT w, pos, bl FROM b${g}_$i")
+        .mkString(" UNION ALL ") + ")"
+    val bt0 =
+      s"""bt${g}_0 AS (SELECT w, CAST(len(w) AS BIGINT) AS pos,
+         |             CAST('' AS VARCHAR) AS seg FROM words)""".stripMargin
+    val walks = (1 to UniMaxWord).map { k =>
+      s"""bt${g}_$k AS (
+         |  SELECT t.w,
+         |         CASE WHEN t.pos > 0 THEN t.pos - b.bl ELSE t.pos END AS pos,
+         |         CASE WHEN t.pos > 0 THEN
+         |           substr(t.w, CAST(t.pos - b.bl + 1 AS INTEGER), CAST(b.bl AS INTEGER)) ||
+         |           CASE WHEN t.seg = '' THEN '' ELSE $sep || t.seg END
+         |         ELSE t.seg END AS seg
+         |  FROM bt${g}_${k - 1} t
+         |  LEFT JOIN ball$g b ON b.w = t.w AND b.pos = t.pos)""".stripMargin
+    }
+    val segf =
+      s"""seg$g AS MATERIALIZED (
+         |  SELECT w, seg FROM bt${g}_$UniMaxWord)""".stripMargin
+    (Seq(scored) ++ levels ++ Seq(ball, bt0) ++ walks ++ Seq(segf)).mkString(",\n")
+  }
+
+  private def unigramOracle: String = {
+    val sep = "chr(31)"
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |cand AS MATERIALIZED (
+       |  SELECT w, freq, i, l,
+       |         substr(w, CAST(i - l + 1 AS INTEGER), CAST(l AS INTEGER)) AS piece
+       |  FROM words,
+       |       UNNEST(range(1, len(w) + 1)) AS t1(i),
+       |       UNNEST(range(1, least($UniMaxPiece, i) + 1)) AS t2(l)),
+       |cnt0 AS (SELECT piece, SUM(freq) AS cnt FROM cand GROUP BY piece),
+       |${uniScoreCtes(0)},
+       |${uniDpCtes(0)},
+       |cnt1 AS (
+       |  SELECT piece, SUM(cnt) AS cnt FROM (
+       |    SELECT unnest(string_split(s.seg, $sep)) AS piece, wd.freq AS cnt
+       |    FROM seg0 s JOIN words wd USING (w)
+       |    UNION ALL
+       |    SELECT DISTINCT unnest(string_split(w, '')) AS piece, CAST(0 AS BIGINT)
+       |    FROM words)
+       |  WHERE len(piece) > 0
+       |  GROUP BY piece),
+       |${uniScoreCtes(1)},
+       |${uniDpCtes(1)},
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, i AS wpos, ws[CAST(i AS INTEGER)] AS w FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |    UNNEST(range(1, len(ws) + 1)) AS u(i)
+       |  WHERE len(ws[CAST(i AS INTEGER)]) > 0),
+       |enc AS (
+       |  SELECT d.doc_id,
+       |         CAST(SUM(len(string_split(g.seg, $sep))) AS BIGINT) AS n_pieces,
+       |         md5(string_agg(g.seg, $sep ORDER BY d.wpos)) AS seg_fp
+       |  FROM dw d JOIN seg1 g USING (w)
+       |  GROUP BY d.doc_id)
+       |SELECT doc.doc_id,
+       |       COALESCE(e.n_pieces, 0) AS n_pieces,
+       |       COALESCE(e.seg_fp, md5('')) AS seg_fp
+       |FROM documents doc LEFT JOIN enc e USING (doc_id)
+       |ORDER BY doc.doc_id""".stripMargin
+  }
+
+  /** t41 — train (1 hard-EM round over substring-seeded scores) +
+    * encode the corpus: per document the Viterbi piece count and the
+    * md5 of the full piece stream. Hash-green ⇔ every score, DP cell,
+    * tie-break and backtrack step of BOTH generations agrees with the
+    * replay bit-for-bit. Wordless docs emit (0, md5('')) — the sa4/
+    * lid1 left-join discipline.
+    */
+  val unigramEncode: Query = Query(
+    "t41_unigram_encode", unigramOracle) { (spark, d) =>
+    import spark.implicits._
+    val docs = documents(spark, d).select($"doc_id", $"text")
+    val trained = graft.text.UnigramLm.train(docs, "text",
+      maxWordLen = UniMaxWord, maxPiece = UniMaxPiece, emRounds = 1)
+    val enc = graft.text.UnigramLm.encode(docs, "doc_id", "text", trained,
+      maxWordLen = UniMaxWord, maxPiece = UniMaxPiece)
+    docs.select($"doc_id")
+      .join(enc, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"n_pieces", lit(0L)).as("n_pieces"),
+        coalesce($"seg_fp", lit("d41d8cd98f00b204e9800998ecf8427e")).as("seg_fp"))
+      .orderBy($"doc_id")
+  }
+
   def warmMemos(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
     try sharedSpans(spark, d).count()
     catch { case scala.util.control.NonFatal(e) =>
@@ -3165,5 +3309,5 @@ object TextQueries {
     dsirOnline, domainKlWeights, klMixture, corpusShards, shardDealOnline,
     suffixArraySlice, dupPrefixCensus, saLcpPairs, saSpanRemoval,
     saTokenCensus, saTokenSpanRemoval, langIdModel, shardManifest,
-    qualityDistill, distillServe)
+    qualityDistill, distillServe, unigramEncode)
 }

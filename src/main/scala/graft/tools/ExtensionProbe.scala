@@ -97,6 +97,24 @@ object ExtensionProbe {
         "doc_id", "n_tokens", "ws1", 100).count()
     }
 
+    // --- unigram-LM tokenizer (t41's operator at corpus scale; the
+    // DP unroll adapts to the corpus' max word length — the ×10
+    // derivation suffixes tokens, growing words past the gate's 8) ---
+    val maxW = docs
+      .select(max(size(split(col("text"), " "))).as("nw"),
+        max(expr("array_max(transform(split(text, ' '), w -> length(w)))")).as("lw"))
+      .select(greatest(col("lw"), lit(8)).cast("int")).head().getInt(0)
+    var uniScores: org.apache.spark.sql.DataFrame = null
+    timed(s"unigram_train_em1_w$maxW", nDocs) {
+      uniScores = graft.text.UnigramLm.train(docs, "text",
+        maxWordLen = maxW, maxPiece = 4, emRounds = 1)
+      uniScores.count()
+    }
+    timed(s"unigram_encode_full_w$maxW", nDocs) {
+      graft.text.UnigramLm.encode(docs, "doc_id", "text", uniScores, maxW, 4)
+        .agg(sum(col("n_pieces"))).head().getLong(0)
+    }
+
     spark.stop()
   }
 }

@@ -86,7 +86,12 @@ class PlanAuditSpec extends SparkSpec {
     // label projection) broadcast-joined on doc_id; training happened
     // driver-coordinated in the memo, so the final plan is pure
     // serving: pushdown/pruning live, zero wide shuffle.
-    "t40b_distill_serve" -> ((true, true, true, true)))
+    "t40b_distill_serve" -> ((true, true, true, true)),
+    // Round-15 (extension): t41's final plan joins the documents scan
+    // (pushdown/pruning live) with the word-type Viterbi segmentation
+    // chain (bounded equi-join DP levels; broadcast = the checkpointed
+    // vocab-score and word-seg joins).
+    "t41_unigram_encode" -> ((true, true, true, true)))
 
   // Gates whose whole point is avoiding the global-window shape: any
   // `Window` fed by an `Exchange SinglePartition` in their final plan
@@ -97,7 +102,7 @@ class PlanAuditSpec extends SparkSpec {
       "t38_shard_deal_online", "sa3_lcp_adjacent",
       "sa4_exact_substring_dedup", "sa5_token_dup_census",
       "sa6_token_span_dedup", "t40b_distill_serve",
-      "e21_graph_beam_search")
+      "e21_graph_beam_search", "t41_unigram_encode")
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {
