@@ -81,6 +81,27 @@ class BenchTripwireSpec extends AnyFunSuite {
     assert((j \ "tripwire") == JString("skipped-cold"))
   }
 
+  test("committed baselines carry the sf marker the loader gates on") {
+    // Bench loads a baseline ONLY when its "sf" field suffix-matches
+    // the run dir; a re-freeze that drops the field silently disables
+    // vs_baseline AND the tripwire for every later run (it happened:
+    // the round-15 close rewrote both files with only {queries,
+    // source} and two closing benches ran tripwire-vacuous). Pin the
+    // envelope so the next re-freeze can't repeat it.
+    import org.json4s._
+    for ((path, sf) <- Seq("BASELINE_sf01.json" -> "sf0.1",
+                           "BASELINE_sf1.json" -> "sf1")) {
+      val j = jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      assert((j \ "sf") == JString(sf), s"$path lost its sf marker")
+      val n = (j \ "queries") match {
+        case JObject(fields) => fields.size
+        case _ => 0
+      }
+      assert(n > 100, s"$path queries truncated ($n)")
+    }
+  }
+
   test("artifact write: non-empty on a trip, {} all-clear, and parseable") {
     val dir = java.nio.file.Files.createTempDirectory("tripwire")
     val p = dir.resolve("_bench_failures.json").toString
