@@ -78,7 +78,17 @@ object Sampling {
       .cast("long")
     val lnuMicro = round(log((h + 1).cast("double") / lit(268435456d)) * 1e6)
       .cast("long")
-    lnuMicro.cast("double") / weight.cast("double")
+    // Fail FAST on a non-positive weight, in the expression itself (no
+    // extra aggregate pass): w = 0 would yield -Infinity (silently never
+    // sampled) and w < 0 flips ln(u)/w positive — that row would beat
+    // every valid row and ALWAYS be sampled. Silent sample corruption,
+    // so it must be a loud per-row error instead.
+    when(weight <= 0,
+      raise_error(concat(
+        lit("Sampling.aesPriority: non-positive weight "), weight.cast("string"),
+        lit(" for id "), id.cast("string"),
+        lit(" — weights must be positive integers"))))
+      .otherwise(lnuMicro.cast("double") / weight.cast("double"))
   }
 
   def weightedSample(

@@ -140,15 +140,10 @@ object DistillStream {
   def results(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
 
+  // StateTables.ensure, never a delete-and-recreate: a restarted JVM
+  // with a lost (in-memory) catalog must re-adopt the frozen weight
+  // generations still on disk, not wipe the model state it is about to
+  // serve from.
   private def ensureWeightsTable(spark: SparkSession, name: String): Unit =
-    if (!spark.catalog.tableExists(name)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      spark.sql(
-        s"""CREATE TABLE $name (bucket BIGINT, weight BIGINT, batch BIGINT)
-           |USING PARQUET
-           |PARTITIONED BY (batch)""".stripMargin)
-    }
+    StateTables.ensure(spark, name, "bucket BIGINT, weight BIGINT, batch BIGINT")
 }

@@ -22,10 +22,17 @@ import graft.similarity.Ann
   *     against the FROZEN per-list centroids (broadcast argmax — the
   *     AnnIndexStream frozen-codebook rule: admission never retrains),
   *     beam-searched over the FROZEN graph generation, and its top-k
-  *     edges written under `inserts/batch=<id>` — INSERT OVERWRITE per
-  *     batch, so a crash-replayed batch rewrites byte-identical rows.
-  *     State is READ-ONLY at admission; the frozen generation never
-  *     moves.
+  *     edges written under `inserts/rebuild=<gen>/batch=<id>` —
+  *     overwrite per batch, so a crash-replayed batch rewrites
+  *     byte-identical rows. State is READ-ONLY at admission; the frozen
+  *     generation never moves. Arrivals/inserts are GENERATION-SCOPED:
+  *     a rebuild absorbs its own generation's arrivals into the next
+  *     snapshot, and readers only ever union the CURRENT generation's
+  *     batches — older ones stay on disk unread (they are already in
+  *     the snapshot; re-reading them would double-count). Run
+  *     [[rebuildCompact]] only while the stream is stopped (the
+  *     AvailableNow cadence every state stream here uses), so a
+  *     replayed batch re-derives the same generation it first saw.
   *   - REBUILD ([[rebuildCompact]], periodic): the full batch operator
   *     ([[graft.similarity.Ann.knnGraph]]) over the accumulated corpus
   *     regenerates graph + corpus snapshot + centroids under one new
@@ -161,25 +168,38 @@ object GraphIndexStream {
       .select(col("vec_id"), col("label"))
       .join(arrivals, Seq("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding"))
+    // GENERATION-SCOPED state paths (`rebuild=<gen>/batch=<id>`): a
+    // rebuild ABSORBS the arrivals of its own generation into the new
+    // corpus snapshot, so readers of generation g+1 must never union
+    // generation-g arrivals back in — an unscoped `arrivals/batch=*`
+    // union double-counted absorbed vectors after the first rebuild
+    // (duplicate corpus rows earn distinct row_number ranks in the beam
+    // search: the same bid could fill two of a query's top-k slots and
+    // displace true neighbours, and the next rebuild built its graph
+    // over the duplicated corpus). Old generations stay on disk as an
+    // audit trail; they are simply never read again.
     labelled.write.mode("overwrite")
-      .parquet(s"$stateDir/arrivals/batch=$batchId")
+      .parquet(s"$stateDir/arrivals/rebuild=$gen/batch=$batchId")
     insertEdges(arrivals, edges, corpus, p)
       .write.mode("overwrite")
-      .parquet(s"$stateDir/inserts/batch=$batchId")
+      .parquet(s"$stateDir/inserts/rebuild=$gen/batch=$batchId")
   }
 
   /** The accumulated corpus a rebuild compacts: the latest snapshot
-    * plus every admitted arrival batch.
+    * plus the arrival batches admitted AGAINST that snapshot's
+    * generation only — older generations' arrivals are already inside
+    * the snapshot (the rebuild absorbed them), so reading them again
+    * would double-count.
     */
   def accumulatedCorpus(spark: SparkSession, stateDir: String): DataFrame = {
     val gen = latestRebuild(spark, stateDir)
     val base = spark.read.parquet(s"$stateDir/corpus/rebuild=$gen")
       .select(col("vec_id"), col("label"), col("embedding"))
-    val arrPath = new org.apache.hadoop.fs.Path(s"$stateDir/arrivals")
+    val arrPath = new org.apache.hadoop.fs.Path(s"$stateDir/arrivals/rebuild=$gen")
     val fs = arrPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(arrPath)) base
     else base.unionByName(
-      spark.read.parquet(s"$stateDir/arrivals")
+      spark.read.parquet(s"$stateDir/arrivals/rebuild=$gen")
         .select(col("vec_id"), col("label"), col("embedding")))
   }
 
@@ -197,12 +217,13 @@ object GraphIndexStream {
     val corpus = accumulatedCorpus(spark, stateDir)
     val frozenEdges = spark.read.parquet(s"$stateDir/edges/rebuild=$gen")
       .select(col("qid"), col("bid"))
-    val insPath = new org.apache.hadoop.fs.Path(s"$stateDir/inserts")
+    val insPath = new org.apache.hadoop.fs.Path(s"$stateDir/inserts/rebuild=$gen")
     val fs = insPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val edges =
       if (!fs.exists(insPath)) frozenEdges
       else frozenEdges.unionByName(
-        spark.read.parquet(s"$stateDir/inserts").select(col("qid"), col("bid")))
+        spark.read.parquet(s"$stateDir/inserts/rebuild=$gen")
+          .select(col("qid"), col("bid")))
     Ann.beamSearchKnn(edges, corpus.select(col("vec_id"), col("embedding")),
       queries, "vec_id", "embedding", entriesOf(corpus),
       p.beamWidth, p.hops, k)

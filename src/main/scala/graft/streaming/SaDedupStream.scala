@@ -166,16 +166,10 @@ object SaDedupStream {
     spark.read.parquet(outDir)
       .select(col("doc_id"), col("clean_text"), col("n_removed"))
 
+  // StateTables.ensure (MSCK re-adoption), never delete-and-recreate:
+  // wiping the census here while the stream checkpoint still skips
+  // completed batches is the one combination that over-admits.
   private def ensureStateTable(spark: SparkSession, name: String): Unit =
-    if (!spark.catalog.tableExists(name)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      spark.sql(
-        s"""CREATE TABLE $name (h STRING, batch BIGINT)
-           |USING PARQUET
-           |PARTITIONED BY (batch)
-           |CLUSTERED BY (h) SORTED BY (h) INTO 16 BUCKETS""".stripMargin)
-    }
+    StateTables.ensure(spark, name, "h STRING, batch BIGINT",
+      "CLUSTERED BY (h) SORTED BY (h) INTO 16 BUCKETS")
 }

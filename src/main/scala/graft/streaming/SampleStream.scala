@@ -89,15 +89,10 @@ object SampleStream {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  // StateTables.ensure, never a delete-and-recreate: with a
+  // non-persistent metastore a restarted JVM that lost its catalog must
+  // RE-ADOPT the reservoir generations the parquet files still hold
+  // (MSCK), not silently wipe them.
   private def ensureStateTable(spark: SparkSession, name: String): Unit =
-    if (!spark.catalog.tableExists(name)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      spark.sql(
-        s"""CREATE TABLE $name (doc_id BIGINT, n_tokens BIGINT, batch BIGINT)
-           |USING PARQUET
-           |PARTITIONED BY (batch)""".stripMargin)
-    }
+    StateTables.ensure(spark, name, "doc_id BIGINT, n_tokens BIGINT, batch BIGINT")
 }

@@ -100,20 +100,12 @@ object SegmentDedupStream {
     out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
   }
 
-  /** Create the bucketed, batch-partitioned state table if absent,
-    * clearing any leftover managed location from a previous JVM (the
-    * [[graft.operators.Bucketing.ensureBucketed]] pattern).
+  /** Create the bucketed, batch-partitioned state table if absent —
+    * [[StateTables.ensure]] re-adopts (MSCK) any generations a previous
+    * JVM left at the location; deleting them while the stream
+    * checkpoint still skips completed batches would over-admit.
     */
   private def ensureStateTable(spark: SparkSession, name: String): Unit =
-    if (!spark.catalog.tableExists(name)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      spark.sql(
-        s"""CREATE TABLE $name (h BIGINT, keeper BIGINT, batch BIGINT)
-           |USING PARQUET
-           |PARTITIONED BY (batch)
-           |CLUSTERED BY (h) SORTED BY (h) INTO 16 BUCKETS""".stripMargin)
-    }
+    StateTables.ensure(spark, name, "h BIGINT, keeper BIGINT, batch BIGINT",
+      "CLUSTERED BY (h) SORTED BY (h) INTO 16 BUCKETS")
 }

@@ -134,8 +134,24 @@ object UnigramLm {
         val seg = when(seg0 === "", piece).otherwise(concat(piece, lit(Sep), seg0))
         when(pos > 0, struct((pos - l).as("pos"), seg.as("seg"))).otherwise(acc)
       })
+    // COVERAGE GUARD, as loud as the maxWordLen check: the walk indexes
+    // `bls` by absolute position, so it is only correct when EVERY cell
+    // 1..len(w) was reached. An unreachable cell (encode() under a
+    // FROZEN score table over a corpus containing characters absent
+    // from the vocabulary) would leave the array short — positions
+    // misalign and segmentations go silently wrong — or drop the word
+    // entirely through an inner join. Left-join + raise_error makes
+    // both failure modes a per-word error naming the word.
+    val covered = words.join(blArr, Seq("w"), "left_outer")
+      .select(col("w"), col("freq"),
+        when(size(col("bls")) === length(col("w")), col("bls"))
+          .otherwise(raise_error(concat(
+            lit("UnigramLm.viterbi: word '"), col("w"),
+            lit("' has unreachable DP cells — a character is not in the "),
+            lit("vocabulary (frozen score table lacks its single-char pieces)"))))
+          .as("bls"))
     val (seg, segTok) = graft.operators.Checkpoints.eager(
-      words.join(blArr, Seq("w"))
+      covered
         .select(col("w"), col("freq"), walk.getField("seg").as("seg"))
         .select(col("w"), col("freq"), col("seg"),
           (size(split(col("seg"), Sep, -1))).cast("long").as("n_pieces")))

@@ -204,4 +204,24 @@ class RelOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"weighted sample lost the top-n plan (full sort?):\n$plan")
   }
+
+  test("weightedSample fails fast on zero and negative weights") {
+    // w = 0 → -Infinity priority (silently never sampled); w < 0 flips
+    // ln(u)/w positive (that row ALWAYS sampled). Both must be loud
+    // errors, not silent sample corruption.
+    Seq(0L, -3L).foreach { bad =>
+      val df = ((1L to 10L).map(i => (i, 1L + i % 4)) :+ (99L, bad)).toDF("id", "w")
+      val e = intercept[Exception] {
+        Sampling.weightedSample(df, "id", "w", "t", 5).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("non-positive weight")),
+        s"expected the aesPriority guard for w=$bad, got: ${e.getMessage}")
+    }
+    // valid weights are untouched by the guard
+    val ok = Sampling.weightedSample(
+      (1L to 50L).map(i => (i, 1L + i % 4)).toDF("id", "w"), "id", "w", "t", 5)
+    assert(ok.count() == 5L)
+  }
 }

@@ -91,5 +91,18 @@ class DistillStreamSpec extends SparkSpec {
 
     // the new generation is a different model (non-vacuous retrain)
     assert(w1.toSeq != w0.toSeq, "retrain produced the identical model — spec vacuous")
+
+    // LOST-CATALOG RECOVERY: a restarted JVM whose in-memory metastore
+    // forgot the weights table must re-adopt the frozen generations
+    // still on disk (StateTables MSCK discipline) — loadWeights after
+    // the catalog loss must serve generation 1, not fail or serve a
+    // wiped table.
+    spark.sql(s"DROP TABLE $wtable") // external: files survive the drop
+    val w2 = DistillStream.retrainCompact(spark, acc, wtable, 2L, B, E)
+    assert(DistillStream.loadWeights(spark, wtable, B).toSeq == w2.toSeq)
+    val gens = spark.table(wtable).select($"batch").distinct()
+      .as[Long].collect().toSet
+    assert(gens == Set(0L, 1L, 2L),
+      s"prior weight generations wiped on catalog loss (got $gens)")
   }
 }

@@ -99,26 +99,75 @@ class GraphIndexStreamSpec extends SparkSpec {
 
     // ---- replay idempotence: re-processing batch 0's rows under the
     // same batch id rewrites byte-identical inserts
-    val before = spark.read.parquet(s"$state/inserts/batch=0")
+    val before = spark.read.parquet(s"$state/inserts/rebuild=0/batch=0")
       .orderBy($"qid", $"rank").collect().toSeq
     GraphIndexStream.processBatch(
       arrivalRows.take(2).toDF("vec_id", "embedding"), 0L, state, P)
-    val after = spark.read.parquet(s"$state/inserts/batch=0")
+    val after = spark.read.parquet(s"$state/inserts/rebuild=0/batch=0")
       .orderBy($"qid", $"rank").collect().toSeq
     assert(before == after, "replayed batch diverged")
 
     // ---- rebuild 1 over the accumulated corpus ≡ the batch operator
     // over base ∪ arrivals (arrival-vs-arrival adjacency restored)
+    val gen0Arrivals = spark.read.parquet(s"$state/arrivals/rebuild=0")
+      .select($"vec_id", $"label", $"embedding")
     val acc = GraphIndexStream.accumulatedCorpus(spark, state)
     GraphIndexStream.rebuildCompact(spark, acc, state, 1L, P)
     val rebuilt = spark.read.parquet(s"$state/edges/rebuild=1")
       .orderBy($"qid", $"rank").collect().toSeq
     val want = Ann.knnGraph(
-        base.unionByName(spark.read.parquet(s"$state/arrivals")
-          .select($"vec_id", $"label", $"embedding")),
+        base.unionByName(gen0Arrivals),
         "vec_id", "embedding", "label", P.k, P.nprobe)
       .orderBy($"qid", $"rank").collect().toSeq
     assert(rebuilt == want, "rebuild 1 diverged from the batch graph over the accumulated corpus")
     assert(GraphIndexStream.latestRebuild(spark, state) == 1L)
+
+    // ---- ARRIVALS AFTER REBUILD 1: the generation-scoping contract.
+    // Rebuild 1's snapshot ABSORBED the four gen-0 arrivals; new
+    // arrivals admit against generation 1, and no reader may union the
+    // absorbed gen-0 batches back in (that double-counted: the same
+    // bid earned two row_number ranks in the beam and the next rebuild
+    // built its graph over a duplicated corpus).
+    val arrivalRows2 = Seq(
+      (104L, Array(-1.0f, 0.0f, 0.087f)),
+      (105L, Array(0.0f, 1.0f, 0.094f)))
+    Files.writeString(drop.resolve("b3.jsonl"), jsonl(arrivalRows2))
+    runStream(drop.toString, state, ckpt)
+
+    // accumulated corpus = snapshot 1 (base ∪ gen-0 arrivals) ∪ gen-1
+    // arrivals, every vec_id EXACTLY once
+    val acc1 = GraphIndexStream.accumulatedCorpus(spark, state)
+    assert(acc1.count() == 66L,
+      s"accumulated corpus after rebuild 1 must hold 66 rows, got ${acc1.count()}")
+    assert(acc1.select($"vec_id").distinct().count() == 66L,
+      "accumulated corpus holds duplicate vec_ids — a reader unioned absorbed arrivals")
+
+    // serving over the live gen-1 index: reaches the new arrival, and
+    // no qid ever sees the same bid twice (the duplicate-rank symptom)
+    val probe2 = Seq((901L, Array(-1.0f, 0.0f, 0.0871f))).toDF("vec_id", "embedding")
+    val served2 = GraphIndexStream.servingSearch(spark, state, probe2, P, k = 3)
+    val bids2 = served2.select($"bid").as[Long].collect().toSeq
+    assert(bids2.contains(104L),
+      s"gen-1 arrival 104 not retrievable through the live index (got $bids2)")
+    assert(bids2.distinct.size == bids2.size,
+      s"serving returned a duplicate bid — corpus rows double-counted ($bids2)")
+
+    // ---- rebuild 2 ≡ the batch operator over base ∪ ALL six arrivals
+    GraphIndexStream.rebuildCompact(spark, acc1, state, 2L, P)
+    val rebuilt2 = spark.read.parquet(s"$state/edges/rebuild=2")
+      .orderBy($"qid", $"rank").collect().toSeq
+    val allArrivals = (arrivalRows ++ arrivalRows2).toDF("vec_id", "embedding")
+    val labelled = Ann.assign(allArrivals,
+        Ann.centroids(base, "label", "embedding"), "vec_id", "embedding", "label")
+      .select($"vec_id", $"label")
+      .join(allArrivals, Seq("vec_id"))
+      .select($"vec_id", $"label", $"embedding")
+    val want2 = Ann.knnGraph(
+        base.unionByName(labelled),
+        "vec_id", "embedding", "label", P.k, P.nprobe)
+      .orderBy($"qid", $"rank").collect().toSeq
+    assert(rebuilt2 == want2,
+      "rebuild 2 diverged from the batch graph over base ∪ all arrivals")
+    assert(GraphIndexStream.latestRebuild(spark, state) == 2L)
   }
 }

@@ -89,5 +89,23 @@ class SampleStreamSpec extends SparkSpec {
     val got2 = SampleStream.reservoir(spark, state2)
       .as[(Long, Long)].collect().toSet
     assert(got2 == want, "re-batched reservoir diverged — top-n not associative?")
+
+    // LOST-CATALOG RECOVERY: a restarted application whose in-memory
+    // metastore forgot the table must RE-ADOPT the reservoir
+    // generations still on disk (StateTables MSCK discipline), never
+    // wipe them — wiping would silently reset the sample while the
+    // stream checkpoint still skips the batches that built it.
+    val gensBefore = spark.table(state2).select($"batch").distinct().count()
+    spark.sql(s"DROP TABLE $state2") // external: files survive the drop
+    SampleStream.processBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      gensBefore + 10L, state2, Salt, N)
+    val adopted = SampleStream.reservoir(spark, state2)
+      .as[(Long, Long)].collect().toSet
+    // the new batch saw the full prior reservoir as its base, so its
+    // claimed generation is exactly `want` again — NOT an empty sample
+    // over a wiped table
+    assert(adopted == want,
+      "reservoir after a catalog loss diverged — prior state wiped instead of re-adopted")
   }
 }

@@ -40,6 +40,40 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("a character absent from the frozen vocabulary fails loudly, not silently") {
+    // encode() with a FROZEN score table over a corpus containing a new
+    // character: DP cells after that character are unreachable, so the
+    // backtrack array is short — positions would misalign (silently
+    // wrong segmentation) or the word would vanish through an inner
+    // join. The coverage guard must turn both into a named error.
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // fully unreachable word ("xy" shares no character with the vocab)
+    val scores = Seq(("a", -10L), ("b", -10L), ("ab", -15L)).toDF("piece", "s")
+    val e1 = intercept[Exception] {
+      UnigramLm.viterbi(Seq(("xy", 1L)).toDF("w", "freq"), scores, 8, 4)
+        ._1.collect()
+    }
+    assert(messages(e1).exists(_.contains("unreachable DP cells")),
+      s"expected the coverage guard, got: ${e1.getMessage}")
+    // PARTIALLY reachable word ("abx": cells 1-2 fine, cell 3 has no
+    // piece) — the misalignment case the guard exists for
+    val e2 = intercept[Exception] {
+      UnigramLm.viterbi(Seq(("abx", 1L)).toDF("w", "freq"), scores, 8, 4)
+        ._1.collect()
+    }
+    assert(messages(e2).exists(_.contains("unreachable DP cells")),
+      s"expected the coverage guard, got: ${e2.getMessage}")
+    // end-to-end: encode under a frozen table over an unseen character
+    val docs0 = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val trained = UnigramLm.train(docs0, "text", 8, 4, 1)
+    val e3 = intercept[Exception] {
+      UnigramLm.encode(Seq((2L, "ab zq")).toDF("doc_id", "text"),
+        "doc_id", "text", trained, 8, 4).collect()
+    }
+    assert(messages(e3).exists(_.contains("unreachable DP cells")))
+  }
+
   // ---- local replay of the identical integer arithmetic -------------
 
   private def refScores(counts: Map[String, Long]): Map[String, Long] = {
