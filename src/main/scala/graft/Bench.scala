@@ -51,15 +51,25 @@ object Bench {
     * phantom "offenders" while every multi-pass run of the identical
     * code read ~1.0×), so no tripwire verdict is computed from it —
     * the artifact stays `{}` and the JSON line carries
-    * `"cold_pass":true,"tripwire":"skipped-cold"` instead.
-    * Spec-pinned (`BenchTripwireSpec` single-pass case).
+    * `"cold_pass":true,"tripwire":"skipped-cold"` instead. With a
+    * PARTIAL warm pass (budget-truncated), only the gates it reached —
+    * i.e. gates with ≥ 2 samples — are judged; cold-only tail gates
+    * are excluded, never judged on their cold sample.
+    * Spec-pinned (`BenchTripwireSpec` single-pass + partial-pass cases).
     */
-  def tripwireStat(passes: Seq[Map[String, Double]]): Option[Map[String, Double]] =
-    if (passes.length < 2) None
-    else Some(
-      passes.flatMap(_.keys).distinct
+  def tripwireStat(passes: Seq[Map[String, Double]]): Option[Map[String, Double]] = {
+    // Only gates measured in ≥ 2 passes enter the stat: with a PARTIAL
+    // warm pass (budget-truncated — see the pass loop) a tail gate may
+    // hold only its cold pass-1 sample, and judging that sample would
+    // re-open the phantom-offender hole the ≥2-pass rule closed.
+    val stat =
+      if (passes.length < 2) Map.empty[String, Double]
+      else passes.flatMap(_.keys).distinct
+        .filter(k => passes.count(_.contains(k)) >= 2)
         .map(k => k -> passes.flatMap(_.get(k)).min)
-        .toMap)
+        .toMap
+    if (stat.isEmpty) None else Some(stat)
+  }
 
   /** Default frozen-baseline file for a bench dir: the sf1 battery
     * tripwires against its own frozen baseline (`BASELINE_sf1.json`,
@@ -283,11 +293,19 @@ object Bench {
     // JIT cost) plus per-gate minima, to file (full precision) and
     // stdout (compact line).
     def emit(): Unit = {
+      // passes may be PARTIAL (a warm pass truncated by the budget), so
+      // every per-gate statistic folds only the samples that exist;
+      // pass 1 is always complete, so every gate has at least one.
       val results = ordered.map { case (name, _) =>
-        val times = passes.map(_(name)).sorted(Ordering.Double.TotalOrdering)
+        val times = passes.flatMap(_.get(name)).sorted(Ordering.Double.TotalOrdering)
         name -> times((times.length - 1) / 2)
       }
-      val mins = ordered.map { case (name, _) => name -> passes.map(_(name)).min }.toMap
+      val mins = ordered.map { case (name, _) =>
+        name -> passes.flatMap(_.get(name)).min
+      }.toMap
+      val warmGates = ordered.count { case (name, _) =>
+        passes.count(_.contains(name)) >= 2
+      }
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       // Full-precision, full-name artifact → file. The printed line is
       // size-constrained (see below), so the complete record lives here;
@@ -311,9 +329,13 @@ object Bench {
       val baseFields =
         if (common.isEmpty) ""
         else s""","vs_baseline":$vsBaseJson,"vs_baseline_total":${fmt2(vsBaseTotal)},"baseline_gates":${common.length}"""
-      val coldPass = passes.length < 2
+      // "cold" = NO gate has a warm (≥2-pass) sample; a truncated warm
+      // pass that covered even part of the battery is not cold — its
+      // covered gates carry real min-of-passes signal and the tripwire
+      // judges exactly those (tripwireStat's ≥2-pass filter).
+      val coldPass = warmGates == 0
       val fullJson =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_min":$fullMins,"probes":$probesJson,"probes_mt":$probesMtJson,"sf":"$sfDir","iters":${passes.length},"cold_pass":$coldPass,"elapsed_sec":${fmt2(elapsed())}$baseFields}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_min":$fullMins,"probes":$probesJson,"probes_mt":$probesMtJson,"sf":"$sfDir","iters":${passes.length},"cold_pass":$coldPass,"warm_gates":$warmGates,"elapsed_sec":${fmt2(elapsed())}$baseFields}"""
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
@@ -356,32 +378,32 @@ object Bench {
       val probeFields =
         s""","probe":${fmt2(med(probes.toSeq))},"probe_mt":${fmt2(med(probesMt.toSeq))}"""
       val coldFields =
-        if (coldPass) ""","cold_pass":true,"tripwire":"skipped-cold"""" else ""
+        if (coldPass) ""","cold_pass":true,"tripwire":"skipped-cold""""
+        else s""","warm_gates":$warmGates"""
       println(
         s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","iters":${passes.length}$probeFields$coldFields$vsShort}""")
     }
-    var lastPass = 0.0
     var pass = 0
-    // Always run pass 1; each further pass starts only if its projected
-    // finish fits the budget. Pass 2 is projected at 0.7× pass 1's wall
-    // (+15% headroom): pass 1 is the COLD pass — it pays per-gate
-    // JIT/codegen that pass 2 provably does not (measured warm/cold
-    // ≈ 0.67–0.7 across rounds 9–13; this round 209 s cold → ~140 s
-    // warm on the same host window). Later passes project at their
-    // predecessor's wall (warm ≈ warm). An overrun is bounded by
-    // emit-after-every-pass: the JSON line and tripwire of every
-    // COMPLETED pass are already on disk, so a driver kill mid-pass
-    // costs only that pass. A battery that would have been killed at
-    // the driver's timeout instead exits cleanly with however many
-    // passes fit.
+    // Always run pass 1 in full (it is the projection reference). Warm
+    // passes (2+) are gated PER GATE, not all-or-nothing: before each
+    // gate, its projected wall (cold time × warm factor + 15% headroom)
+    // must fit the remaining budget, otherwise the gate is SKIPPED and
+    // the pass continues with the cheaper remainder. Gates run in
+    // DESCENDING cold-pass cost, so the budget buys warm samples for
+    // exactly the gates where a regression clears the tripwire's 1 s
+    // absolute floor — the round-15 driver artifact showed the
+    // alternative: the all-or-nothing projection didn't fit, iters
+    // stayed 1, and the whole battery shipped cold with the tripwire
+    // vacuously skipped. A partial warm pass keeps the tripwire live
+    // for every gate it reaches (tripwireStat's ≥2-pass filter guards
+    // the unreached tail).
     // The 0.7 warm/cold projection is an env override
     // (SPARK_GRAFT_BENCH_WARM_FACTOR) so a contended host window can
-    // fall back to the conservative 1.0 projection — keeping the 15%
-    // headroom guarantee — without a code change.
+    // fall back to the conservative 1.0 projection without a code
+    // change (measured warm/cold ≈ 0.67–0.7 across rounds 9–13).
     val warmFactor = sys.env.get("SPARK_GRAFT_BENCH_WARM_FACTOR")
       .map(_.toDouble).getOrElse(0.7)
-    def projectedNext(): Double = lastPass * (if (pass == 1) warmFactor else 1.0) * 1.15
-    while (pass < iters && (pass == 0 || elapsed() + projectedNext() < budget)) {
+    while (pass < iters && (pass == 0 || elapsed() + 5.0 < budget)) {
       // Reset accumulated state between passes: gate-internal caches
       // (t4's shingle cache, MLlib leftovers) and evicted/fragmented
       // storage otherwise make later passes measure cache-manager and
@@ -395,9 +417,22 @@ object Bench {
       }
       probes += probe()
       probesMt += probeMt()
-      val ps = System.nanoTime()
-      passes += ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
-      lastPass = (System.nanoTime() - ps) / 1e9
+      val cold = passes.headOption.getOrElse(Map.empty[String, Double])
+      val order =
+        if (pass == 0) ordered
+        else ordered.sortBy { case (name, _) => -cold.getOrElse(name, 0.0) }
+      val pm = scala.collection.mutable.Map[String, Double]()
+      var skipped = 0
+      order.foreach { case (name, fn) =>
+        val fits = pass == 0 ||
+          elapsed() + cold.getOrElse(name, 0.0) * warmFactor * 1.15 + 0.5 < budget
+        if (fits) pm(name) = timeOnce(name, fn) else skipped += 1
+      }
+      if (skipped > 0)
+        System.err.println(
+          s"[bench] pass ${pass + 1} partial: $skipped gate(s) skipped on budget " +
+            s"(${pm.size} measured)")
+      passes += pm.toMap
       pass += 1
       emit()
     }

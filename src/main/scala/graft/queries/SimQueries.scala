@@ -2418,8 +2418,14 @@ object SimQueries {
     ((c0 + ",\n" + rescore(0)) +: hopsSql).mkString(",\n")
   }
 
-  val graphBeamSearch: Query = Query(
-    "e21_graph_beam_search",
+  /** The full graph-build + beam-walk replay, shared verbatim by e21
+    * (in-gate build) and e21b (serving from the prebuilt index): the
+    * DuckDB side has no memo, so both gates pin their results against
+    * the same end-to-end SQL — which is exactly the point: e21b's
+    * Spark side must produce the identical rows while paying only the
+    * serving cost.
+    */
+  private def graphBeamOracleSql: String =
     s"""WITH ev AS MATERIALIZED (
        |  SELECT vec_id, label,
        |         generate_subscripts(embedding, 1) AS i,
@@ -2498,7 +2504,29 @@ object SimQueries {
        |  FROM beam$beamHops) f
        |LEFT JOIN ex ON ex.qid = f.qid AND ex.bid = f.bid
        |WHERE f.r <= 5
-       |ORDER BY f.qid, f.r""".stripMargin) { (spark, d) =>
+       |ORDER BY f.qid, f.r""".stripMargin
+
+  /** The shared "beam results + exact-recall readout" tail of e21/e21b:
+    * final top-5 per query with the `hit` bit against brute-force exact
+    * top-5 (panel-sized, e1's convention).
+    */
+  private def beamWithRecall(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: org.apache.spark.sql.DataFrame,
+      panel: org.apache.spark.sql.DataFrame,
+      beam: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val exact = graft.similarity.Ann
+      .bruteTopK(corpus, panel, "vec_id", "embedding", k = 5)
+      .select($"qid", $"bid", lit(1L).as("hit"))
+    beam.join(exact, Seq("qid", "bid"), "left_outer")
+      .select($"qid", $"rank", $"bid", $"cosine",
+        coalesce($"hit", lit(0L)).as("hit"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val graphBeamSearch: Query = Query(
+    "e21_graph_beam_search", graphBeamOracleSql) { (spark, d) =>
     import spark.implicits._
     val emb = embeddings(spark, d).select($"vec_id", $"label", $"embedding")
     val g = graft.similarity.Ann
@@ -2510,13 +2538,62 @@ object SimQueries {
     val beam = graft.similarity.Ann.beamSearchKnn(
       g, corpus, panel, "vec_id", "embedding", entries,
       beamWidth = beamWidthE21, hops = beamHops, k = 5)
-    val exact = graft.similarity.Ann
-      .bruteTopK(corpus, panel, "vec_id", "embedding", k = 5)
-      .select($"qid", $"bid", lit(1L).as("hit"))
-    beam.join(exact, Seq("qid", "bid"), "left_outer")
-      .select($"qid", $"rank", $"bid", $"cosine",
-        coalesce($"hit", lit(0L)).as("hit"))
-      .orderBy($"qid", $"rank")
+    beamWithRecall(spark, corpus, panel, beam)
+  }
+
+  /** Battery-shared GRAPH SERVING INDEX (e21b's prebuilt artifact):
+    * e21's degree-16 label-list graph SYMMETRIZED AT BUILD TIME
+    * ([[graft.similarity.Ann.symmetrize]]) plus the per-list entry
+    * points, persisted once per corpus — the e17 packed-index
+    * discipline applied to the graph tier. ExtensionProbe at ×10
+    * measured build 27–50 s vs search 7.2 s: a server pays the build
+    * once, never per query batch, so pricing it inside the serving
+    * gate hides the number the tier exists for.
+    */
+  private val servingGraphMemo = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def sharedServingGraph(
+      spark: org.apache.spark.sql.SparkSession, d: String): String =
+    servingGraphMemo.getOrElseUpdate(
+      s"$d|${graft.operators.Bucketing.suffix(spark, d)}", {
+        val emb = embeddings(spark, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val g = graft.similarity.Ann
+          .knnGraph(emb, "vec_id", "embedding", "label", k = 16, nprobe = 4)
+        val dir = graft.TempDirs.create("graft-servinggraph-")
+          .toFile.getAbsolutePath
+        graft.similarity.Ann.symmetrize(g)
+          .write.mode("overwrite").parquet(s"$dir/edges")
+        emb.groupBy(col("label")).agg(min(col("vec_id")).as("bid"))
+          .select(col("bid"))
+          .write.mode("overwrite").parquet(s"$dir/entries")
+        dir
+      })
+
+  /** e21b — graph-ANN SERVING from the prebuilt symmetric edge index:
+    * identical semantics (and the identical oracle SQL) to e21, but
+    * the gate prices only what a server pays per query batch — the
+    * beam walk over the STORED symmetric edges (`presymmetrized`:
+    * zero corpus-sized shuffle per hop, the edge table is consumed as
+    * written) plus the exact-recall readout. The build/serve split the
+    * r15 verdict asked for: e21 keeps pinning the build chain, e21b
+    * pins that serving alone reproduces it bit-for-bit from the
+    * persisted artifact ([[graft.streaming.GraphIndexStream]] maintains
+    * the same artifact incrementally).
+    */
+  val graphServing: Query = Query(
+    "e21b_graph_serving", graphBeamOracleSql) { (spark, d) =>
+    import spark.implicits._
+    val idx = sharedServingGraph(spark, d)
+    val edges = spark.read.parquet(s"$idx/edges")
+    val entries = spark.read.parquet(s"$idx/entries")
+    val corpus = embeddings(spark, d).select($"vec_id", $"embedding")
+    val panel = corpus.filter($"vec_id" < 10)
+    val beam = graft.similarity.Ann.beamSearchKnn(
+      edges, corpus, panel, "vec_id", "embedding", entries,
+      beamWidth = beamWidthE21, hops = beamHops, k = 5,
+      presymmetrized = true)
+    beamWithRecall(spark, corpus, panel, beam)
   }
 
   /** Battery-shared kNN-graph edge tables: m11b/m11c's operator under
@@ -2584,7 +2661,8 @@ object SimQueries {
         sharedResidual(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)),
       guarded("rebalance-servable")(sharedRebalanceServable(spark, d)._1.count()),
       guarded("graph-learned")(sharedGraph(spark, d, "learned").count()),
-      guarded("graph-rebalanced")(sharedGraph(spark, d, "rebalanced").count()))),
+      guarded("graph-rebalanced")(sharedGraph(spark, d, "rebalanced").count()),
+      guarded("serving-graph")(sharedServingGraph(spark, d)))),
       30.minutes)
   }
 
@@ -2594,5 +2672,5 @@ object SimQueries {
     residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
     knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing, ivfRebalanceK, rebalanceProbe,
     knnComponentsLearned, knnComponentsRebalanced, semanticDecontam,
-    graphBeamSearch)
+    graphBeamSearch, graphServing)
 }

@@ -3278,6 +3278,121 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The prune step's CTEs: loss-delta per multi-char piece of `cnt$g`
+    * under `sc$g` (alt = the piece's own best segmentation into
+    * STRICTLY SMALLER pieces — a bounded DP over the vocabulary, no
+    * backtrack needed: the final bval IS the alternative score), then
+    * the kept counts as `cnt${g + 1}` (single chars always survive;
+    * the ⌊frac·nMulti⌋ smallest loss-deltas drop, ties → piece ASC).
+    */
+  private def uniPruneCtes(g: Int, frac: Double): String = {
+    val levels = (1 to UniMaxPiece).map { i =>
+      val prior = (math.max(0, i - UniMaxPiece) until i)
+        .map(j => s"SELECT * FROM ab${g}_$j").mkString(" UNION ALL ")
+      s"""ab${g}_$i AS MATERIALIZED (
+         |  SELECT w, pos, bval FROM (
+         |    SELECT c.w, CAST($i AS BIGINT) AS pos, p.bval + c.s AS bval,
+         |           ROW_NUMBER() OVER (PARTITION BY c.w
+         |             ORDER BY p.bval + c.s DESC, c.l) AS r
+         |    FROM acd$g c
+         |    JOIN ($prior) p ON p.w = c.w AND p.pos = c.i - c.l
+         |    WHERE c.i = $i)
+         |  WHERE r = 1)""".stripMargin
+    }
+    val aball = s"aball$g AS (" +
+      (1 to UniMaxPiece).map(i => s"SELECT w, pos, bval FROM ab${g}_$i")
+        .mkString(" UNION ALL ") + ")"
+    s"""multi$g AS MATERIALIZED (
+       |  SELECT c.piece, c.cnt, s.s FROM cnt$g c JOIN sc$g s USING (piece)
+       |  WHERE len(c.piece) >= 2),
+       |acd$g AS MATERIALIZED (
+       |  SELECT a.w, a.i, a.l, s.s FROM (
+       |    SELECT m.piece AS w, i, l,
+       |           substr(m.piece, CAST(i - l + 1 AS INTEGER), CAST(l AS INTEGER)) AS sub
+       |    FROM multi$g m,
+       |         UNNEST(range(1, len(m.piece) + 1)) AS t1(i),
+       |         UNNEST(range(1, least($UniMaxPiece, i) + 1)) AS t2(l)
+       |    WHERE l < len(m.piece)) a
+       |  JOIN sc$g s ON s.piece = a.sub),
+       |ab${g}_0 AS (
+       |  SELECT DISTINCT piece AS w, CAST(0 AS BIGINT) AS pos,
+       |         CAST(0 AS BIGINT) AS bval FROM multi$g),
+       |${levels.mkString(",\n")},
+       |$aball,
+       |alt$g AS (
+       |  SELECT m.piece, a.bval AS alt_s
+       |  FROM multi$g m JOIN aball$g a
+       |    ON a.w = m.piece AND a.pos = len(m.piece)),
+       |ld$g AS MATERIALIZED (
+       |  SELECT m.piece, m.cnt, m.cnt * (m.s - a.alt_s) AS ld
+       |  FROM multi$g m JOIN alt$g a USING (piece)),
+       |nk$g AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT)
+       |         - CAST(FLOOR(COUNT(*) * $frac) AS BIGINT) AS n FROM ld$g),
+       |cnt${g + 1} AS (
+       |  SELECT piece, cnt FROM cnt$g WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |           ROW_NUMBER() OVER (ORDER BY ld DESC, piece) AS r
+       |    FROM ld$g)
+       |  WHERE r <= (SELECT n FROM nk$g))""".stripMargin
+  }
+
+  private def unigramPruneOracle(frac: Double): String =
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |cand AS MATERIALIZED (
+       |  SELECT w, freq, i, l,
+       |         substr(w, CAST(i - l + 1 AS INTEGER), CAST(l AS INTEGER)) AS piece
+       |  FROM words,
+       |       UNNEST(range(1, len(w) + 1)) AS t1(i),
+       |       UNNEST(range(1, least($UniMaxPiece, i) + 1)) AS t2(l)),
+       |cnt0 AS (SELECT piece, SUM(freq) AS cnt FROM cand GROUP BY piece),
+       |${uniScoreCtes(0)},
+       |${uniDpCtes(0)},
+       |cnt1 AS (
+       |  SELECT piece, SUM(cnt) AS cnt FROM (
+       |    SELECT unnest(string_split(s.seg, chr(31))) AS piece, wd.freq AS cnt
+       |    FROM seg0 s JOIN words wd USING (w)
+       |    UNION ALL
+       |    SELECT DISTINCT unnest(string_split(w, '')) AS piece, CAST(0 AS BIGINT)
+       |    FROM words)
+       |  WHERE len(piece) > 0
+       |  GROUP BY piece),
+       |${uniScoreCtes(1)},
+       |${uniPruneCtes(1, frac)},
+       |${uniScoreCtes(2)}
+       |SELECT piece, s FROM sc2 ORDER BY piece""".stripMargin
+
+  /** t41b — the unigram-LM VOCABULARY-PRUNE schedule (how real
+    * SentencePiece trains: seed a large candidate vocabulary, then
+    * drop the pieces whose removal costs the least likelihood): one
+    * hard-EM round, rescore, then prune 50% of the multi-char pieces
+    * by the loss-delta of re-segmenting each piece's own string with
+    * strictly smaller pieces — ld(p) = cnt(p)·(s(p) − altScore(p)),
+    * integer micro-nats end to end. The gate pins the pruned,
+    * renormalized vocabulary (every piece and score); hash-green ⇔
+    * every DP cell of the alt segmentation, every loss-delta, the
+    * keep cut (ties piece-ASC) and the renormalization agree with the
+    * replay bit-for-bit. Types-sized throughout: the alt DP runs over
+    * the VOCABULARY, the keep cut is one TakeOrdered top-n (never a
+    * full sort), nothing after the word-type collapse touches the
+    * corpus.
+    */
+  val unigramPrune: Query = Query(
+    "t41b_unigram_prune", unigramPruneOracle(0.5)) { (spark, d) =>
+    import spark.implicits._
+    val docs = documents(spark, d).select($"doc_id", $"text")
+    graft.text.UnigramLm.trainPruned(docs, "text",
+      maxWordLen = UniMaxWord, maxPiece = UniMaxPiece,
+      pruneRounds = 1, pruneFrac = 0.5)
+      .select($"piece", $"s")
+      .orderBy($"piece")
+  }
+
   def warmMemos(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
     try sharedSpans(spark, d).count()
     catch { case scala.util.control.NonFatal(e) =>
@@ -3309,5 +3424,5 @@ object TextQueries {
     dsirOnline, domainKlWeights, klMixture, corpusShards, shardDealOnline,
     suffixArraySlice, dupPrefixCensus, saLcpPairs, saSpanRemoval,
     saTokenCensus, saTokenSpanRemoval, langIdModel, shardManifest,
-    qualityDistill, distillServe, unigramEncode)
+    qualityDistill, distillServe, unigramEncode, unigramPrune)
 }

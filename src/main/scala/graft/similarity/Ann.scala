@@ -441,6 +441,21 @@ object Ann {
     * the predecessor freed (the iterated-join-loop discipline), so
     * lineage stays one hop deep.
     */
+  /** Symmetrized edge set of a directed kNN graph: edges ∪ reversed,
+    * distinct, as `(src, dst)` — the build-time artifact a graph-ANN
+    * SERVER materializes once (HNSW keeps bidirectional links for the
+    * same reason), so that [[beamSearchKnn]] with
+    * `presymmetrized = true` never re-pays the N·k union+distinct
+    * shuffle per query batch. Gate `e21b` serves from exactly this
+    * table; [[graft.streaming.GraphIndexStream]] maintains the directed
+    * form incrementally and symmetrization stays a one-pass derivation.
+    */
+  def symmetrize(graph: DataFrame): DataFrame = {
+    val fwd = graph.select(col("qid"), col("bid"))
+    fwd.unionByName(fwd.select(col("bid").as("qid"), col("qid").as("bid")))
+      .distinct()
+  }
+
   def beamSearchKnn(
       graph: DataFrame,
       corpus: DataFrame,
@@ -450,17 +465,23 @@ object Ann {
       entries: DataFrame,
       beamWidth: Int,
       hops: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      presymmetrized: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val base = corpus.select(col(idCol).as("bid"), col(vecCol).as("bv"))
     val fwd = graph.select(col("qid").as("__src"), col("bid").as("__dst"))
     // Symmetrize ONCE and checkpoint: every hop re-reads the edge
     // table, and an unmaterialized union+distinct would re-shuffle the
-    // N·k rows per hop (a production deployment materializes the
-    // symmetric edges at build time; this is the in-query equivalent).
-    val (edges, edgeTok) = graft.operators.Checkpoints.eager(
-      fwd.unionByName(fwd.select(col("__dst").as("__src"), col("__src").as("__dst")))
-        .distinct())
+    // N·k rows per hop. A production deployment materializes the
+    // symmetric edges at build time ([[symmetrize]] → parquet — the
+    // e21b serving path); `presymmetrized = true` declares the caller
+    // did exactly that, so the serving query pays NO corpus-sized
+    // shuffle at all — the edge table is consumed as stored.
+    val (edges, edgeTok) =
+      if (presymmetrized) (fwd, graft.operators.Checkpoints.none(fwd))
+      else graft.operators.Checkpoints.eager(
+        fwd.unionByName(fwd.select(col("__dst").as("__src"), col("__src").as("__dst")))
+          .distinct())
     val beamW = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("bid"))
     // The frontier is |queries|·beam·(degree+1) rows — ALWAYS the tiny

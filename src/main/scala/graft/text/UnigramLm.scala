@@ -78,7 +78,8 @@ object UnigramLm {
       words: DataFrame,
       scores: DataFrame,
       maxWordLen: Int,
-      maxPiece: Int): (DataFrame, graft.operators.Checkpoints.Token) = {
+      maxPiece: Int,
+      excludeWholeWord: Boolean = false): (DataFrame, graft.operators.Checkpoints.Token) = {
     val tooLong = words.filter(length(col("w")) > maxWordLen).limit(1).count()
     require(tooLong == 0L,
       s"UnigramLm.viterbi: a word exceeds maxWordLen=$maxWordLen — pre-split the corpus")
@@ -87,11 +88,18 @@ object UnigramLm {
     // maxPiece levels, so unsevered lineage would re-evaluate the
     // candidate join a Fibonacci-growing number of times (measured
     // 177 s for the sf0.1 encode before severing; ~4 s after).
-    val (cand, candTok) = graft.operators.Checkpoints.eager(words
+    // `excludeWholeWord` drops the single piece spanning the entire
+    // word (l = len(w) ⇒ i = len(w)) — the prune step's DP, which
+    // scores the best segmentation of a piece's own string into
+    // STRICTLY SMALLER pieces ([[pruneCounts]]).
+    val candBase = words
       .select(col("w"),
         explode(sequence(lit(1), length(col("w")))).as("i"))
       .select(col("w"), col("i"),
         explode(sequence(lit(1), least(lit(maxPiece), col("i")))).as("l"))
+    val candAll = if (excludeWholeWord) candBase.filter(col("l") < length(col("w")))
+                  else candBase
+    val (cand, candTok) = graft.operators.Checkpoints.eager(candAll
       .select(col("w"), col("i"), col("l"),
         expr("substring(w, i - l + 1, l)").as("piece"))
       .join(scores, Seq("piece"))
@@ -197,6 +205,93 @@ object UnigramLm {
         scoresOf(recount(seg)))
       segTok.free()
       scTok.free()
+      sc = nsc
+      scTok = nTok
+    }
+    wTok.free()
+    sc
+  }
+
+  /** SentencePiece's VOCABULARY-PRUNE step, hard-EM deterministic
+    * variant: real SentencePiece seeds a large candidate vocabulary and
+    * repeatedly drops the pieces whose removal costs the least
+    * likelihood. The loss-delta of removing piece p is approximated —
+    * exactly as SentencePiece does — by re-segmenting p's OWN string
+    * with the remaining vocabulary: every occurrence of p would fall
+    * back to p's best segmentation into STRICTLY SMALLER pieces, so
+    *
+    *   ld(p) = cnt(p) · (s(p) − altScore(p))   [integer micro-nats]
+    *
+    * with altScore the Viterbi-best sub-segmentation
+    * ([[viterbi]] with `excludeWholeWord = true` — a DP over the
+    * VOCABULARY table, ≤ maxPiece levels: types-sized, never
+    * corpus-sized). The ⌊pruneFrac·nMulti⌋ multi-char pieces with the
+    * SMALLEST loss-delta are dropped (ties → piece ascending); single
+    * characters always survive (the coverage rule — every word must
+    * keep a path). Returns the kept `(piece, cnt)` counts plus the
+    * token of the internal checkpoint (free it after the caller's next
+    * checkpoint lands); feed [[scoresOf]] to renormalize.
+    *
+    * Scale shape: one TakeOrdered top-n over the vocabulary (never a
+    * full sort, the r8 discipline), one bounded DP, one broadcast-class
+    * score join — nothing touches the corpus.
+    */
+  def pruneCounts(
+      counts: DataFrame,
+      scores: DataFrame,
+      maxPiece: Int,
+      pruneFrac: Double): (DataFrame, graft.operators.Checkpoints.Token) = {
+    require(pruneFrac >= 0.0 && pruneFrac < 1.0,
+      s"pruneFrac must be in [0, 1), got $pruneFrac")
+    val multi = counts.filter(length(col("piece")) >= 2)
+    val nMulti = multi.count()
+    val nKeep = nMulti - math.floor(nMulti * pruneFrac).toLong
+    if (nKeep == nMulti) (counts, graft.operators.Checkpoints.none(counts))
+    else {
+      val pw = multi.select(col("piece").as("w"), lit(1L).as("freq"))
+      val (altSeg, altTok) = viterbi(pw, scores,
+        maxWordLen = maxPiece, maxPiece = maxPiece, excludeWholeWord = true)
+      // altScore = Σ s over the chosen sub-pieces ≡ the DP's final bval
+      val altScore = altSeg
+        .select(col("w").as("piece"), explode(split(col("seg"), Sep, -1)).as("p2"))
+        .join(scores.select(col("piece").as("p2"), col("s").as("s2")), Seq("p2"))
+        .groupBy(col("piece"))
+        .agg(sum(col("s2")).as("alt_s"))
+      val ld = multi.join(scores, Seq("piece"))
+        .join(altScore, Seq("piece"))
+        .select(col("piece"), col("cnt"),
+          (col("cnt") * (col("s") - col("alt_s"))).as("ld"))
+      val keptMulti = ld.orderBy(col("ld").desc, col("piece"))
+        .limit(nKeep.toInt)
+        .select(col("piece"), col("cnt"))
+      (counts.filter(length(col("piece")) === 1).unionByName(keptMulti), altTok)
+    }
+  }
+
+  /** Train WITH the pruning schedule: substring-seeded scores, then
+    * `pruneRounds` rounds of (E: segment → M: recount → rescore →
+    * PRUNE the lowest-loss-delta pieces → renormalize). The returned
+    * table is the pruned, renormalized vocabulary — gate `t41b` pins
+    * it; [[train]] remains the prune-free hard-EM (gate `t41`).
+    */
+  def trainPruned(
+      docs: DataFrame,
+      textCol: String,
+      maxWordLen: Int,
+      maxPiece: Int,
+      pruneRounds: Int,
+      pruneFrac: Double): DataFrame = {
+    val (words, wTok) = graft.operators.Checkpoints.eager(wordTypes(docs, textCol))
+    var (sc, scTok) = graft.operators.Checkpoints.eager(
+      scoresOf(seedCounts(words, maxPiece)))
+    for (_ <- 1 to pruneRounds) {
+      val (seg, segTok) = viterbi(words, sc, maxWordLen, maxPiece)
+      val (counts, cntTok) = graft.operators.Checkpoints.eager(recount(seg))
+      val (sc1, sc1Tok) = graft.operators.Checkpoints.eager(scoresOf(counts))
+      val (kept, keptTok) = pruneCounts(counts, sc1, maxPiece, pruneFrac)
+      val (nsc, nTok) = graft.operators.Checkpoints.eager(scoresOf(kept))
+      // the new generation is checkpointed — every feeder can go
+      segTok.free(); cntTok.free(); sc1Tok.free(); keptTok.free(); scTok.free()
       sc = nsc
       scTok = nTok
     }

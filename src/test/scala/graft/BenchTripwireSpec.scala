@@ -49,6 +49,20 @@ class BenchTripwireSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(java.nio.file.Paths.get(p)).trim == "{}")
   }
 
+  test("a gate present only in the cold pass never enters the stat (partial warm pass)") {
+    // the budget-truncated warm pass covered a1_top but not m2_lsh:
+    // m2_lsh's lone cold sample must not be judged (it would phantom-
+    // trip at 19.0 vs baseline 0.5), while a1_top's warm min is live
+    val passes = Seq(
+      Map("a1_top" -> 37.0, "m2_lsh" -> 19.0), // cold, complete
+      Map("a1_top" -> 0.9)) // warm, truncated before m2_lsh
+    val stat = Bench.tripwireStat(passes).get
+    assert(stat == Map("a1_top" -> 0.9))
+    assert(Bench.tripwire(stat, baseline).isEmpty)
+    // a warm pass that covered NOTHING degenerates to the cold case
+    assert(Bench.tripwireStat(Seq(Map("a1_top" -> 37.0), Map.empty)).isEmpty)
+  }
+
   test("two passes judge the per-gate MIN — one contended pass cannot fire it") {
     val passes = Seq(
       Map("a1_top" -> 37.0, "m2_lsh" -> 19.0), // contended / cold

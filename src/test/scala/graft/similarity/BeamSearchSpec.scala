@@ -81,6 +81,25 @@ class BeamSearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("presymmetrized serving over Ann.symmetrize equals the in-query symmetrization") {
+    // the e21b build/serve split: symmetrize-at-build + presymmetrized
+    // walk must be bit-identical to the default in-query union+distinct
+    val n = 24
+    val corpus = chain(n)
+    val queries = corpus.where($"vec_id" < 3L)
+    val g = chainEdges(n)
+    def run(edges: org.apache.spark.sql.DataFrame, presym: Boolean) =
+      Ann.beamSearchKnn(edges, corpus, queries, "vec_id", "embedding",
+        entries = Seq(23L, 11L).toDF("bid"),
+        beamWidth = 4, hops = 6, k = 3, presymmetrized = presym)
+        .orderBy($"qid", $"rank").collect().toSeq
+    assert(run(Ann.symmetrize(g), presym = true) == run(g, presym = false))
+    // symmetrize is itself symmetric and deduplicated
+    val sym = Ann.symmetrize(g).as[(Long, Long)].collect().toSet
+    assert(sym == sym.map(_.swap), "symmetrize output is not symmetric")
+    assert(Ann.symmetrize(g).count() == sym.size.toLong, "duplicate edges survived")
+  }
+
   test("sf0.1 recall floor: beam top-5 hits >= 90% of the exact top-5") {
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       .select($"vec_id", $"label", $"embedding")

@@ -74,6 +74,38 @@ class UnigramLmSpec extends SparkSpec {
     assert(messages(e3).exists(_.contains("unreachable DP cells")))
   }
 
+  test("pruneCounts drops the smallest loss-delta pieces — hand-checked") {
+    // scores: a=-10, b=-20, ab=-25, ba=-28 (micro-nats)
+    //   alt(ab) = s(a)+s(b) = -30  → ld(ab) = 4·(-25 − (-30)) = 20
+    //   alt(ba) = s(b)+s(a) = -30  → ld(ba) = 2·(-28 − (-30)) =  4
+    // frac 0.5 over 2 multi pieces → prune 1: "ba" (smaller ld) drops,
+    // "ab" survives, single chars always survive
+    val counts = Seq(("a", 5L), ("b", 3L), ("ab", 4L), ("ba", 2L))
+      .toDF("piece", "cnt")
+    val scores = Seq(("a", -10L), ("b", -20L), ("ab", -25L), ("ba", -28L))
+      .toDF("piece", "s")
+    val (kept, tok) = UnigramLm.pruneCounts(counts, scores, maxPiece = 4,
+      pruneFrac = 0.5)
+    val got = kept.as[(String, Long)].collect().toSet
+    tok.free()
+    assert(got == Set(("a", 5L), ("b", 3L), ("ab", 4L)), s"got $got")
+    // frac 0 is the identity
+    val (all, tok0) = UnigramLm.pruneCounts(counts, scores, 4, 0.0)
+    assert(all.as[(String, Long)].collect().toSet ==
+      counts.as[(String, Long)].collect().toSet)
+    tok0.free()
+    // a loss-delta TIE breaks toward the lexicographically smaller piece
+    // (both ld = 0 when the piece scores exactly its sub-segmentation)
+    val tieC = Seq(("a", 1L), ("b", 1L), ("ab", 1L), ("ba", 1L)).toDF("piece", "cnt")
+    val tieS = Seq(("a", -10L), ("b", -10L), ("ab", -20L), ("ba", -20L))
+      .toDF("piece", "s")
+    val (tk, tokT) = UnigramLm.pruneCounts(tieC, tieS, 4, 0.5)
+    val gotT = tk.as[(String, Long)].collect().toSet
+    tokT.free()
+    assert(gotT == Set(("a", 1L), ("b", 1L), ("ab", 1L)),
+      s"tie must keep 'ab' (piece ASC), got $gotT")
+  }
+
   // ---- local replay of the identical integer arithmetic -------------
 
   private def refScores(counts: Map[String, Long]): Map[String, Long] = {
