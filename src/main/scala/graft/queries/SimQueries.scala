@@ -2382,8 +2382,17 @@ object SimQueries {
 
   private def beamHopCtes(hops: Int, beamWidth: Int): String = {
     // c0: per-list entries per query; hop i: neighbours ∪ beam, rescored.
+    // TWO entries per coarse list (the lowest two ids — HNSW's
+    // spread-the-starts role, widened): the ×10 probe measured
+    // recall@5 sagging 0.92 → 0.86 with one entry per list and
+    // recovering to 1.00 with two (entries_2 sweep, PLANS.md
+    // round-16) — the cheapest rung of the entry ladder, +0.9 s on a
+    // 4.6 s ×10 search, before upper layers would ever be needed.
     val c0 =
-      s"""ent AS (SELECT MIN(vec_id) AS bid FROM embeddings GROUP BY label),
+      s"""ent AS (SELECT vec_id AS bid FROM (
+         |  SELECT vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY label ORDER BY vec_id) AS r FROM embeddings)
+         |  WHERE r <= 2),
          |c0 AS (
          |  SELECT DISTINCT q.qid, ent.bid
          |  FROM (SELECT DISTINCT qid FROM q) q CROSS JOIN ent
@@ -2533,12 +2542,24 @@ object SimQueries {
       .knnGraph(emb, "vec_id", "embedding", "label", k = 16, nprobe = 4)
     val corpus = emb.select($"vec_id", $"embedding")
     val panel = corpus.filter($"vec_id" < 10)
-    val entries = emb.groupBy($"label").agg(min($"vec_id").as("bid"))
-      .select($"bid")
     val beam = graft.similarity.Ann.beamSearchKnn(
-      g, corpus, panel, "vec_id", "embedding", entries,
+      g, corpus, panel, "vec_id", "embedding", entriesPerList(emb, 2),
       beamWidth = beamWidthE21, hops = beamHops, k = 5)
     beamWithRecall(spark, corpus, panel, beam)
+  }
+
+  /** Beam-search entry points: the `n` lowest ids of each coarse list
+    * (HNSW's spread-the-starts role). One per list sagged recall@5 to
+    * 0.86 at ×10 corpora; two recovered 1.00 (PLANS.md round-16 entry
+    * sweep), so 2 is the gate convention.
+    */
+  private def entriesPerList(
+      emb: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("vec_id"))
+    emb.select(col("label"), col("vec_id"))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
+      .select(col("vec_id").as("bid"))
   }
 
   /** Battery-shared GRAPH SERVING INDEX (e21b's prebuilt artifact):
@@ -2564,8 +2585,7 @@ object SimQueries {
           .toFile.getAbsolutePath
         graft.similarity.Ann.symmetrize(g)
           .write.mode("overwrite").parquet(s"$dir/edges")
-        emb.groupBy(col("label")).agg(min(col("vec_id")).as("bid"))
-          .select(col("bid"))
+        entriesPerList(emb, 2)
           .write.mode("overwrite").parquet(s"$dir/entries")
         dir
       })

@@ -69,12 +69,19 @@ object GraphIndexStream {
       beamWidth: Int = 16,
       hops: Int = 5)
 
-  /** Beam-search entry ids of a corpus snapshot: min id per list (the
-    * e21 convention — HNSW's spread-the-starts role).
+  /** Beam-search entry ids of a corpus snapshot: the TWO lowest ids
+    * per list (the e21 convention since round 16 — one entry per list
+    * measured recall@5 sagging to 0.86 at ×10 corpora, two recovered
+    * 1.00; HNSW's spread-the-starts role).
     */
-  def entriesOf(corpus: DataFrame): DataFrame =
-    corpus.groupBy(col("label")).agg(min(col("vec_id")).as("bid"))
-      .select(col("bid"))
+  def entriesOf(corpus: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("vec_id"))
+    corpus.select(col("label"), col("vec_id"))
+      .withColumn("__r", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__r") <= 2)
+      .select(col("vec_id").as("bid"))
+  }
 
   /** One arrival batch's insert edges against a frozen generation —
     * shared by the stream below, [[servingSearch]]'s contract and the

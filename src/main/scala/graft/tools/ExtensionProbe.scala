@@ -94,13 +94,35 @@ object ExtensionProbe {
     // recall@5 vs exact at THIS scale (the RecallProbe readout — the
     // gate panel prices recall into the hash only at the gate scales;
     // this is the ×10 row the r15 verdict asked for)
-    {
+    locally {
       val exact = graft.similarity.Ann.bruteTopK(
         emb.select($"vec_id", $"embedding"), panel, "vec_id", "embedding", 5)
       val hits = beam.join(exact.select($"qid", $"bid"), Seq("qid", "bid"), "left_semi")
         .count()
       val total = exact.count()
       println(s"""{"probe":"beam_recall_at_5","hits":$hits,"total":$total,"recall":${hits.toDouble / total},"sf":"$sfDir"}""")
+    }
+    // ENTRY-SPREAD sweep (r15 verdict #6): if recall sags at scale,
+    // spread the starts — E entries per coarse list (lowest E ids)
+    // instead of one, before reaching for upper layers.
+    Seq(2, 4).foreach { e =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("vec_id"))
+      val entriesE = emb.select(col("label"), col("vec_id"))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") <= e)
+        .select(col("vec_id").as("bid"))
+      val t0 = System.nanoTime()
+      val beamE = graft.similarity.Ann.beamSearchKnn(
+        graph, emb.select($"vec_id", $"embedding"), panel,
+        "vec_id", "embedding", entriesE, 16, 5, 5)
+      beamE.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val exact = graft.similarity.Ann.bruteTopK(
+        emb.select($"vec_id", $"embedding"), panel, "vec_id", "embedding", 5)
+      val hits = beamE.join(exact.select($"qid", $"bid"), Seq("qid", "bid"), "left_semi")
+        .count()
+      val total = exact.count()
+      println(f"""{"probe":"beam_recall_entries_$e","hits":$hits,"total":$total,"recall":${hits.toDouble / total},"sec":$sec%.2f,"sf":"$sfDir"}""")
     }
     // SERVING from the prebuilt symmetric edge index (the e21b path):
     // symmetrize once at "build time" (not billed), then the walk alone

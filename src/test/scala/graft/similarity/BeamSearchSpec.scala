@@ -106,7 +106,12 @@ class BeamSearchSpec extends SparkSpec {
     val g = Ann.knnGraph(emb, "vec_id", "embedding", "label", k = 16, nprobe = 4)
     val corpus = emb.select($"vec_id", $"embedding")
     val panel = corpus.filter($"vec_id" < 10)
-    val entries = emb.groupBy($"label").agg(min($"vec_id").as("bid")).select($"bid")
+    // the gate convention: TWO entries per list (round-16 entry sweep)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy($"vec_id")
+    val entries = emb.select($"label", $"vec_id")
+      .withColumn("__r", row_number().over(w)).filter($"__r" <= 2)
+      .select($"vec_id".as("bid"))
     val beam = Ann.beamSearchKnn(g, corpus, panel, "vec_id", "embedding",
       entries, beamWidth = 16, hops = 5, k = 5)
     val exact = Ann.bruteTopK(corpus, panel, "vec_id", "embedding", k = 5)
