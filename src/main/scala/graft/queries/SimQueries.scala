@@ -2380,51 +2380,67 @@ object SimQueries {
   private val beamHops = 5
   private val beamWidthE21 = 16
 
+  /** One unrolled beam-walk CTE chain: seed (`<p>c0`) → rescore →
+    * keep-beam (`<p>beam0`) → `hops` rounds of expand-over-`edges` →
+    * rescore → keep-beam. Prefix-parameterized so e21/e21b (one chain
+    * over the full-corpus graph) and e22 (one chain PER LAYER, each
+    * over that layer's edges, seeded by the layer above) replay through
+    * the same builder — the SQL twin of [[graft.similarity.Ann
+    * .beamSearchKnn]] being every tier's single serving function.
+    */
+  private def hopChain(
+      p: String, edges: String, hops: Int, beamWidth: Int, seedSql: String): String = {
+    val c0 =
+      s"""${p}c0 AS (
+         |$seedSql)""".stripMargin
+    def rescore(i: Int): String =
+      s"""${p}sc$i AS MATERIALIZED (
+         |  SELECT qid, bid, round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine FROM (
+         |    SELECT c.qid, c.bid,
+         |           SUM(qv.v * b.v) AS dot,
+         |           SUM(qv.v * qv.v) AS qq,
+         |           SUM(b.v * b.v) AS bb
+         |    FROM ${p}c$i c
+         |    JOIN q qv ON qv.qid = c.qid
+         |    JOIN ev b ON b.vec_id = c.bid AND b.i = qv.i
+         |    GROUP BY c.qid, c.bid)),
+         |${p}beam$i AS MATERIALIZED (
+         |  SELECT qid, bid, cosine FROM (
+         |    SELECT qid, bid, cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY cosine DESC, bid) AS r
+         |    FROM ${p}sc$i)
+         |  WHERE r <= $beamWidth)""".stripMargin
+    val hopsSql = (1 to hops).map { i =>
+      s"""${p}c$i AS (
+         |  SELECT DISTINCT qid, bid FROM (
+         |    SELECT b.qid, e.dst AS bid FROM ${p}beam${i - 1} b JOIN $edges e ON e.src = b.bid
+         |    UNION ALL
+         |    SELECT qid, bid FROM ${p}beam${i - 1})
+         |  WHERE qid <> bid),
+         |${rescore(i)}""".stripMargin
+    }
+    ((c0 + ",\n" + rescore(0)) +: hopsSql).mkString(",\n")
+  }
+
   private def beamHopCtes(hops: Int, beamWidth: Int): String = {
     // c0: per-list entries per query; hop i: neighbours ∪ beam, rescored.
     // TWO entries per coarse list (the lowest two ids — HNSW's
     // spread-the-starts role, widened): the ×10 probe measured
     // recall@5 sagging 0.92 → 0.86 with one entry per list and
     // recovering to 1.00 with two (entries_2 sweep, PLANS.md
-    // round-16) — the cheapest rung of the entry ladder, +0.9 s on a
-    // 4.6 s ×10 search, before upper layers would ever be needed.
-    val c0 =
+    // round-16) — the cheapest rung of the entry ladder, before the
+    // e22 layer descent is ever needed.
+    val ent =
       s"""ent AS (SELECT vec_id AS bid FROM (
          |  SELECT vec_id, ROW_NUMBER() OVER (
          |    PARTITION BY label ORDER BY vec_id) AS r FROM embeddings)
-         |  WHERE r <= 2),
-         |c0 AS (
-         |  SELECT DISTINCT q.qid, ent.bid
+         |  WHERE r <= 2)""".stripMargin
+    val seed =
+      s"""  SELECT DISTINCT q.qid, ent.bid
          |  FROM (SELECT DISTINCT qid FROM q) q CROSS JOIN ent
-         |  WHERE q.qid <> ent.bid)""".stripMargin
-    def rescore(i: Int): String =
-      s"""sc$i AS MATERIALIZED (
-         |  SELECT qid, bid, round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine FROM (
-         |    SELECT c.qid, c.bid,
-         |           SUM(qv.v * b.v) AS dot,
-         |           SUM(qv.v * qv.v) AS qq,
-         |           SUM(b.v * b.v) AS bb
-         |    FROM c$i c
-         |    JOIN q qv ON qv.qid = c.qid
-         |    JOIN ev b ON b.vec_id = c.bid AND b.i = qv.i
-         |    GROUP BY c.qid, c.bid)),
-         |beam$i AS MATERIALIZED (
-         |  SELECT qid, bid, cosine FROM (
-         |    SELECT qid, bid, cosine,
-         |           ROW_NUMBER() OVER (PARTITION BY qid
-         |             ORDER BY cosine DESC, bid) AS r
-         |    FROM sc$i)
-         |  WHERE r <= $beamWidth)""".stripMargin
-    val hopsSql = (1 to hops).map { i =>
-      s"""c$i AS (
-         |  SELECT DISTINCT qid, bid FROM (
-         |    SELECT b.qid, e.dst AS bid FROM beam${i - 1} b JOIN sedges e ON e.src = b.bid
-         |    UNION ALL
-         |    SELECT qid, bid FROM beam${i - 1})
-         |  WHERE qid <> bid),
-         |${rescore(i)}""".stripMargin
-    }
-    ((c0 + ",\n" + rescore(0)) +: hopsSql).mkString(",\n")
+         |  WHERE q.qid <> ent.bid""".stripMargin
+    ent + ",\n" + hopChain("", "sedges", hops, beamWidth, seed)
   }
 
   /** The full graph-build + beam-walk replay, shared verbatim by e21
@@ -2434,14 +2450,21 @@ object SimQueries {
     * Spark side must produce the identical rows while paying only the
     * serving cost.
     */
-  private def graphBeamOracleSql: String =
-    s"""WITH ev AS MATERIALIZED (
+  /** Shared oracle prelude: exploded embeddings, the full-corpus
+    * degree-16 label-list graph (e21's build chain), the panel, and the
+    * exact-top-5 recall readout + final projection — composed by e21,
+    * e21b and e22's oracles.
+    */
+  private val evCte: String =
+    s"""ev AS MATERIALIZED (
        |  SELECT vec_id, label,
        |         generate_subscripts(embedding, 1) AS i,
        |         CAST(unnest(embedding) AS DOUBLE) AS v
        |  FROM embeddings
-       |),
-       |cent AS (
+       |)""".stripMargin
+
+  private val corpusGraphCtes: String =
+    s"""cent AS (
        |  SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i
        |),
        |qdots AS (
@@ -2484,12 +2507,15 @@ object SimQueries {
        |    SELECT qid AS src, bid AS dst FROM edges
        |    UNION ALL
        |    SELECT bid AS src, qid AS dst FROM edges)
-       |),
-       |q AS MATERIALIZED (
+       |)""".stripMargin
+
+  private val panelCte: String =
+    s"""q AS MATERIALIZED (
        |  SELECT vec_id AS qid, i, v FROM ev WHERE vec_id < 10
-       |),
-       |${beamHopCtes(beamHops, beamWidthE21)},
-       |ex AS MATERIALIZED (
+       |)""".stripMargin
+
+  private def recallTail(finalBeam: String): String =
+    s"""ex AS MATERIALIZED (
        |  SELECT qid, bid FROM (
        |    SELECT qid, bid,
        |           ROW_NUMBER() OVER (PARTITION BY qid
@@ -2510,10 +2536,17 @@ object SimQueries {
        |  SELECT qid, bid, cosine,
        |         ROW_NUMBER() OVER (PARTITION BY qid
        |           ORDER BY cosine DESC, bid) AS r
-       |  FROM beam$beamHops) f
+       |  FROM $finalBeam) f
        |LEFT JOIN ex ON ex.qid = f.qid AND ex.bid = f.bid
        |WHERE f.r <= 5
        |ORDER BY f.qid, f.r""".stripMargin
+
+  private def graphBeamOracleSql: String =
+    s"""WITH $evCte,
+       |$corpusGraphCtes,
+       |$panelCte,
+       |${beamHopCtes(beamHops, beamWidthE21)},
+       |${recallTail(s"beam$beamHops")}""".stripMargin
 
   /** The shared "beam results + exact-recall readout" tail of e21/e21b:
     * final top-5 per query with the `hit` bit against brute-force exact
@@ -2616,6 +2649,145 @@ object SimQueries {
     beamWithRecall(spark, corpus, panel, beam)
   }
 
+  /** e22 — HIERARCHICAL (HNSW-family) ANN SEARCH: the entry ladder's
+    * top rung. e21 starts every query at 2 entries PER COARSE LIST, so
+    * hop 0 rescores |q|·2·lists candidates — and the list count grows
+    * with the corpus (×100 corpora = 1 000 lists = 2 000 entry rescores
+    * per query). e22 replaces that with HNSW's layer descent: a nested
+    * ladder of layers (layer ℓ = the `max(2, ceil(n/8^ℓ))` lowest
+    * salted-md5-ranked vectors, [[graft.similarity.Ann.hnswRanks]] —
+    * prefix ranks make layers nested, HNSW's invariant, with occupancy
+    * guaranteed at every scale), a degree-8 kNN graph per upper layer,
+    * and a CONSTANT 2-entry start at the top: each layer's narrow walk
+    * (beam 2, 2 hops) hands per-query entries to the layer below,
+    * then the layer-0 walk is e21's (beam 16, 5 hops, degree-16 graph).
+    * Deterministic end-to-end, so the oracle replays ladder + all three
+    * upper-layer graph builds + every walk as unrolled SQL; the recall
+    * readout vs brute exact top-5 is priced into the hash. Layer count
+    * is FIXED at 3 in the gate (a static oracle cannot unroll a
+    * data-dependent layer count); the operator takes it as a parameter.
+    */
+  private val hnswLayers = 3
+  private val hnswKUpper = 8
+  private val hnswBeamUpper = 2
+  private val hnswHopsUpper = 2
+
+  private def layerEdgeCtes(lyr: Int): String = {
+    val denom = math.pow(8.0, lyr.toDouble).toLong
+    s"""l$lyr AS MATERIALIZED (
+       |  SELECT rk.vec_id, rk.label FROM rk, cnt
+       |  WHERE rk.r <= GREATEST(2, CAST(ceil(cnt.n / $denom.0) AS BIGINT))),
+       |lev$lyr AS MATERIALIZED (
+       |  SELECT ev.vec_id, ev.label, ev.i, ev.v FROM ev JOIN l$lyr USING (vec_id)),
+       |cent$lyr AS (
+       |  SELECT label, i, AVG(v) AS c FROM lev$lyr GROUP BY label, i),
+       |qd$lyr AS (
+       |  SELECT e.vec_id AS qid, c.label,
+       |         SUM(e.v * c.c) AS dot,
+       |         SUM(e.v * e.v) AS qq,
+       |         SUM(c.c * c.c) AS cc
+       |  FROM lev$lyr e JOIN cent$lyr c ON e.i = c.i
+       |  GROUP BY e.vec_id, c.label),
+       |pr$lyr AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+       |    FROM qd$lyr)
+       |  WHERE pr <= 4),
+       |bd$lyr AS (
+       |  SELECT p.qid, b.vec_id AS bid,
+       |         SUM(qv.v * b.v) AS dot,
+       |         SUM(qv.v * qv.v) AS qq,
+       |         SUM(b.v * b.v) AS bb
+       |  FROM pr$lyr p
+       |  JOIN lev$lyr b ON b.label = p.label
+       |  JOIN lev$lyr qv ON qv.vec_id = p.qid AND qv.i = b.i
+       |  WHERE b.vec_id <> p.qid
+       |  GROUP BY p.qid, b.vec_id),
+       |ed$lyr AS (
+       |  SELECT qid, bid FROM (
+       |    SELECT qid, bid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank
+       |    FROM bd$lyr)
+       |  WHERE rank <= $hnswKUpper),
+       |sed$lyr AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT qid AS src, bid AS dst FROM ed$lyr
+       |    UNION ALL
+       |    SELECT bid AS src, qid AS dst FROM ed$lyr))""".stripMargin
+  }
+
+  private def hnswOracleSql: String = {
+    val ladder =
+      s"""hs AS (
+         |  SELECT vec_id,
+         |         CAST(concat('0x', substr(md5(concat('hnsw:', CAST(vec_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+         |  FROM embeddings),
+         |rk AS MATERIALIZED (
+         |  SELECT e.vec_id, e.label,
+         |         ROW_NUMBER() OVER (ORDER BY h.h, h.vec_id) AS r
+         |  FROM embeddings e JOIN hs h USING (vec_id)),
+         |cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+         |tent AS (SELECT vec_id AS bid FROM rk WHERE r <= 2)""".stripMargin
+    val layers = (1 to hnswLayers).map(layerEdgeCtes).mkString(",\n")
+    // Descent: top layer seeded by the global 2-entry start; each lower
+    // layer seeded by the walk above (nested layers guarantee the seeds
+    // are members); layer 0 = e21's full-width walk.
+    val topSeed =
+      s"""  SELECT DISTINCT q.qid, t.bid
+         |  FROM (SELECT DISTINCT qid FROM q) q CROSS JOIN tent t
+         |  WHERE q.qid <> t.bid""".stripMargin
+    def downSeed(fromPrefix: String): String =
+      s"""  SELECT qid, bid FROM ${fromPrefix}beam$hnswHopsUpper
+         |  WHERE qid <> bid""".stripMargin
+    val descent = (hnswLayers to 1 by -1).map { lyr =>
+      val seed = if (lyr == hnswLayers) topSeed else downSeed(s"u${lyr + 1}")
+      hopChain(s"u$lyr", s"sed$lyr", hnswHopsUpper, hnswBeamUpper, seed)
+    }.mkString(",\n")
+    s"""WITH $evCte,
+       |$ladder,
+       |$layers,
+       |$corpusGraphCtes,
+       |$panelCte,
+       |$descent,
+       |${hopChain("", "sedges", beamHops, beamWidthE21, downSeed("u1"))},
+       |${recallTail(s"beam$beamHops")}""".stripMargin
+  }
+
+  val hnswSearchGate: Query = Query(
+    "e22_hnsw_search", hnswOracleSql) { (spark, d) =>
+    import spark.implicits._
+    val emb = embeddings(spark, d).select($"vec_id", $"label", $"embedding")
+    val n = emb.count()
+    val ranks = graft.similarity.Ann.hnswRanks(emb, "vec_id")
+    val ranked = emb.join(ranks, "vec_id")
+    // Upper-layer graphs are layer-sized (n/8^ℓ); each symmetrized edge
+    // table is eagerly checkpointed so the hops consume a materialized
+    // artifact (the presymmetrized contract), not a re-executed build.
+    val uppers = (hnswLayers to 1 by -1).map { lyr =>
+      val members = ranked
+        .filter($"hrank" <= graft.similarity.Ann.layerSize(n, lyr))
+        .select($"vec_id", $"label", $"embedding")
+      graft.operators.Checkpoints.eager(
+        graft.similarity.Ann.symmetrize(
+          graft.similarity.Ann.knnGraph(
+            members, "vec_id", "embedding", "label", k = hnswKUpper, nprobe = 4)))._1
+    }
+    // Layer 0 = the battery-shared serving graph (e21's degree-16
+    // label graph, symmetrized at build time — e21b's artifact).
+    val edges0 = spark.read.parquet(s"${sharedServingGraph(spark, d)}/edges")
+    val corpus = emb.select($"vec_id", $"embedding")
+    val panel = corpus.filter($"vec_id" < 10)
+    val topEntries = ranks.filter($"hrank" <= 2).select($"vec_id".as("bid"))
+    val beam = graft.similarity.Ann.hnswSearch(
+      uppers :+ edges0, corpus, panel, "vec_id", "embedding", topEntries,
+      beamUpper = hnswBeamUpper, hopsUpper = hnswHopsUpper,
+      beamWidth = beamWidthE21, hops = beamHops, k = 5)
+    beamWithRecall(spark, corpus, panel, beam)
+  }
+
   /** Battery-shared kNN-graph edge tables: m11b/m11c's operator under
     * test is the CLUSTERING — their graph INPUT is e19b/e19c's
     * operator, which those gates keep computing directly. Corpus×k
@@ -2692,5 +2864,5 @@ object SimQueries {
     residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
     knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing, ivfRebalanceK, rebalanceProbe,
     knnComponentsLearned, knnComponentsRebalanced, semanticDecontam,
-    graphBeamSearch, graphServing)
+    graphBeamSearch, graphServing, hnswSearchGate)
 }

@@ -466,7 +466,8 @@ object Ann {
       beamWidth: Int,
       hops: Int,
       k: Int,
-      presymmetrized: Boolean = false): DataFrame = {
+      presymmetrized: Boolean = false,
+      entryPairs: DataFrame = null): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val base = corpus.select(col(idCol).as("bid"), col(vecCol).as("bv"))
     val fwd = graph.select(col("qid").as("__src"), col("bid").as("__dst"))
@@ -499,11 +500,22 @@ object Ann {
         .filter(col("__r") <= beamWidth)
         .select(col("qid"), col("bid"), col("cosine"))
     // Hop 0: every query starts at the entry ids (minus itself — a
-    // corpus query must not retrieve itself, e1's convention).
-    val entry = broadcast(entries.toDF("bid"))
-    var (beam, tok) = graft.operators.Checkpoints.eager(
-      rescore(q.select(col("qid")).crossJoin(entry)
-        .where(col("qid") =!= col("bid"))))
+    // corpus query must not retrieve itself, e1's convention). Two
+    // seeding modes: GLOBAL entries (every query starts at the same
+    // broadcast id set — e21's flat convention) or PER-QUERY
+    // `entryPairs` (qid, bid) — the hierarchical mode, where a coarser
+    // layer's walk already picked starts near each query (e22; HNSW's
+    // layer descent). Per-query seeds keep hop 0 CONSTANT-width as the
+    // corpus grows, where the flat 2-per-list set grows with the list
+    // count — the measured reason the layered tier exists (PLANS.md
+    // round-16 ×100 rows).
+    val seed0 =
+      if (entryPairs != null)
+        entryPairs.select(col("qid"), col("bid"))
+          .where(col("qid") =!= col("bid"))
+      else q.select(col("qid")).crossJoin(broadcast(entries.toDF("bid")))
+        .where(col("qid") =!= col("bid"))
+    var (beam, tok) = graft.operators.Checkpoints.eager(rescore(seed0))
     for (_ <- 1 to hops) {
       val cand = edges.join(broadcast(beam), beam("bid") === col("__src"))
         .select(col("qid"), col("__dst").as("bid"))
@@ -521,6 +533,87 @@ object Ann {
       .withColumn("rank", row_number().over(beamW).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("bid"), col("cosine"))
+  }
+
+  /** HNSW-style nested layer ladder: rank every vector by a salted md5
+    * hash (id tiebreak) via the two-pass [[graft.operators.GlobalRank]]
+    * — no single-partition window — and define layer ℓ as the
+    * `max(2, ceil(n / fanout^ℓ))` LOWEST-ranked vectors. Prefix ranks
+    * make the layers NESTED (layer ℓ+1 ⊆ layer ℓ), exactly HNSW's
+    * invariant, with guaranteed occupancy at every corpus size — a
+    * per-vector geometric coin (the paper's formulation) leaves small
+    * corpora with empty upper layers, which a static oracle cannot
+    * replay. Deterministic end-to-end: the hash is the house salted-md5
+    * prefix ([[graft.operators.Sampling]]'s convention), so DuckDB
+    * replays the ladder with one ROW_NUMBER.
+    *
+    * Scale shape: the rank is a narrow (hash, id) two-pass range
+    * partition — the same cost class as the t37 shard layout the
+    * pipeline already pays; everything downstream is layer-sized.
+    */
+  def hnswRanks(corpus: DataFrame, idCol: String, salt: String = "hnsw"): DataFrame = {
+    val h = conv(
+      substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 7),
+      16, 10).cast("long")
+    graft.operators.GlobalRank.withGlobalRank(
+      corpus.select(col(idCol), h.as("__h")), "hrank", 32,
+      col("__h"), col(idCol))
+      .select(col(idCol), col("hrank"))
+  }
+
+  /** Members of layer `layer` (≥ 1): `max(2, ceil(n / fanout^layer))`. */
+  def layerSize(n: Long, layer: Int, fanout: Long = 8L): Long = {
+    val denom = math.pow(fanout.toDouble, layer.toDouble)
+    math.max(2L, math.ceil(n.toDouble / denom).toLong)
+  }
+
+  /** Hierarchical (HNSW-family) ANN search: descend the upper layers —
+    * a narrow beam walk per layer over that layer's symmetrized kNN
+    * edges, seeded by the layer above — then run the full-width layer-0
+    * [[beamSearchKnn]] from the per-query entries the descent found.
+    *
+    * `layerEdges` are the SYMMETRIZED edge tables TOP layer first,
+    * layer 0 LAST; `topEntries` is the global start set (the lowest-
+    * ranked ids — members of every layer by nesting). Every stage is
+    * the same serving function, so determinism (6-dp cosine, id
+    * tiebreaks) and the zero-corpus-shuffle hop shape are inherited.
+    *
+    * Why this exists when e21's flat entries serve 1.00 recall at ×10:
+    * the flat convention starts every query at 2 ids PER COARSE LIST,
+    * so hop 0 rescores |q|·2·lists candidates — and the list count
+    * grows with the corpus (×100 corpora = 1 000 lists = 2 000 entry
+    * rescores per query). The descent replaces that with a constant
+    * 2-entry start and ≤ beamUpper·(degree+1)·hopsUpper work per upper
+    * layer — logarithmic layers, corpus-independent each. The ×100
+    * probe rows in PLANS.md round-16 carry the measured crossover.
+    */
+  def hnswSearch(
+      layerEdges: Seq[DataFrame],
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topEntries: DataFrame,
+      beamUpper: Int,
+      hopsUpper: Int,
+      beamWidth: Int,
+      hops: Int,
+      k: Int): DataFrame = {
+    require(layerEdges.nonEmpty, "need at least the layer-0 edge table")
+    var pairs: DataFrame = null
+    layerEdges.dropRight(1).foreach { upper =>
+      pairs = beamSearchKnn(
+        upper, corpus, queries, idCol, vecCol,
+        entries = if (pairs == null) topEntries else null,
+        beamWidth = beamUpper, hops = hopsUpper, k = beamUpper,
+        presymmetrized = true, entryPairs = pairs)
+        .select(col("qid"), col("bid"))
+    }
+    beamSearchKnn(
+      layerEdges.last, corpus, queries, idCol, vecCol,
+      entries = if (pairs == null) topEntries else null,
+      beamWidth = beamWidth, hops = hops, k = k,
+      presymmetrized = true, entryPairs = pairs)
   }
 
   /** Assign each vector to its nearest centroid (by cosine) — the other

@@ -21,6 +21,11 @@ import java.util.concurrent.atomic.AtomicLong
 object ExtensionProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    // Optional 2nd arg: one of all|distill|graph|sample|unigram — runs
+    // just that section (the ×100 rung runs the graph legs in their
+    // own JVM; the unigram/distill legs there would add an hour).
+    val section = if (args.length > 1) args(1) else "all"
+    def on(name: String): Boolean = section == "all" || section == name
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -62,6 +67,7 @@ object ExtensionProbe {
     val nTok = graft.functions.Exprs.tokenCount($"text")
     val labeled = docs.select($"doc_id", $"text",
       when(nTok >= 30 && nStop * 5 < nTok, 1L).otherwise(-1L).as("y")).cache()
+    if (on("distill")) {
     labeled.count()
     var w: Array[Long] = null
     timed("distill_train_b1024_e16", nDocs) {
@@ -73,7 +79,9 @@ object ExtensionProbe {
         graft.text.QualityModel.weightsTable(spark, w))
         .agg(sum(col("kept"))).head().getLong(0)
     }
+    }
 
+    if (on("graph")) {
     // --- graph ANN: build at serving degree, then the panel search ---
     var graph: org.apache.spark.sql.DataFrame = null
     timed("knn_graph_k16_np4", nVec) {
@@ -136,13 +144,69 @@ object ExtensionProbe {
         presymmetrized = true).count()
     }
 
+    // --- HNSW layer ladder (the e22 tier) ----------------------------
+    // Flat entry sets grow with the corpus: 2 per coarse list =
+    // 2·lists hop-0 rescores per query (×100 corpora = 1 000 lists =
+    // 2 000 starts). The descent starts at a CONSTANT 2 and pays
+    // ≤ beam·(degree+1)·hops per upper layer. Probe both serving arms
+    // over the SAME prebuilt symmetric layer-0 edges, plus the ladder
+    // build, plus recall — the crossover measurement behind e22.
+    locally {
+      val corpus = emb.select($"vec_id", $"embedding")
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("vec_id"))
+      val flatEntries = emb.select(col("label"), col("vec_id"))
+        .withColumn("__r", row_number().over(w2)).filter(col("__r") <= 2)
+        .select(col("vec_id").as("bid"))
+      timed("beam_serving_flat2_10q", nVec) {
+        graft.similarity.Ann.beamSearchKnn(
+          symEdges, corpus, panel, "vec_id", "embedding", flatEntries,
+          16, 5, 5, presymmetrized = true).count()
+      }
+      var ranks: org.apache.spark.sql.DataFrame = null
+      var uppers: Seq[org.apache.spark.sql.DataFrame] = null
+      timed("hnsw_ladder_build_l3", nVec) {
+        ranks = graft.operators.Checkpoints.eager(
+          graft.similarity.Ann.hnswRanks(emb, "vec_id"))._1
+        val ranked = emb.join(ranks, "vec_id")
+        uppers = (3 to 1 by -1).map { lyr =>
+          val members = ranked
+            .filter(col("hrank") <= graft.similarity.Ann.layerSize(nVec, lyr))
+            .select(col("vec_id"), col("label"), col("embedding"))
+          graft.operators.Checkpoints.eager(graft.similarity.Ann.symmetrize(
+            graft.similarity.Ann.knnGraph(
+              members, "vec_id", "embedding", "label", 8, 4)))._1
+        }
+        uppers.map(_.count()).sum
+      }
+      var hbeam: org.apache.spark.sql.DataFrame = null
+      timed("hnsw_serving_10q_b16_h5", nVec) {
+        hbeam = graft.similarity.Ann.hnswSearch(
+          uppers :+ symEdges, corpus, panel, "vec_id", "embedding",
+          topEntries = ranks.filter(col("hrank") <= 2)
+            .select(col("vec_id").as("bid")),
+          beamUpper = 2, hopsUpper = 2, beamWidth = 16, hops = 5, k = 5)
+        hbeam.count()
+      }
+      val exact = graft.similarity.Ann.bruteTopK(corpus, panel,
+        "vec_id", "embedding", 5)
+      val hits = hbeam.join(exact.select($"qid", $"bid"), Seq("qid", "bid"),
+        "left_semi").count()
+      val total = exact.count()
+      println(s"""{"probe":"hnsw_recall_at_5","hits":$hits,"total":$total,"recall":${hits.toDouble / total},"sf":"$sfDir"}""")
+    }
+    }
+
+    if (on("sample")) {
     // --- weighted sampling ------------------------------------------
     timed("weighted_sample_100", nDocs) {
       graft.operators.Sampling.weightedSample(
         docs.select($"doc_id", nTok.as("n_tokens")),
         "doc_id", "n_tokens", "ws1", 100).count()
     }
+    }
 
+    if (on("unigram")) {
     // --- unigram-LM tokenizer (t41's operator at corpus scale; the
     // DP unroll adapts to the corpus' max word length — the ×10
     // derivation suffixes tokens, growing words past the gate's 8) ---
@@ -167,6 +231,7 @@ object ExtensionProbe {
     timed(s"unigram_prune_f50_w$maxW", nDocs) {
       graft.text.UnigramLm.trainPruned(docs, "text", maxW, 4,
         pruneRounds = 1, pruneFrac = 0.5).count()
+    }
     }
 
     spark.stop()

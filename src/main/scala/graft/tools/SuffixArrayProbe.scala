@@ -11,11 +11,15 @@ import java.util.concurrent.atomic.AtomicLong
   * full rank distinctness) and `prefixGroups(32)` (5 fixed rounds)
   * over every document at the given scale.
   *
-  * Usage: runMain graft.tools.SuffixArrayProbe [sfDir]
+  * Usage: runMain graft.tools.SuffixArrayProbe [sfDir] [char|token|all]
+  * The group filter lets the ×100 rung run each tier in its own JVM
+  * (a shared JVM would measure shuffle-dir contention between tiers,
+  * and ×100 char legs are hour-scale while token legs are minutes).
   */
 object SuffixArrayProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val group = if (args.length > 1) args(1) else "all"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -47,6 +51,7 @@ object SuffixArrayProbe {
       println(f"""{"probe":"$tag","n_docs":$nDocs,"rows":$rows,"sec":$sec%.2f,"shuffle_write_mb":${write.get / 1e6}%.1f,"shuffle_read_mb":${read.get / 1e6}%.1f,"sf":"$sfDir"}""")
     }
 
+    if (group == "char" || group == "all") {
     timed("prefix_groups_32_full") {
       graft.text.SuffixArray.prefixGroups(docs, "doc_id", "text", 32)
         .filter(col("grp_size") > 1).count()
@@ -81,13 +86,14 @@ object SuffixArrayProbe {
       println(s"""{"detail":"span_removal","n_docs":${out.getLong(0)},"removed_cp":${out.getLong(1)}}""")
       out.getLong(0)
     }
+    }
 
+    if (group == "token" || group == "all") {
     // Round-15: TOKEN-SPACE end to end (sa6's full-corpus row —
     // tokenize → SA → LCP → cut duplicated ≥16-TOKEN spans, the shape
     // Lee et al. ship). The char-space legs' blocks are swept first:
     // holding both tiers' retained levels would thrash storage and
     // measure eviction, not the operators.
-    ix = null; lcp = null
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     docs.cache(); docs.count()
     var trows: org.apache.spark.sql.DataFrame = null
@@ -126,6 +132,7 @@ object SuffixArrayProbe {
         .agg(count(lit(1))).head().getLong(0)
       println(s"""{"detail":"token_span_removal","kept_tokens":$kept}""")
       kept
+    }
     }
     spark.stop()
   }

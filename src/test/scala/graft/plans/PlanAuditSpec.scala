@@ -86,6 +86,11 @@ class PlanAuditSpec extends SparkSpec {
     // its final plan is e21's class: checkpointed last beam joined
     // with the brute recall leg over the embeddings scan.
     "e21b_graph_serving" -> ((true, true, true, true)),
+    // Round-16: e22 descends the HNSW layer ladder — the final plan is
+    // e21's class (checkpointed last beam + brute recall leg over the
+    // embeddings scan); the layer builds live in the checkpointed
+    // upper-layer edge tables.
+    "e22_hnsw_search" -> ((true, true, true, true)),
     // Round-15 (extension): t40b serves the distilled model — two
     // narrow documents scans (the literal-lookup score fold + the
     // label projection) broadcast-joined on doc_id; training happened
@@ -107,7 +112,8 @@ class PlanAuditSpec extends SparkSpec {
       "t38_shard_deal_online", "sa3_lcp_adjacent",
       "sa4_exact_substring_dedup", "sa5_token_dup_census",
       "sa6_token_span_dedup", "t40b_distill_serve",
-      "e21_graph_beam_search", "e21b_graph_serving", "t41_unigram_encode")
+      "e21_graph_beam_search", "e21b_graph_serving", "e22_hnsw_search",
+      "t41_unigram_encode")
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {
