@@ -2389,7 +2389,9 @@ object SimQueries {
     * .beamSearchKnn]] being every tier's single serving function.
     */
   private def hopChain(
-      p: String, edges: String, hops: Int, beamWidth: Int, seedSql: String): String = {
+      p: String, edges: String, hops: Int, beamWidth: Int, seedSql: String,
+      selfFilter: Boolean = true): String = {
+    val guard = if (selfFilter) "\n  WHERE qid <> bid" else ""
     val c0 =
       s"""${p}c0 AS (
          |$seedSql)""".stripMargin
@@ -2416,8 +2418,7 @@ object SimQueries {
          |  SELECT DISTINCT qid, bid FROM (
          |    SELECT b.qid, e.dst AS bid FROM ${p}beam${i - 1} b JOIN $edges e ON e.src = b.bid
          |    UNION ALL
-         |    SELECT qid, bid FROM ${p}beam${i - 1})
-         |  WHERE qid <> bid),
+         |    SELECT qid, bid FROM ${p}beam${i - 1})$guard),
          |${rescore(i)}""".stripMargin
     }
     ((c0 + ",\n" + rescore(0)) +: hopsSql).mkString(",\n")
@@ -2463,16 +2464,16 @@ object SimQueries {
        |  FROM embeddings
        |)""".stripMargin
 
-  private val corpusGraphCtes: String =
+  private def corpusGraphCtes(src: String = "ev"): String =
     s"""cent AS (
-       |  SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i
+       |  SELECT label, i, AVG(v) AS c FROM $src GROUP BY label, i
        |),
        |qdots AS (
-       |  SELECT ev.vec_id AS qid, cent.label,
-       |         SUM(ev.v * cent.c) AS dot,
-       |         SUM(ev.v * ev.v) AS qq,
+       |  SELECT $src.vec_id AS qid, cent.label,
+       |         SUM($src.v * cent.c) AS dot,
+       |         SUM($src.v * $src.v) AS qq,
        |         SUM(cent.c * cent.c) AS cc
-       |  FROM ev JOIN cent ON ev.i = cent.i
+       |  FROM $src JOIN cent ON $src.i = cent.i
        |  GROUP BY qid, cent.label
        |),
        |probes AS (
@@ -2489,8 +2490,8 @@ object SimQueries {
        |         SUM(qv.v * qv.v) AS qq,
        |         SUM(b.v * b.v) AS bb
        |  FROM probes p
-       |  JOIN ev b ON b.label = p.label
-       |  JOIN ev qv ON qv.vec_id = p.qid AND qv.i = b.i
+       |  JOIN $src b ON b.label = p.label
+       |  JOIN $src qv ON qv.vec_id = p.qid AND qv.i = b.i
        |  WHERE b.vec_id <> p.qid
        |  GROUP BY p.qid, b.vec_id
        |),
@@ -2543,7 +2544,7 @@ object SimQueries {
 
   private def graphBeamOracleSql: String =
     s"""WITH $evCte,
-       |$corpusGraphCtes,
+       |${corpusGraphCtes()},
        |$panelCte,
        |${beamHopCtes(beamHops, beamWidthE21)},
        |${recallTail(s"beam$beamHops")}""".stripMargin
@@ -2658,19 +2659,26 @@ object SimQueries {
     * salted-md5-ranked vectors, [[graft.similarity.Ann.hnswRanks]] —
     * prefix ranks make layers nested, HNSW's invariant, with occupancy
     * guaranteed at every scale), a degree-8 kNN graph per upper layer,
-    * and a CONSTANT 2-entry start at the top: each layer's narrow walk
-    * (beam 2, 2 hops) hands per-query entries to the layer below,
-    * then the layer-0 walk is e21's (beam 16, 5 hops, degree-16 graph).
+    * and a CONSTANT 2-entry start at the top: each layer's walk
+    * (beam 16, 4 hops — the ef-style width, see the sweep note below)
+    * hands per-query entries to the layer below, then the layer-0 walk
+    * is e21's (beam 16, 5 hops, degree-16 graph).
     * Deterministic end-to-end, so the oracle replays ladder + all three
     * upper-layer graph builds + every walk as unrolled SQL; the recall
     * readout vs brute exact top-5 is priced into the hash. Layer count
     * is FIXED at 3 in the gate (a static oracle cannot unroll a
     * data-dependent layer count); the operator takes it as a parameter.
     */
+  // Upper-walk width/depth are ef-style knobs: the round-16 HnswSweep
+  // (PLANS.md) measured recall@5 at ×10 corpora of 0.36/0.66/0.78/1.00
+  // for beamUpper 2/4/8/16 — narrow upper beams strand the descent in
+  // local minima of the short-edge kNN graph exactly as an HNSW with
+  // efSearch≈2 would; 16 is the smallest swept width that recovers
+  // 1.00 (real HNSW deployments run efSearch 50–400).
   private val hnswLayers = 3
   private val hnswKUpper = 8
-  private val hnswBeamUpper = 2
-  private val hnswHopsUpper = 2
+  private val hnswBeamUpper = 16
+  private val hnswHopsUpper = 4
 
   private def layerEdgeCtes(lyr: Int): String = {
     val denom = math.pow(8.0, lyr.toDouble).toLong
@@ -2720,49 +2728,81 @@ object SimQueries {
   }
 
   private def hnswOracleSql: String = {
+    // The ladder indexes duplicate-class REPRESENTATIVES (min id per
+    // bitwise-distinct vector): exact clones are the one degeneracy no
+    // edge policy can route around (a kept clone at the query's own
+    // position tie-dominates every other candidate — HnswSpec pins it),
+    // so the graph tier dedups first, walks representatives with the
+    // self-exclusion OFF (a query that IS a representative must
+    // retrieve its own node), and expands clones at the end — exact,
+    // because clones share every cosine.
     val ladder =
-      s"""hs AS (
+      s"""repg AS MATERIALIZED (
+         |  SELECT embedding AS ek, MIN(vec_id) AS rep
+         |  FROM embeddings GROUP BY embedding),
+         |repm AS MATERIALIZED (
+         |  SELECT e.vec_id, r.rep
+         |  FROM embeddings e JOIN repg r ON e.embedding = r.ek),
+         |rev AS MATERIALIZED (
+         |  SELECT ev.vec_id, ev.label, ev.i, ev.v
+         |  FROM ev JOIN repg g ON ev.vec_id = g.rep),
+         |hs AS (
          |  SELECT vec_id,
          |         CAST(concat('0x', substr(md5(concat('hnsw:', CAST(vec_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
          |  FROM embeddings),
          |rk AS MATERIALIZED (
          |  SELECT e.vec_id, e.label,
          |         ROW_NUMBER() OVER (ORDER BY h.h, h.vec_id) AS r
-         |  FROM embeddings e JOIN hs h USING (vec_id)),
-         |cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+         |  FROM embeddings e
+         |  JOIN hs h USING (vec_id)
+         |  JOIN repg g ON e.vec_id = g.rep),
+         |cnt AS (SELECT COUNT(*) AS n FROM repg),
          |tent AS (SELECT vec_id AS bid FROM rk WHERE r <= 2)""".stripMargin
     val layers = (1 to hnswLayers).map(layerEdgeCtes).mkString(",\n")
     // Descent: top layer seeded by the global 2-entry start; each lower
     // layer seeded by the walk above (nested layers guarantee the seeds
-    // are members); layer 0 = e21's full-width walk.
+    // are members); layer 0 = e21's full-width walk over the rep graph.
     val topSeed =
       s"""  SELECT DISTINCT q.qid, t.bid
-         |  FROM (SELECT DISTINCT qid FROM q) q CROSS JOIN tent t
-         |  WHERE q.qid <> t.bid""".stripMargin
+         |  FROM (SELECT DISTINCT qid FROM q) q CROSS JOIN tent t""".stripMargin
     def downSeed(fromPrefix: String): String =
-      s"""  SELECT qid, bid FROM ${fromPrefix}beam$hnswHopsUpper
-         |  WHERE qid <> bid""".stripMargin
+      s"""  SELECT qid, bid FROM ${fromPrefix}beam$hnswHopsUpper""".stripMargin
     val descent = (hnswLayers to 1 by -1).map { lyr =>
       val seed = if (lyr == hnswLayers) topSeed else downSeed(s"u${lyr + 1}")
-      hopChain(s"u$lyr", s"sed$lyr", hnswHopsUpper, hnswBeamUpper, seed)
+      hopChain(s"u$lyr", s"sed$lyr", hnswHopsUpper, hnswBeamUpper, seed,
+        selfFilter = false)
     }.mkString(",\n")
+    val expansion =
+      s"""exp AS (
+         |  SELECT b.qid, m.vec_id AS bid, b.cosine
+         |  FROM beam$beamHops b JOIN repm m ON m.rep = b.bid
+         |  WHERE b.qid <> m.vec_id
+         |)""".stripMargin
     s"""WITH $evCte,
        |$ladder,
        |$layers,
-       |$corpusGraphCtes,
+       |${corpusGraphCtes("rev")},
        |$panelCte,
        |$descent,
-       |${hopChain("", "sedges", beamHops, beamWidthE21, downSeed("u1"))},
-       |${recallTail(s"beam$beamHops")}""".stripMargin
+       |${hopChain("", "sedges", beamHops, beamWidthE21, downSeed("u1"), selfFilter = false)},
+       |$expansion,
+       |${recallTail("exp")}""".stripMargin
   }
 
   val hnswSearchGate: Query = Query(
     "e22_hnsw_search", hnswOracleSql) { (spark, d) =>
     import spark.implicits._
     val emb = embeddings(spark, d).select($"vec_id", $"label", $"embedding")
-    val n = emb.count()
-    val ranks = graft.similarity.Ann.hnswRanks(emb, "vec_id")
-    val ranked = emb.join(ranks, "vec_id")
+    // Duplicate-class collapse first (see the oracle note): the ladder
+    // and every graph index REPRESENTATIVES; clones come back at the
+    // end through the exact expansion.
+    val repMap = graft.operators.Checkpoints.eager(
+      graft.similarity.Ann.representatives(emb, "vec_id", "embedding"))._1
+    val reps = emb.join(
+      repMap.where($"vec_id" === $"rep").select($"vec_id"), "vec_id")
+    val n = reps.count()
+    val ranks = graft.similarity.Ann.hnswRanks(reps, "vec_id")
+    val ranked = reps.join(ranks, "vec_id")
     // Upper-layer graphs are layer-sized (n/8^ℓ); each symmetrized edge
     // table is eagerly checkpointed so the hops consume a materialized
     // artifact (the presymmetrized contract), not a re-executed build.
@@ -2775,17 +2815,123 @@ object SimQueries {
           graft.similarity.Ann.knnGraph(
             members, "vec_id", "embedding", "label", k = hnswKUpper, nprobe = 4)))._1
     }
-    // Layer 0 = the battery-shared serving graph (e21's degree-16
-    // label graph, symmetrized at build time — e21b's artifact).
-    val edges0 = spark.read.parquet(s"${sharedServingGraph(spark, d)}/edges")
+    // Layer 0: e21's degree-16 label graph shape, over representatives.
+    val edges0 = graft.operators.Checkpoints.eager(
+      graft.similarity.Ann.symmetrize(
+        graft.similarity.Ann.knnGraph(
+          reps, "vec_id", "embedding", "label", k = 16, nprobe = 4)))._1
     val corpus = emb.select($"vec_id", $"embedding")
     val panel = corpus.filter($"vec_id" < 10)
     val topEntries = ranks.filter($"hrank" <= 2).select($"vec_id".as("bid"))
-    val beam = graft.similarity.Ann.hnswSearch(
-      uppers :+ edges0, corpus, panel, "vec_id", "embedding", topEntries,
+    val walk = graft.similarity.Ann.hnswSearch(
+      uppers :+ edges0, reps.select($"vec_id", $"embedding"), panel,
+      "vec_id", "embedding", topEntries,
       beamUpper = hnswBeamUpper, hopsUpper = hnswHopsUpper,
-      beamWidth = beamWidthE21, hops = beamHops, k = 5)
+      beamWidth = beamWidthE21, hops = beamHops, k = beamWidthE21,
+      excludeSelf = false)
+    val beam = graft.similarity.Ann.expandClones(walk, repMap, "vec_id", k = 5)
     beamWithRecall(spark, corpus, panel, beam)
+  }
+
+  /** e23 — HARD-NEGATIVE / TRIPLET MINING: the contrastive-training
+    * data artifact (anchor, positive, hard negatives, margin). For each
+    * panel query: the exact nearest SAME-label vector (the positive,
+    * bucket-sized work via [[graft.similarity.Ann.bucketedTopK]]) and
+    * the top-5 nearest OTHER-label vectors drawn from the 2 nearest
+    * foreign coarse lists ([[graft.similarity.Ann.hardNegatives]] —
+    * the "near but wrong class" candidates an embedding model trains
+    * against), with `margin = pos_cosine − neg_cosine` (negative
+    * margin = a violating triplet, the rows a trainer upweights).
+    * Scale shape: broadcast centroids, probe set restricted to foreign
+    * lists, candidates nprobe × (corpus/lists) per query, positive leg
+    * bucket-sized — never corpus × corpus. Deterministic end-to-end,
+    * oracle replays both legs + the margin in SQL.
+    */
+  val tripletMining = Query(
+    "e23_hard_negatives",
+    """WITH ev AS MATERIALIZED (
+      |  SELECT vec_id, label,
+      |         generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |),
+      |cent AS (
+      |  SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i
+      |),
+      |q AS (SELECT * FROM ev WHERE vec_id < 10),
+      |qdots AS (
+      |  SELECT q.vec_id AS qid, cent.label,
+      |         SUM(q.v * cent.c) AS dot,
+      |         SUM(q.v * q.v) AS qq,
+      |         SUM(cent.c * cent.c) AS cc
+      |  FROM q JOIN cent ON q.i = cent.i AND q.label <> cent.label
+      |  GROUP BY qid, cent.label
+      |),
+      |probes AS (
+      |  SELECT qid, label FROM (
+      |    SELECT qid, label,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+      |    FROM qdots)
+      |  WHERE pr <= 2
+      |),
+      |nbd AS (
+      |  SELECT p.qid, b.vec_id AS bid, b.label AS neg_label,
+      |         SUM(qv.v * b.v) AS dot,
+      |         SUM(qv.v * qv.v) AS qq,
+      |         SUM(b.v * b.v) AS bb
+      |  FROM probes p
+      |  JOIN ev b ON b.label = p.label
+      |  JOIN q qv ON qv.vec_id = p.qid AND qv.i = b.i
+      |  WHERE b.vec_id <> p.qid
+      |  GROUP BY p.qid, b.vec_id, b.label
+      |),
+      |neg AS (
+      |  SELECT qid, bid, neg_label,
+      |         round(dot / (sqrt(qq) * sqrt(bb)), 6) AS neg_cosine,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank
+      |  FROM nbd
+      |),
+      |pdots AS (
+      |  SELECT q.vec_id AS qid, b.vec_id AS bid,
+      |         SUM(q.v * b.v) AS dot,
+      |         SUM(q.v * q.v) AS qq,
+      |         SUM(b.v * b.v) AS bb
+      |  FROM q
+      |  JOIN ev b ON b.i = q.i AND b.label = q.label
+      |  WHERE b.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, b.vec_id
+      |),
+      |pos AS (
+      |  SELECT qid, bid AS pos_bid, cosine AS pos_cosine FROM (
+      |    SELECT qid, bid,
+      |           round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS r
+      |    FROM pdots)
+      |  WHERE r = 1
+      |)
+      |SELECT n.qid, CAST(n.rank AS BIGINT) AS rank, n.bid, n.neg_label,
+      |       n.neg_cosine, p.pos_bid, p.pos_cosine,
+      |       round(p.pos_cosine - n.neg_cosine, 6) AS margin
+      |FROM neg n JOIN pos p USING (qid)
+      |WHERE n.rank <= 5
+      |ORDER BY n.qid, n.rank""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val emb = embeddings(spark, d).select($"vec_id", $"label", $"embedding")
+    val panel = emb.filter($"vec_id" < 10)
+    val neg = graft.similarity.Ann.hardNegatives(
+      emb, panel, "vec_id", "embedding", "label", k = 5, nprobe = 2)
+    val pos = graft.similarity.Ann.bucketedTopK(
+      emb, panel, "vec_id", "embedding", "label", k = 1)
+      .select($"qid", $"bid".as("pos_bid"), $"cosine".as("pos_cosine"))
+    neg.join(pos, "qid")
+      .select($"qid", $"rank".cast("long").as("rank"), $"bid",
+        $"neg_list".as("neg_label"), $"cosine".as("neg_cosine"),
+        $"pos_bid", $"pos_cosine",
+        round($"pos_cosine" - $"cosine", 6).as("margin"))
+      .orderBy($"qid", $"rank")
   }
 
   /** Battery-shared kNN-graph edge tables: m11b/m11c's operator under
@@ -2864,5 +3010,5 @@ object SimQueries {
     residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
     knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing, ivfRebalanceK, rebalanceProbe,
     knnComponentsLearned, knnComponentsRebalanced, semanticDecontam,
-    graphBeamSearch, graphServing, hnswSearchGate)
+    graphBeamSearch, graphServing, hnswSearchGate, tripletMining)
 }

@@ -68,6 +68,51 @@ object Ann {
       k)
   }
 
+  /** HARD-NEGATIVE MINING (contrastive-training data): for each query,
+    * the top-k nearest vectors whose coarse list DIFFERS from the
+    * query's own — the "near but wrong-class" candidates an embedding
+    * model trains against. Same coarse-quantizer discipline as
+    * [[ivfTopK]], with the probe set restricted to OTHER lists: each
+    * query probes its `nprobe` nearest foreign centroids and ranks
+    * candidates only from those lists, so per-query cost stays
+    * nprobe × (corpus / lists) — never the corpus — and the broadcast
+    * centroid table is the only global object. Deterministic (6-dp
+    * cosine, id tiebreaks), so the chain is oracle-replayable.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, listCol, vecCol)
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col(listCol))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(listCol).as("__qlist"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .filter(col(listCol) =!= col("__qlist"))
+      .select(
+        col("qid"), col("qv"), col(listCol),
+        round(cosine(col("qv"), col("centroid")), 6).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col(listCol))
+    val b = corpus.select(col(idCol).as("bid"), col(listCol), col(vecCol).as("bv"))
+    val ranked = rank(
+      probes.join(b, listCol)
+        .filter(col("qid") =!= col("bid"))
+        .select(col("qid"), col("bid"),
+          round(cosine(col("qv"), col("bv")), 6).as("cosine")),
+      k)
+    // re-attach the negative's list: the training artifact records
+    // which foreign class the near-miss came from
+    ranked.join(b.select(col("bid"), col(listCol).as("neg_list")), "bid")
+      .select(col("qid"), col("rank"), col("bid"), col("neg_list"), col("cosine"))
+  }
+
   /** Int8 scalar quantization: per-vector symmetric scale
     * (127 / max|v|), elements rounded via floor(x·s + 0.5) — the same
     * formula every engine evaluates identically, so quantized vectors
@@ -467,7 +512,8 @@ object Ann {
       hops: Int,
       k: Int,
       presymmetrized: Boolean = false,
-      entryPairs: DataFrame = null): DataFrame = {
+      entryPairs: DataFrame = null,
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val base = corpus.select(col(idCol).as("bid"), col(vecCol).as("bv"))
     val fwd = graph.select(col("qid").as("__src"), col("bid").as("__dst"))
@@ -509,17 +555,21 @@ object Ann {
     // corpus grows, where the flat 2-per-list set grows with the list
     // count — the measured reason the layered tier exists (PLANS.md
     // round-16 ×100 rows).
+    // `excludeSelf = false` is the REPRESENTATIVE-walk mode (e22): when
+    // the graph indexes duplicate-class representatives, a query that
+    // IS a representative must still retrieve its own node — its clones
+    // are served from it by [[expandClones]], which applies the
+    // self-exclusion at member level instead.
+    def noSelf(df: DataFrame): DataFrame =
+      if (excludeSelf) df.where(col("qid") =!= col("bid")) else df
     val seed0 =
-      if (entryPairs != null)
-        entryPairs.select(col("qid"), col("bid"))
-          .where(col("qid") =!= col("bid"))
-      else q.select(col("qid")).crossJoin(broadcast(entries.toDF("bid")))
-        .where(col("qid") =!= col("bid"))
+      if (entryPairs != null) noSelf(entryPairs.select(col("qid"), col("bid")))
+      else noSelf(q.select(col("qid")).crossJoin(broadcast(entries.toDF("bid"))))
     var (beam, tok) = graft.operators.Checkpoints.eager(rescore(seed0))
     for (_ <- 1 to hops) {
-      val cand = edges.join(broadcast(beam), beam("bid") === col("__src"))
-        .select(col("qid"), col("__dst").as("bid"))
-        .where(col("qid") =!= col("bid"))
+      val cand = noSelf(
+        edges.join(broadcast(beam), beam("bid") === col("__src"))
+          .select(col("qid"), col("__dst").as("bid")))
         .unionByName(beam.select(col("qid"), col("bid")))
         .distinct()
       val (ck, t) = graft.operators.Checkpoints.eager(rescore(cand))
@@ -534,6 +584,115 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("bid"), col("cosine"))
   }
+
+  /** One node's candidate row for [[selectDiverse]]: candidates arrive
+    * rank-ordered (6-dp cosine desc, id asc) with their vectors.
+    */
+  private[similarity] case class DiverseCand(
+      rank: Long, bid: Long, cosine: Double, bv: Seq[Float])
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def cos6(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; aa += x * x; bb += y * y; i += 1
+    }
+    round6(dot / (math.sqrt(aa) * math.sqrt(bb)))
+  }
+
+  /** HNSW's select-neighbors heuristic (Malkov & Yashunin, Alg. 4) as
+    * a deterministic per-node fold: walk the candidates in rank order
+    * and KEEP one only if it is strictly closer to the node than to
+    * every already-kept neighbour (on the 6-dp rounded cosine, so both
+    * engines compare identical values; ties are dominated → dropped),
+    * stopping at `keep`. A plain top-k graph on a corpus with repeated
+    * or tightly-clustered vectors spends ALL its edges inside the
+    * cluster (clone-cliques) and the graph stops being navigable — the
+    * round-16 sweep measured the layer descent capping at 0.50–0.60
+    * recall at ×100 corpora (100 exact clones per position) where the
+    * diversified build restores it. Bounded local work: each node's
+    * selection sees ≤ kCand candidates (collect_list of kCand small
+    * structs — never corpus-scale), all pair cosines computed inside
+    * the fold; the only shuffle is the candidate generation itself.
+    */
+  def selectDiverse(
+      candidates: DataFrame, idCol: String, keep: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(struct(
+        col("rank").cast("long").as("rank"), col("bid"),
+        col("cosine"), col("bv")))).as("cands"))
+      .as[(Long, Seq[DiverseCand])]
+      .flatMap { case (qid, cands) =>
+        val kept = scala.collection.mutable.ArrayBuffer[DiverseCand]()
+        cands.iterator.takeWhile(_ => kept.size < keep).foreach { c =>
+          val q6 = round6(c.cosine)
+          if (kept.forall(s => cos6(c.bv, s.bv) < q6)) kept += c
+        }
+        kept.zipWithIndex.map { case (c, i) =>
+          (qid, (i + 1).toLong, c.bid, c.cosine)
+        }
+      }
+      .toDF("qid", "rank", "bid", "cosine")
+  }
+
+  /** kNN graph with HNSW-diversified edges: generate `kCand` IVF
+    * candidates per node ([[ivfTopK]] with queries = corpus), then
+    * [[selectDiverse]] keeps ≤ `keep` of them. `kCand` must exceed the
+    * corpus' worst clone/cluster multiplicity or the candidate pool is
+    * all clones before diversity can act (the ×100 probe runs
+    * kCand = 64 against ~100-clone positions and measures the recall
+    * it buys).
+    */
+  def knnGraphDiverse(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      kCand: Int,
+      keep: Int,
+      nprobe: Int): DataFrame = {
+    val cand = ivfTopK(corpus, corpus.select(col(idCol), col(vecCol)),
+      idCol, vecCol, listCol, kCand, nprobe)
+    selectDiverse(
+      cand.join(
+        corpus.select(col(idCol).as("bid"), col(vecCol).as("bv")), "bid"),
+      idCol, keep)
+  }
+
+  /** Exact-duplicate collapse before graph indexing: every vector maps
+    * to its REPRESENTATIVE — the min id among bitwise-equal vectors.
+    * Exact clones are the one degeneracy neither plain top-k edges nor
+    * HNSW's select-neighbors can route around (a kept clone sits AT the
+    * query's position, so every other candidate ties and is dominated —
+    * spec-pinned in `HnswSpec`); production vector stores dedup first
+    * for the same reason. The graph indexes representatives only;
+    * [[expandClones]] restores the clones at serving, EXACTLY (clones
+    * share every cosine, so the expanded re-rank reproduces the
+    * full-corpus brute ranking). One shuffle keyed by the vector.
+    */
+  def representatives(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(
+      col(idCol),
+      min(col(idCol)).over(Window.partitionBy(col(vecCol))).as("rep"))
+
+  /** Serve-time clone expansion: replace each retrieved representative
+    * by ALL members of its duplicate class (cosine carried over — the
+    * vectors are bitwise equal), drop the query itself, re-rank top-k
+    * by (cosine desc, id). Frontier-sized join against the id→rep map.
+    */
+  def expandClones(beam: DataFrame, repMap: DataFrame, idCol: String, k: Int): DataFrame =
+    rank(
+      beam.select(col("qid"), col("bid"), col("cosine"))
+        .join(repMap.select(col("rep").as("bid"), col(idCol).as("__member")), "bid")
+        .select(col("qid"), col("__member").as("bid"), col("cosine"))
+        .where(col("qid") =!= col("bid")),
+      k).withColumn("rank", col("rank").cast("long"))
 
   /** HNSW-style nested layer ladder: rank every vector by a salted md5
     * hash (id tiebreak) via the two-pass [[graft.operators.GlobalRank]]
@@ -598,7 +757,8 @@ object Ann {
       hopsUpper: Int,
       beamWidth: Int,
       hops: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     require(layerEdges.nonEmpty, "need at least the layer-0 edge table")
     var pairs: DataFrame = null
     layerEdges.dropRight(1).foreach { upper =>
@@ -606,14 +766,14 @@ object Ann {
         upper, corpus, queries, idCol, vecCol,
         entries = if (pairs == null) topEntries else null,
         beamWidth = beamUpper, hops = hopsUpper, k = beamUpper,
-        presymmetrized = true, entryPairs = pairs)
+        presymmetrized = true, entryPairs = pairs, excludeSelf = excludeSelf)
         .select(col("qid"), col("bid"))
     }
     beamSearchKnn(
       layerEdges.last, corpus, queries, idCol, vecCol,
       entries = if (pairs == null) topEntries else null,
       beamWidth = beamWidth, hops = hops, k = k,
-      presymmetrized = true, entryPairs = pairs)
+      presymmetrized = true, entryPairs = pairs, excludeSelf = excludeSelf)
   }
 
   /** Assign each vector to its nearest centroid (by cosine) — the other

@@ -163,29 +163,46 @@ object ExtensionProbe {
           symEdges, corpus, panel, "vec_id", "embedding", flatEntries,
           16, 5, 5, presymmetrized = true).count()
       }
+      // The e22 gate shape: dedup to duplicate-class representatives
+      // (the exact-clone navigability fix — HnswSweep rows), ladder +
+      // graphs over reps, self-exclusion-off walk, exact expansion.
+      var repMap: org.apache.spark.sql.DataFrame = null
+      var reps: org.apache.spark.sql.DataFrame = null
       var ranks: org.apache.spark.sql.DataFrame = null
       var uppers: Seq[org.apache.spark.sql.DataFrame] = null
+      var edges0: org.apache.spark.sql.DataFrame = null
       timed("hnsw_ladder_build_l3", nVec) {
+        repMap = graft.operators.Checkpoints.eager(
+          graft.similarity.Ann.representatives(emb, "vec_id", "embedding"))._1
+        reps = emb.join(
+          repMap.where(col("vec_id") === col("rep")).select("vec_id"), "vec_id")
+        val nR = reps.count()
         ranks = graft.operators.Checkpoints.eager(
-          graft.similarity.Ann.hnswRanks(emb, "vec_id"))._1
-        val ranked = emb.join(ranks, "vec_id")
+          graft.similarity.Ann.hnswRanks(reps, "vec_id"))._1
+        val ranked = reps.join(ranks, "vec_id")
         uppers = (3 to 1 by -1).map { lyr =>
           val members = ranked
-            .filter(col("hrank") <= graft.similarity.Ann.layerSize(nVec, lyr))
+            .filter(col("hrank") <= graft.similarity.Ann.layerSize(nR, lyr))
             .select(col("vec_id"), col("label"), col("embedding"))
           graft.operators.Checkpoints.eager(graft.similarity.Ann.symmetrize(
             graft.similarity.Ann.knnGraph(
               members, "vec_id", "embedding", "label", 8, 4)))._1
         }
-        uppers.map(_.count()).sum
+        edges0 = graft.operators.Checkpoints.eager(
+          graft.similarity.Ann.symmetrize(graft.similarity.Ann.knnGraph(
+            reps, "vec_id", "embedding", "label", 16, 4)))._1
+        uppers.map(_.count()).sum + edges0.count()
       }
       var hbeam: org.apache.spark.sql.DataFrame = null
       timed("hnsw_serving_10q_b16_h5", nVec) {
-        hbeam = graft.similarity.Ann.hnswSearch(
-          uppers :+ symEdges, corpus, panel, "vec_id", "embedding",
+        val walk = graft.similarity.Ann.hnswSearch(
+          uppers :+ edges0, reps.select(col("vec_id"), col("embedding")),
+          panel, "vec_id", "embedding",
           topEntries = ranks.filter(col("hrank") <= 2)
             .select(col("vec_id").as("bid")),
-          beamUpper = 2, hopsUpper = 2, beamWidth = 16, hops = 5, k = 5)
+          beamUpper = 16, hopsUpper = 4, beamWidth = 16, hops = 5, k = 16,
+          excludeSelf = false)
+        hbeam = graft.similarity.Ann.expandClones(walk, repMap, "vec_id", 5)
         hbeam.count()
       }
       val exact = graft.similarity.Ann.bruteTopK(corpus, panel,

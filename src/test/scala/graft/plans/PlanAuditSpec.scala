@@ -91,6 +91,10 @@ class PlanAuditSpec extends SparkSpec {
     // embeddings scan); the layer builds live in the checkpointed
     // upper-layer edge tables.
     "e22_hnsw_search" -> ((true, true, true, true)),
+    // Round-16: e23 mines contrastive triplets — broadcast centroids,
+    // foreign-list probes, bucket-sized positive leg; final plan joins
+    // the two panel-sized legs over the embeddings scan.
+    "e23_hard_negatives" -> ((true, true, true, true)),
     // Round-15 (extension): t40b serves the distilled model — two
     // narrow documents scans (the literal-lookup score fold + the
     // label projection) broadcast-joined on doc_id; training happened

@@ -143,12 +143,128 @@ class HnswSpec extends SparkSpec {
     assert(run(corpus) == run(corpus.repartition(7)))
   }
 
-  test("sf0.1 recall floor: layered top-5 hits >= 90% of the exact top-5") {
+  test("selectDiverse keeps opposite-side neighbours, drops dominated ones") {
+    // q at 0°; candidates: +10° (kept — nearest), −10° (kept — closer
+    // to q than to the +10° neighbour), +15° (dropped — closer to the
+    // kept +10° than to q), an exact clone of +10° (dropped — distance
+    // 0 to a kept neighbour). Hand-checked: cos20°=0.9397 < cos10°=
+    // 0.9848 keeps −10°; cos5°=0.9962 > cos15°=0.9659 drops +15°.
+    def v(deg: Double) = {
+      val th = math.toRadians(deg)
+      Seq(math.cos(th).toFloat, math.sin(th).toFloat)
+    }
+    def c(rank: Long, bid: Long, deg: Double) =
+      (7L, rank, bid, BigDecimal(math.cos(math.toRadians(deg)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, v(deg))
+    val cands = Seq(
+      c(1L, 101L, 10.0), c(2L, 102L, -10.0), c(3L, 103L, 15.0),
+      c(4L, 104L, 10.0))
+      .toDF("qid", "rank", "bid", "cosine", "bv")
+    val kept = Ann.selectDiverse(cands, "vec_id", keep = 8)
+      .orderBy($"rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("bid"))).toSeq
+    assert(kept == Seq((1L, 101L), (2L, 102L)))
+    // the keep cap stops the walk early
+    val one = Ann.selectDiverse(cands, "vec_id", keep = 1)
+      .collect().map(_.getAs[Long]("bid")).toSeq
+    assert(one == Seq(101L))
+  }
+
+  test("knnGraphDiverse escapes near-clone cliques a top-k graph locks into") {
+    // 4 clusters at 0°/90°/180°/270°, each 6 members jittered +0.3°
+    // steps. A plain top-5 graph spends node 0's every edge inside its
+    // cluster; the diversified build keeps the nearest mate and a
+    // cross-cluster edge. Hand-checked: node 0's kept set is exactly
+    // {bid 1 (0.3°), bid 35 (271.5° — cos(b35,q)=0.026177 beats
+    // cos(b35,b1)=0.020942, the only candidate not dominated)}.
+    val corpus = (for {
+      p <- 0 until 4
+      cl <- 0 until 6
+    } yield {
+      val th = math.toRadians(90.0 * p + 0.3 * cl)
+      ((p * 10 + cl).toLong, (p % 2).toLong,
+        Seq(math.cos(th).toFloat, math.sin(th).toFloat))
+    }).toDF("vec_id", "label", "embedding")
+    val plain = Ann.knnGraph(corpus, "vec_id", "embedding", "label",
+      k = 5, nprobe = 2)
+    val plainDst = plain.filter($"qid" === 0L).collect()
+      .map(_.getAs[Long]("bid")).toSet
+    assert(plainDst == Set(1L, 2L, 3L, 4L, 5L),
+      s"plain top-5 should be the cluster mates: $plainDst")
+    val div = Ann.knnGraphDiverse(corpus, "vec_id", "embedding", "label",
+      kCand = 23, keep = 5, nprobe = 2)
+    val divDst = div.filter($"qid" === 0L).orderBy($"rank").collect()
+      .map(_.getAs[Long]("bid")).toSeq
+    assert(divDst == Seq(1L, 35L),
+      s"expected the nearest mate + the one undominated cross-cluster edge: $divDst")
+  }
+
+  test("EXACT clones cap the diverse degree at 1 — the representative layer's reason") {
+    // With exact duplicates, the first kept clone sits AT the query's
+    // position, so every other candidate ties (cos to the kept clone =
+    // cos to the query) and is dominated — select-neighbors cannot fix
+    // exact duplication; dedup-to-representatives before indexing can.
+    val corpus = (for {
+      p <- 0 until 3
+      cl <- 0 until 4
+    } yield {
+      val th = math.toRadians(30.0 * p)
+      ((p * 10 + cl).toLong, 0L,
+        Seq(math.cos(th).toFloat, math.sin(th).toFloat))
+    }).toDF("vec_id", "label", "embedding")
+    val div = Ann.knnGraphDiverse(corpus, "vec_id", "embedding", "label",
+      kCand = 11, keep = 5, nprobe = 1)
+    val divDst = div.filter($"qid" === 0L).collect()
+      .map(_.getAs[Long]("bid")).toSeq
+    assert(divDst == Seq(1L), s"exact clones should cap degree at 1: $divDst")
+  }
+
+  test("clone expansion reproduces the full-corpus brute top-k exactly") {
+    // 5 positions × 4 exact clones. Rep walk (self-exclusion OFF) over
+    // the deduped graph + expansion must equal bruteTopK over the FULL
+    // corpus for every query — including a query that IS a
+    // representative (its own clones must come back) and one that is
+    // not (its rep must come back).
+    val corpus = (for {
+      p <- 0 until 5
+      cl <- 0 until 4
+    } yield {
+      val th = math.toRadians(15.0 * p)
+      ((p * 10 + cl).toLong, (p % 2).toLong,
+        Seq(math.cos(th).toFloat, math.sin(th).toFloat))
+    }).toDF("vec_id", "label", "embedding")
+    val repMap = Ann.representatives(corpus, "vec_id", "embedding")
+    val reps = corpus.join(
+      repMap.where($"vec_id" === $"rep").select($"vec_id"), "vec_id")
+    assert(reps.count() == 5L)
+    val edges0 = Ann.symmetrize(
+      Ann.knnGraph(reps, "vec_id", "embedding", "label", k = 4, nprobe = 2))
+    val panel = corpus.filter($"vec_id".isin(0L, 21L))   // a rep and a clone
+      .select($"vec_id", $"embedding")
+    val walk = Ann.beamSearchKnn(
+      edges0, reps.select($"vec_id", $"embedding"), panel,
+      "vec_id", "embedding", entries = Seq(40L).toDF("bid"),
+      beamWidth = 8, hops = 5, k = 8,
+      presymmetrized = true, excludeSelf = false)
+    val got = Ann.expandClones(walk, repMap, "vec_id", k = 6)
+      .orderBy($"qid", $"rank")
+      .select($"qid", $"bid", $"cosine").collect().toSeq
+    val want = Ann.bruteTopK(corpus.select($"vec_id", $"embedding"), panel,
+      "vec_id", "embedding", k = 6)
+      .orderBy($"qid", $"rank")
+      .select($"qid", $"bid", $"cosine").collect().toSeq
+    assert(got == want)
+  }
+
+  test("sf0.1 recall floor: rep-layered top-5 hits >= 90% of the exact top-5") {
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       .select($"vec_id", $"label", $"embedding")
-    val n = emb.count()
-    val ranks = Ann.hnswRanks(emb, "vec_id")
-    val ranked = emb.join(ranks, "vec_id")
+    val repMap = Ann.representatives(emb, "vec_id", "embedding")
+    val reps = emb.join(
+      repMap.where($"vec_id" === $"rep").select($"vec_id"), "vec_id")
+    val n = reps.count()
+    val ranks = Ann.hnswRanks(reps, "vec_id")
+    val ranked = reps.join(ranks, "vec_id")
     val uppers = (3 to 1 by -1).map { lyr =>
       val members = ranked.filter($"hrank" <= Ann.layerSize(n, lyr))
         .select($"vec_id", $"label", $"embedding")
@@ -156,13 +272,16 @@ class HnswSpec extends SparkSpec {
         Ann.knnGraph(members, "vec_id", "embedding", "label", k = 8, nprobe = 4)))._1
     }
     val edges0 = Ann.symmetrize(
-      Ann.knnGraph(emb, "vec_id", "embedding", "label", k = 16, nprobe = 4))
+      Ann.knnGraph(reps, "vec_id", "embedding", "label", k = 16, nprobe = 4))
     val corpus = emb.select($"vec_id", $"embedding")
     val panel = corpus.filter($"vec_id" < 10)
-    val beam = Ann.hnswSearch(
-      uppers :+ edges0, corpus, panel, "vec_id", "embedding",
+    val walk = Ann.hnswSearch(
+      uppers :+ edges0, reps.select($"vec_id", $"embedding"), panel,
+      "vec_id", "embedding",
       topEntries = ranks.filter($"hrank" <= 2).select($"vec_id".as("bid")),
-      beamUpper = 2, hopsUpper = 2, beamWidth = 16, hops = 5, k = 5)
+      beamUpper = 16, hopsUpper = 4, beamWidth = 16, hops = 5, k = 16,
+      excludeSelf = false)
+    val beam = Ann.expandClones(walk, repMap, "vec_id", k = 5)
     val exact = Ann.bruteTopK(corpus, panel, "vec_id", "embedding", k = 5)
     val hits = beam.join(exact.select($"qid", $"bid"), Seq("qid", "bid"), "left_semi")
       .count()
