@@ -88,12 +88,19 @@ object SuffixArrayProbe {
     }
     }
 
-    if (group == "token" || group == "all") {
+    if (group == "token" || group == "all" || group == "token-build") {
     // Round-15: TOKEN-SPACE end to end (sa6's full-corpus row —
     // tokenize → SA → LCP → cut duplicated ≥16-TOKEN spans, the shape
     // Lee et al. ship). The char-space legs' blocks are swept first:
     // holding both tiers' retained levels would thrash storage and
     // measure eviction, not the operators.
+    // `token-build` is the ×100 rung's disk-bounded variant: the full
+    // chain retains ~10 DISK_ONLY level snapshots (each |positions|
+    // rows) for the LCP descent — at 156 M positions that plus the LCP
+    // shuffle exceeds this container's ~94 GB scratch (measured: the
+    // round-16 ×100 attempt died on No-space mid-build). The build
+    // without retained levels fits; at cluster scale the levels are
+    // per-round lake writes, not executor-local scratch (the r15 note).
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     docs.cache(); docs.count()
     var trows: org.apache.spark.sql.DataFrame = null
@@ -109,6 +116,15 @@ object SuffixArrayProbe {
         tr.join(dict, Seq("tok")).select(col("doc_id"), col("pos"), col("code")))
       trows = ck
       n
+    }
+    if (group == "token-build") {
+      timed("token_sa_build_no_levels") {
+        graft.text.SuffixArray.buildIndexFromRows(
+          docs.select(col("doc_id")), trows, "doc_id", sepCode = 0L,
+          retainLevels = false).total
+      }
+      spark.stop()
+      return
     }
     var tix: graft.text.SuffixArray.Index = null
     timed("token_sa_build_with_levels") {
