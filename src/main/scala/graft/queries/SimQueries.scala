@@ -2379,6 +2379,11 @@ object SimQueries {
     */
   private val beamHops = 5
   private val beamWidthE21 = 16
+  // Coarse-probe width of the full-corpus (layer-0) graph build —
+  // interpolated into BOTH the oracle CTEs (`corpusGraphCtes`) and the
+  // Spark `knnGraph` calls of e21/e21b/e22, so the knob cannot drift
+  // between the two sides and silently hash-diverge a gate.
+  private val graphNprobe = 4
 
   /** One unrolled beam-walk CTE chain: seed (`<p>c0`) → rescore →
     * keep-beam (`<p>beam0`) → `hops` rounds of expand-over-`edges` →
@@ -2482,7 +2487,7 @@ object SimQueries {
        |           ROW_NUMBER() OVER (PARTITION BY qid
        |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
        |    FROM qdots)
-       |  WHERE pr <= 4
+       |  WHERE pr <= $graphNprobe
        |),
        |bdots AS (
        |  SELECT p.qid, b.vec_id AS bid,
@@ -2573,7 +2578,7 @@ object SimQueries {
     import spark.implicits._
     val emb = embeddings(spark, d).select($"vec_id", $"label", $"embedding")
     val g = graft.similarity.Ann
-      .knnGraph(emb, "vec_id", "embedding", "label", k = 16, nprobe = 4)
+      .knnGraph(emb, "vec_id", "embedding", "label", k = 16, nprobe = graphNprobe)
     val corpus = emb.select($"vec_id", $"embedding")
     val panel = corpus.filter($"vec_id" < 10)
     val beam = graft.similarity.Ann.beamSearchKnn(
@@ -2614,7 +2619,7 @@ object SimQueries {
         val emb = embeddings(spark, d)
           .select(col("vec_id"), col("label"), col("embedding"))
         val g = graft.similarity.Ann
-          .knnGraph(emb, "vec_id", "embedding", "label", k = 16, nprobe = 4)
+          .knnGraph(emb, "vec_id", "embedding", "label", k = 16, nprobe = graphNprobe)
         val dir = graft.TempDirs.create("graft-servinggraph-")
           .toFile.getAbsolutePath
         graft.similarity.Ann.symmetrize(g)
@@ -2679,9 +2684,15 @@ object SimQueries {
   private val hnswKUpper = 8
   private val hnswBeamUpper = 16
   private val hnswHopsUpper = 4
+  // Ladder knobs shared between the oracle CTEs and the Spark calls
+  // (probe width of each upper-layer graph build; layer shrink factor):
+  // a single definition each, so retuning one side cannot silently
+  // hash-diverge the gate.
+  private[queries] val hnswNprobe = 4
+  private[queries] val hnswFanout = 8L
 
   private def layerEdgeCtes(lyr: Int): String = {
-    val denom = math.pow(8.0, lyr.toDouble).toLong
+    val denom = math.pow(hnswFanout.toDouble, lyr.toDouble).toLong
     s"""l$lyr AS MATERIALIZED (
        |  SELECT rk.vec_id, rk.label FROM rk, cnt
        |  WHERE rk.r <= GREATEST(2, CAST(ceil(cnt.n / $denom.0) AS BIGINT))),
@@ -2702,7 +2713,7 @@ object SimQueries {
        |           ROW_NUMBER() OVER (PARTITION BY qid
        |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
        |    FROM qd$lyr)
-       |  WHERE pr <= 4),
+       |  WHERE pr <= $hnswNprobe),
        |bd$lyr AS (
        |  SELECT p.qid, b.vec_id AS bid,
        |         SUM(qv.v * b.v) AS dot,
@@ -2808,24 +2819,113 @@ object SimQueries {
     // artifact (the presymmetrized contract), not a re-executed build.
     val uppers = (hnswLayers to 1 by -1).map { lyr =>
       val members = ranked
-        .filter($"hrank" <= graft.similarity.Ann.layerSize(n, lyr))
+        .filter($"hrank" <= graft.similarity.Ann.layerSize(n, lyr, hnswFanout))
         .select($"vec_id", $"label", $"embedding")
       graft.operators.Checkpoints.eager(
         graft.similarity.Ann.symmetrize(
           graft.similarity.Ann.knnGraph(
-            members, "vec_id", "embedding", "label", k = hnswKUpper, nprobe = 4)))._1
+            members, "vec_id", "embedding", "label", k = hnswKUpper, nprobe = hnswNprobe)))._1
     }
     // Layer 0: e21's degree-16 label graph shape, over representatives.
     val edges0 = graft.operators.Checkpoints.eager(
       graft.similarity.Ann.symmetrize(
         graft.similarity.Ann.knnGraph(
-          reps, "vec_id", "embedding", "label", k = 16, nprobe = 4)))._1
+          reps, "vec_id", "embedding", "label", k = 16, nprobe = graphNprobe)))._1
     val corpus = emb.select($"vec_id", $"embedding")
     val panel = corpus.filter($"vec_id" < 10)
     val topEntries = ranks.filter($"hrank" <= 2).select($"vec_id".as("bid"))
     val walk = graft.similarity.Ann.hnswSearch(
       uppers :+ edges0, reps.select($"vec_id", $"embedding"), panel,
       "vec_id", "embedding", topEntries,
+      beamUpper = hnswBeamUpper, hopsUpper = hnswHopsUpper,
+      beamWidth = beamWidthE21, hops = beamHops, k = beamWidthE21,
+      excludeSelf = false)
+    val beam = graft.similarity.Ann.expandClones(walk, repMap, "vec_id", k = 5)
+    beamWithRecall(spark, corpus, panel, beam)
+  }
+
+  /** Battery-shared HIERARCHICAL SERVING INDEX (e22b's prebuilt
+    * artifact): the complete rep-ladder a graph-ANN server stores —
+    * duplicate-class map, representative corpus, the symmetrized edge
+    * table of EVERY ladder layer, and the global top entries — built
+    * once per corpus and persisted as parquet tables. This is the
+    * e17/e21b discipline applied to the hierarchical tier: the r16
+    * serving leg re-derived the representative corpus (window over the
+    * vector) and the ladder per walk — a join plan, not a stored index
+    * — which shuffled 1.1 GB per query batch at ×100. Here every
+    * derivation happens exactly once, at build time, and serving
+    * consumes stored tables only.
+    */
+  private val hnswIndexMemo = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def sharedHnswIndex(
+      spark: org.apache.spark.sql.SparkSession, d: String): String =
+    hnswIndexMemo.getOrElseUpdate(
+      s"$d|${graft.operators.Bucketing.suffix(spark, d)}", {
+        val emb = embeddings(spark, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val dir = graft.TempDirs.create("graft-hnswindex-")
+          .toFile.getAbsolutePath
+        val repMap = graft.operators.Checkpoints.eager(
+          graft.similarity.Ann.representatives(emb, "vec_id", "embedding"))._1
+        repMap.write.mode("overwrite").parquet(s"$dir/repmap")
+        emb.join(repMap.where(col("vec_id") === col("rep"))
+          .select(col("vec_id")), "vec_id")
+          .write.mode("overwrite").parquet(s"$dir/reps")
+        val reps = spark.read.parquet(s"$dir/reps")
+        val n = reps.count()
+        val ranks = graft.similarity.Ann.hnswRanks(reps, "vec_id")
+        val ranked = reps.join(ranks, "vec_id")
+        (hnswLayers to 1 by -1).foreach { lyr =>
+          val members = ranked
+            .filter(col("hrank") <= graft.similarity.Ann.layerSize(n, lyr, hnswFanout))
+            .select(col("vec_id"), col("label"), col("embedding"))
+          graft.similarity.Ann.symmetrize(
+            graft.similarity.Ann.knnGraph(
+              members, "vec_id", "embedding", "label",
+              k = hnswKUpper, nprobe = hnswNprobe))
+            .write.mode("overwrite").parquet(s"$dir/layers/l$lyr")
+        }
+        graft.similarity.Ann.symmetrize(
+          graft.similarity.Ann.knnGraph(
+            reps, "vec_id", "embedding", "label", k = 16, nprobe = graphNprobe))
+          .write.mode("overwrite").parquet(s"$dir/edges0")
+        ranks.filter(col("hrank") <= 2).select(col("vec_id").as("bid"))
+          .write.mode("overwrite").parquet(s"$dir/entries")
+        dir
+      })
+
+  /** e22b — hierarchical ANN SERVING from the prebuilt rep-ladder
+    * index: identical semantics (and the identical oracle SQL) to e22,
+    * but the gate prices only what a server pays per query batch — the
+    * layer descent + layer-0 walk over STORED symmetrized edge tables
+    * (`presymmetrized` at every layer: zero corpus-sized shuffle per
+    * hop), clone expansion against the STORED duplicate-class map, and
+    * the exact-recall readout. Nothing representative-, ladder- or
+    * graph-shaped is derived here: the four table families are read
+    * back as written by [[sharedHnswIndex]]. e22 keeps pinning the
+    * build chain; e22b pins that serving alone reproduces it
+    * bit-for-bit from the persisted artifact — the build/serve split
+    * the r16 verdict asked for (its measured gap: 11.7 s in-gate build
+    * vs ~2 s serving at sf0.1, and 1.1 GB of per-walk re-derivation
+    * shuffle at ×100 that the artifact eliminates).
+    */
+  val hnswServing: Query = Query(
+    "e22b_hnsw_serving", hnswOracleSql) { (spark, d) =>
+    import spark.implicits._
+    val idx = sharedHnswIndex(spark, d)
+    val repMap = spark.read.parquet(s"$idx/repmap")
+    val repsCorpus = spark.read.parquet(s"$idx/reps")
+      .select($"vec_id", $"embedding")
+    val uppers = (hnswLayers to 1 by -1)
+      .map(lyr => spark.read.parquet(s"$idx/layers/l$lyr"))
+    val edges0 = spark.read.parquet(s"$idx/edges0")
+    val entries = spark.read.parquet(s"$idx/entries")
+    val corpus = embeddings(spark, d).select($"vec_id", $"embedding")
+    val panel = corpus.filter($"vec_id" < 10)
+    val walk = graft.similarity.Ann.hnswSearch(
+      uppers :+ edges0, repsCorpus, panel,
+      "vec_id", "embedding", entries,
       beamUpper = hnswBeamUpper, hopsUpper = hnswHopsUpper,
       beamWidth = beamWidthE21, hops = beamHops, k = beamWidthE21,
       excludeSelf = false)
@@ -3000,7 +3100,8 @@ object SimQueries {
       guarded("rebalance-servable")(sharedRebalanceServable(spark, d)._1.count()),
       guarded("graph-learned")(sharedGraph(spark, d, "learned").count()),
       guarded("graph-rebalanced")(sharedGraph(spark, d, "rebalanced").count()),
-      guarded("serving-graph")(sharedServingGraph(spark, d)))),
+      guarded("serving-graph")(sharedServingGraph(spark, d)),
+      guarded("hnsw-index")(sharedHnswIndex(spark, d)))),
       30.minutes)
   }
 
@@ -3010,5 +3111,5 @@ object SimQueries {
     residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
     knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing, ivfRebalanceK, rebalanceProbe,
     knnComponentsLearned, knnComponentsRebalanced, semanticDecontam,
-    graphBeamSearch, graphServing, hnswSearchGate, tripletMining)
+    graphBeamSearch, graphServing, hnswSearchGate, hnswServing, tripletMining)
 }

@@ -514,6 +514,9 @@ object Ann {
       presymmetrized: Boolean = false,
       entryPairs: DataFrame = null,
       excludeSelf: Boolean = true): DataFrame = {
+    require((entries != null) ^ (entryPairs != null),
+      "beamSearchKnn: pass exactly one of entries (global start set) / " +
+        "entryPairs (per-query seeds)")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val base = corpus.select(col(idCol).as("bid"), col(vecCol).as("bv"))
     val fwd = graph.select(col("qid").as("__src"), col("bid").as("__dst"))
@@ -618,14 +621,13 @@ object Ann {
     * structs — never corpus-scale), all pair cosines computed inside
     * the fold; the only shuffle is the candidate generation itself.
     */
-  def selectDiverse(
-      candidates: DataFrame, idCol: String, keep: Int): DataFrame = {
+  def selectDiverse(candidates: DataFrame, keep: Int): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
     candidates
-      .groupBy(col("qid"))
+      .groupBy(col("qid").cast("long").as("qid"))
       .agg(sort_array(collect_list(struct(
-        col("rank").cast("long").as("rank"), col("bid"),
+        col("rank").cast("long").as("rank"), col("bid").cast("long").as("bid"),
         col("cosine"), col("bv")))).as("cands"))
       .as[(Long, Seq[DiverseCand])]
       .flatMap { case (qid, cands) =>
@@ -662,7 +664,7 @@ object Ann {
     selectDiverse(
       cand.join(
         corpus.select(col(idCol).as("bid"), col(vecCol).as("bv")), "bid"),
-      idCol, keep)
+      keep)
   }
 
   /** Exact-duplicate collapse before graph indexing: every vector maps
@@ -674,12 +676,21 @@ object Ann {
     * for the same reason. The graph indexes representatives only;
     * [[expandClones]] restores the clones at serving, EXACTLY (clones
     * share every cosine, so the expanded re-rank reproduces the
-    * full-corpus brute ranking). One shuffle keyed by the vector.
+    * full-corpus brute ranking). One shuffle — keyed by a 128-bit md5
+    * of the vector's canonical rendering rather than the raw array: at
+    * production dims the full embedding as sort/exchange key is ~an
+    * order of magnitude more bytes through the shuffle than the digest.
+    * Canonicalization matches Spark's own grouping semantics for
+    * floats: `+ 0.0f` folds −0.0 onto 0.0 (IEEE) the way Spark
+    * normalizes grouping keys, and every NaN renders as "NaN".
     */
-  def representatives(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def representatives(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vkey = md5(concat_ws(",",
+      transform(col(vecCol), x => (x + lit(0.0f)).cast("string"))))
     corpus.select(
       col(idCol),
-      min(col(idCol)).over(Window.partitionBy(col(vecCol))).as("rep"))
+      min(col(idCol)).over(Window.partitionBy(vkey)).as("rep"))
+  }
 
   /** Serve-time clone expansion: replace each retrieved representative
     * by ALL members of its duplicate class (cosine carried over — the
@@ -692,7 +703,7 @@ object Ann {
         .join(repMap.select(col("rep").as("bid"), col(idCol).as("__member")), "bid")
         .select(col("qid"), col("__member").as("bid"), col("cosine"))
         .where(col("qid") =!= col("bid")),
-      k).withColumn("rank", col("rank").cast("long"))
+      k)
 
   /** HNSW-style nested layer ladder: rank every vector by a salted md5
     * hash (id tiebreak) via the two-pass [[graft.operators.GlobalRank]]

@@ -211,6 +211,41 @@ object ExtensionProbe {
         "left_semi").count()
       val total = exact.count()
       println(s"""{"probe":"hnsw_recall_at_5","hits":$hits,"total":$total,"recall":${hits.toDouble / total},"sf":"$sfDir"}""")
+
+      // PREBUILT-ARTIFACT serving (the e22b path): persist the whole
+      // rep ladder — repmap, rep corpus, per-layer symmetrized edges,
+      // entries — as parquet (billed as the index build), then time
+      // serving purely from the stored tables. The r16 serving leg
+      // above re-derives reps/ladder per walk (a join plan, not an
+      // index — 1.1 GB shuffled at ×100); this row is the same walk
+      // with that re-derivation gone.
+      val idxDir = graft.TempDirs.create("graft-probe-hnswidx-")
+        .toFile.getAbsolutePath
+      timed("hnsw_index_persist_l3", nVec) {
+        repMap.write.mode("overwrite").parquet(s"$idxDir/repmap")
+        reps.write.mode("overwrite").parquet(s"$idxDir/reps")
+        uppers.zip(3 to 1 by -1).foreach { case (u, lyr) =>
+          u.write.mode("overwrite").parquet(s"$idxDir/layers/l$lyr")
+        }
+        edges0.write.mode("overwrite").parquet(s"$idxDir/edges0")
+        ranks.filter(col("hrank") <= 2).select(col("vec_id").as("bid"))
+          .write.mode("overwrite").parquet(s"$idxDir/entries")
+        nVec
+      }
+      timed("hnsw_serving_prebuilt_10q", nVec) {
+        val sRepMap = spark.read.parquet(s"$idxDir/repmap")
+        val sReps = spark.read.parquet(s"$idxDir/reps")
+          .select(col("vec_id"), col("embedding"))
+        val sUppers = (3 to 1 by -1)
+          .map(l => spark.read.parquet(s"$idxDir/layers/l$l"))
+        val sEdges0 = spark.read.parquet(s"$idxDir/edges0")
+        val sEntries = spark.read.parquet(s"$idxDir/entries")
+        val walk = graft.similarity.Ann.hnswSearch(
+          sUppers :+ sEdges0, sReps, panel, "vec_id", "embedding", sEntries,
+          beamUpper = 16, hopsUpper = 4, beamWidth = 16, hops = 5, k = 16,
+          excludeSelf = false)
+        graft.similarity.Ann.expandClones(walk, sRepMap, "vec_id", 5).count()
+      }
     }
     }
 

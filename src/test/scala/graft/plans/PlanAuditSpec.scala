@@ -91,6 +91,12 @@ class PlanAuditSpec extends SparkSpec {
     // embeddings scan); the layer builds live in the checkpointed
     // upper-layer edge tables.
     "e22_hnsw_search" -> ((true, true, true, true)),
+    // Round-17: e22b serves the rep ladder from the PREBUILT parquet
+    // artifact (repmap/reps/layer edges/entries read back as written —
+    // nothing rep- or ladder-shaped derived in the query path); final
+    // plan is e21b's class: checkpointed last beam + clone expansion +
+    // brute recall leg over the embeddings scan.
+    "e22b_hnsw_serving" -> ((true, true, true, true)),
     // Round-16: e23 mines contrastive triplets — broadcast centroids,
     // foreign-list probes, bucket-sized positive leg; final plan joins
     // the two panel-sized legs over the embeddings scan.
@@ -117,7 +123,7 @@ class PlanAuditSpec extends SparkSpec {
       "sa4_exact_substring_dedup", "sa5_token_dup_census",
       "sa6_token_span_dedup", "t40b_distill_serve",
       "e21_graph_beam_search", "e21b_graph_serving", "e22_hnsw_search",
-      "t41_unigram_encode")
+      "e22b_hnsw_serving", "t41_unigram_encode")
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {

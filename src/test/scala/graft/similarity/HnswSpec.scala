@@ -160,12 +160,12 @@ class HnswSpec extends SparkSpec {
       c(1L, 101L, 10.0), c(2L, 102L, -10.0), c(3L, 103L, 15.0),
       c(4L, 104L, 10.0))
       .toDF("qid", "rank", "bid", "cosine", "bv")
-    val kept = Ann.selectDiverse(cands, "vec_id", keep = 8)
+    val kept = Ann.selectDiverse(cands, keep = 8)
       .orderBy($"rank").collect()
       .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("bid"))).toSeq
     assert(kept == Seq((1L, 101L), (2L, 102L)))
     // the keep cap stops the walk early
-    val one = Ann.selectDiverse(cands, "vec_id", keep = 1)
+    val one = Ann.selectDiverse(cands, keep = 1)
       .collect().map(_.getAs[Long]("bid")).toSeq
     assert(one == Seq(101L))
   }
