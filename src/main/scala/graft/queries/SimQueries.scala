@@ -2933,6 +2933,209 @@ object SimQueries {
     beamWithRecall(spark, corpus, panel, beam)
   }
 
+  /** e24 — DIVERSIFIED (select-neighbors) GRAPH over a near-clone
+    * corpus: the gate for [[graft.similarity.Ann.knnGraphDiverse]]
+    * (HNSW's Algorithm-4 edge heuristic), which shipped spec-only in
+    * round 16. The corpus is DERIVED from `embeddings`
+    * deterministically ([[derivedFanCorpusSql]] / the Spark twin in
+    * [[derivedFanCorpus]]): each base vector is mixed with its label's
+    * anchor (`m = 0.5·a + 0.5·v` — labels become genuine clusters, the
+    * navigation gradient the raw table lacks) and expanded to 8 fan
+    * clones `m + (j/32)·rot1(m)` — tight jittered classes where a
+    * plain top-k graph spends EVERY edge inside the 8-clone clique
+    * (measured recall@5 0.00 on the 100-query panel — the cliques
+    * disconnect the graph) while select-neighbors keeps one in-class
+    * edge and spends the rest cross-class (recall 0.896 at the same
+    * serve cost; DiverseProbe is the A/B). All derivation arithmetic
+    * is IEEE double with one final cast to float, the expression tree
+    * mirrored exactly in SQL, so both engines index the identical
+    * corpus. The oracle replays candidate generation, the greedy
+    * selection fold UNROLLED (step r keeps candidate rank r iff kept
+    * count < keep and no kept neighbour is as close to it as the
+    * query — `NOT EXISTS` over the pair-cosine table), symmetrization,
+    * the 6-hop beam walk, and the exact-recall readout, all as static
+    * SQL. Panel: 100 mid-range originals (away from the entry ids), so
+    * recall measures navigation — 500 hit slots, the r16 verdict's
+    * statistical-resolution discipline applied from birth.
+    */
+  private val divKCand = 24
+  private val divKeep = 6
+  private val divNprobe = 2
+  private val divBeam = 24
+  private val divHops = 6
+
+  /** Spark side of the derived fan corpus (vec_id, label, embedding —
+    * 8·min(bases,250) rows). Kept in lockstep with
+    * [[derivedFanCorpusSql]]; [[graft.tools.DiverseProbe]] A/Bs both
+    * graph arms over the same derivation.
+    */
+  private[graft] def derivedFanCorpus(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = emb.where(col("vec_id") < 250)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("vec_id"))
+    val anchors = base
+      .withColumn("__r", row_number().over(aw)).filter(col("__r") === 1)
+      .select(col("label"), col("embedding").as("__anc"))
+    def mixAt(idx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(0.5) * element_at(col("__anc"), idx).cast("double") +
+        lit(0.5) * element_at(col("embedding"), idx).cast("double")
+    base.join(broadcast(anchors), "label")
+      .withColumn("j", explode(sequence(lit(0), lit(7))))
+      .select(
+        (col("vec_id") * 8 + col("j")).as("vec_id"),
+        col("label"),
+        transform(col("embedding"), (x, i) =>
+          (mixAt(i + 1) +
+            (col("j").cast("double") / lit(32.0)) * mixAt((i + 1) % 64 + 1))
+            .cast("float")).as("embedding"))
+  }
+
+  /** The derived corpus as exploded SQL — CTE `ev(vec_id, label, i, v)`
+    * — mirroring [[derivedFanCorpus]]'s expression tree operation for
+    * operation (same association order, double throughout, one cast to
+    * REAL) so the values are bit-identical.
+    */
+  private def derivedFanCorpusSql: String =
+    s"""anc AS (
+       |  SELECT label, vec_id AS aid FROM (
+       |    SELECT label, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS r
+       |    FROM embeddings WHERE vec_id < 250)
+       |  WHERE r = 1),
+       |dbase AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |         generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS vf
+       |  FROM embeddings WHERE vec_id < 250),
+       |mix AS MATERIALIZED (
+       |  SELECT b.vec_id, b.label, b.i,
+       |         CAST(0.5 AS DOUBLE) * ab.vf + CAST(0.5 AS DOUBLE) * b.vf AS m
+       |  FROM dbase b
+       |  JOIN anc a ON a.label = b.label
+       |  JOIN dbase ab ON ab.vec_id = a.aid AND ab.i = b.i),
+       |ev AS MATERIALIZED (
+       |  SELECT m.vec_id * 8 + j.j AS vec_id, m.label, m.i,
+       |         CAST(CAST(m.m + (CAST(j.j AS DOUBLE) / CAST(32.0 AS DOUBLE)) * s.m AS REAL) AS DOUBLE) AS v
+       |  FROM mix m
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+       |  JOIN mix s ON s.vec_id = m.vec_id AND s.i = (m.i % 64) + 1)""".stripMargin
+
+  /** Candidate generation + the UNROLLED greedy select-neighbors fold:
+    * `dcand` is the IVF top-`divKCand` (with the 6-dp cosine carried),
+    * `dpc` the pair cosines a domination check can touch (each
+    * candidate vs every EARLIER-ranked candidate of the same query),
+    * and `dk1..dkN` the fold — step r appends candidate rank r iff the
+    * kept set is under `divKeep` and no kept neighbour has
+    * `pcos >= cosine` (the strict "closer to the node than to every
+    * kept neighbour" rule of [[graft.similarity.Ann.selectDiverse]]).
+    */
+  private def diverseSelectionSql: String = {
+    val steps = (2 to divKCand).map { r =>
+      s"""dk$r AS MATERIALIZED (
+         |  SELECT qid, bid, cosine FROM dk${r - 1}
+         |  UNION ALL
+         |  SELECT c.qid, c.bid, c.cosine FROM dcand c
+         |  WHERE c.rank = $r
+         |    AND (SELECT COUNT(*) FROM dk${r - 1} p WHERE p.qid = c.qid) < $divKeep
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM dk${r - 1} p JOIN dpc ON dpc.ab = c.bid AND dpc.bb = p.bid
+         |      WHERE p.qid = c.qid AND dpc.pcos >= c.cosine))""".stripMargin
+    }.mkString(",\n")
+    s"""dcent AS (SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i),
+       |dqd AS (
+       |  SELECT ev.vec_id AS qid, dcent.label,
+       |         SUM(ev.v * dcent.c) AS dot,
+       |         SUM(ev.v * ev.v) AS qq,
+       |         SUM(dcent.c * dcent.c) AS cc
+       |  FROM ev JOIN dcent ON ev.i = dcent.i
+       |  GROUP BY qid, dcent.label),
+       |dprobes AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, label) AS pr
+       |    FROM dqd)
+       |  WHERE pr <= $divNprobe),
+       |dbd AS (
+       |  SELECT p.qid, b.vec_id AS bid,
+       |         SUM(qv.v * b.v) AS dot,
+       |         SUM(qv.v * qv.v) AS qq,
+       |         SUM(b.v * b.v) AS bb
+       |  FROM dprobes p
+       |  JOIN ev b ON b.label = p.label
+       |  JOIN ev qv ON qv.vec_id = p.qid AND qv.i = b.i
+       |  WHERE b.vec_id <> p.qid
+       |  GROUP BY p.qid, b.vec_id),
+       |dcand AS MATERIALIZED (
+       |  SELECT qid, bid, rank, cosine FROM (
+       |    SELECT qid, bid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY round(dot / (sqrt(qq) * sqrt(bb)), 6) DESC, bid) AS rank,
+       |           round(dot / (sqrt(qq) * sqrt(bb)), 6) AS cosine
+       |    FROM dbd)
+       |  WHERE rank <= $divKCand),
+       |dpair AS (SELECT DISTINCT a.bid AS ab, b.bid AS bb
+       |  FROM dcand a JOIN dcand b ON a.qid = b.qid AND b.rank < a.rank),
+       |dpc AS MATERIALIZED (
+       |  SELECT p.ab, p.bb,
+       |         round(SUM(x.v * y.v) / (sqrt(SUM(x.v * x.v)) * sqrt(SUM(y.v * y.v))), 6) AS pcos
+       |  FROM dpair p
+       |  JOIN ev x ON x.vec_id = p.ab
+       |  JOIN ev y ON y.vec_id = p.bb AND y.i = x.i
+       |  GROUP BY p.ab, p.bb),
+       |dk1 AS (SELECT qid, bid, cosine FROM dcand WHERE rank = 1),
+       |$steps,
+       |dsedges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT qid AS src, bid AS dst FROM dk$divKCand
+       |    UNION ALL
+       |    SELECT bid AS src, qid AS dst FROM dk$divKCand))""".stripMargin
+  }
+
+  private def diverseGraphOracleSql: String = {
+    val ent =
+      s"""ent AS (SELECT vec_id AS bid FROM (
+         |  SELECT vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY label ORDER BY vec_id) AS r
+         |  FROM (SELECT DISTINCT vec_id, label FROM ev))
+         |  WHERE r <= 2)""".stripMargin
+    val panel =
+      s"""q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, i, v FROM ev
+         |  WHERE vec_id % 8 = 0 AND vec_id >= 800 AND vec_id < 1600)""".stripMargin
+    val seed =
+      s"""  SELECT DISTINCT q.qid, ent.bid
+         |  FROM (SELECT DISTINCT qid FROM q) q CROSS JOIN ent
+         |  WHERE q.qid <> ent.bid""".stripMargin
+    s"""WITH $derivedFanCorpusSql,
+       |$diverseSelectionSql,
+       |$panel,
+       |$ent,
+       |${hopChain("", "dsedges", divHops, divBeam, seed)},
+       |${recallTail(s"beam$divHops")}""".stripMargin
+  }
+
+  val diverseGraph: Query = Query(
+    "e24_diverse_graph", diverseGraphOracleSql) { (spark, d) =>
+    import spark.implicits._
+    val der = graft.operators.Checkpoints.eager(
+      derivedFanCorpus(embeddings(spark, d)))._1
+    val g = graft.similarity.Ann.knnGraphDiverse(
+      der, "vec_id", "embedding", "label",
+      kCand = divKCand, keep = divKeep, nprobe = divNprobe)
+    val sym = graft.operators.Checkpoints.eager(
+      graft.similarity.Ann.symmetrize(g.select($"qid", $"bid")))._1
+    val corpus = der.select($"vec_id", $"embedding")
+    val panel = corpus.filter(
+      $"vec_id" % 8 === 0 && $"vec_id" >= 800 && $"vec_id" < 1600)
+    val beam = graft.similarity.Ann.beamSearchKnn(
+      sym, corpus, panel, "vec_id", "embedding", entriesPerList(der, 2),
+      beamWidth = divBeam, hops = divHops, k = 5, presymmetrized = true)
+    beamWithRecall(spark, corpus, panel, beam)
+  }
+
   /** e23 — HARD-NEGATIVE / TRIPLET MINING: the contrastive-training
     * data artifact (anchor, positive, hard negatives, margin). For each
     * panel query: the exact nearest SAME-label vector (the positive,
@@ -3111,5 +3314,6 @@ object SimQueries {
     residualIvfPq, residualRecall, packedIndex, indexLifecycle, knnGraphGate,
     knnGraphLearnedGate, knnGraphRebalancedGate, ivfRebalance, rebalanceServing, ivfRebalanceK, rebalanceProbe,
     knnComponentsLearned, knnComponentsRebalanced, semanticDecontam,
-    graphBeamSearch, graphServing, hnswSearchGate, hnswServing, tripletMining)
+    graphBeamSearch, graphServing, hnswSearchGate, hnswServing, tripletMining,
+    diverseGraph)
 }

@@ -97,6 +97,13 @@ class PlanAuditSpec extends SparkSpec {
     // plan is e21b's class: checkpointed last beam + clone expansion +
     // brute recall leg over the embeddings scan.
     "e22b_hnsw_serving" -> ((true, true, true, true)),
+    // Round-17: e24 serves the select-neighbors-diversified graph over
+    // the DERIVED fan corpus — the corpus is an eagerly checkpointed
+    // derivation (not a parquet scan), so like the other recall
+    // harnesses the scan flags live inside the checkpointed build and
+    // the final plan reads checkpoint blocks (broadcast = the panel
+    // joins; codegen live).
+    "e24_diverse_graph" -> ((false, false, true, true)),
     // Round-16: e23 mines contrastive triplets — broadcast centroids,
     // foreign-list probes, bucket-sized positive leg; final plan joins
     // the two panel-sized legs over the embeddings scan.
@@ -123,7 +130,7 @@ class PlanAuditSpec extends SparkSpec {
       "sa4_exact_substring_dedup", "sa5_token_dup_census",
       "sa6_token_span_dedup", "t40b_distill_serve",
       "e21_graph_beam_search", "e21b_graph_serving", "e22_hnsw_search",
-      "e22b_hnsw_serving", "t41_unigram_encode")
+      "e22b_hnsw_serving", "e24_diverse_graph", "t41_unigram_encode")
 
   expected.foreach { case (name, (pushdown, pruning, broadcast, codegen)) =>
     test(s"$name keeps its plan flags (and no CartesianProduct)") {
