@@ -684,13 +684,19 @@ object Ann {
     * floats: `+ 0.0f` folds −0.0 onto 0.0 (IEEE) the way Spark
     * normalizes grouping keys, and every NaN renders as "NaN".
     */
-  def representatives(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val vkey = md5(concat_ws(",",
-      transform(col(vecCol), x => (x + lit(0.0f)).cast("string"))))
+  /** 128-bit canonical digest of a float-vector column — the
+    * duplicate-class key [[representatives]] shuffles on and the
+    * admission-time clone lookup ([[graft.streaming.HnswIndexStream]])
+    * probes with. `+ 0.0f` folds −0.0 onto 0.0 (IEEE) the way Spark
+    * normalizes grouping keys; every NaN renders as "NaN".
+    */
+  def vectorKey(vec: Column): Column =
+    md5(concat_ws(",", transform(vec, x => (x + lit(0.0f)).cast("string"))))
+
+  def representatives(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
     corpus.select(
       col(idCol),
-      min(col(idCol)).over(Window.partitionBy(vkey)).as("rep"))
-  }
+      min(col(idCol)).over(Window.partitionBy(vectorKey(col(vecCol)))).as("rep"))
 
   /** Serve-time clone expansion: replace each retrieved representative
     * by ALL members of its duplicate class (cosine carried over — the
@@ -721,15 +727,21 @@ object Ann {
     * partition — the same cost class as the t37 shard layout the
     * pipeline already pays; everything downstream is layer-sized.
     */
-  def hnswRanks(corpus: DataFrame, idCol: String, salt: String = "hnsw"): DataFrame = {
-    val h = conv(
-      substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 7),
+  /** The ladder's salted id hash (first 7 md5 hex chars as a long) —
+    * shared by [[hnswRanks]] and the streaming twin's arrival LEVEL
+    * assignment, so an arrival's level under the frozen thresholds is
+    * exactly the level a rebuild's rank would give it.
+    */
+  def hnswHash(id: Column, salt: String = "hnsw"): Column =
+    conv(
+      substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 7),
       16, 10).cast("long")
+
+  def hnswRanks(corpus: DataFrame, idCol: String, salt: String = "hnsw"): DataFrame =
     graft.operators.GlobalRank.withGlobalRank(
-      corpus.select(col(idCol), h.as("__h")), "hrank", 32,
+      corpus.select(col(idCol), hnswHash(col(idCol), salt).as("__h")), "hrank", 32,
       col("__h"), col(idCol))
       .select(col(idCol), col("hrank"))
-  }
 
   /** Members of layer `layer` (≥ 1): `max(2, ceil(n / fanout^layer))`. */
   def layerSize(n: Long, layer: Int, fanout: Long = 8L): Long = {
