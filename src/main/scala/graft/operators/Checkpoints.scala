@@ -37,8 +37,9 @@ object Checkpoints {
     * the token that frees its blocks.
     */
   def eager(df: DataFrame, diskOnly: Boolean = false,
-            keepPartitioning: Boolean = false): (DataFrame, Token) = {
-    val (ck, token, _) = eagerCounted(df, diskOnly, keepPartitioning)
+            keepPartitioning: Boolean = false,
+            serialized: Boolean = false): (DataFrame, Token) = {
+    val (ck, token, _) = eagerCounted(df, diskOnly, keepPartitioning, serialized)
     (ck, token)
   }
 
@@ -53,7 +54,8 @@ object Checkpoints {
     */
   def eagerCounted(df: DataFrame,
                    diskOnly: Boolean = false,
-                   keepPartitioning: Boolean = false): (DataFrame, Token, Long) = {
+                   keepPartitioning: Boolean = false,
+                   serialized: Boolean = false): (DataFrame, Token, Long) = {
     val sc = df.sparkSession.sparkContext
     // NOT Dataset.localCheckpoint: since SPARK-39748 that carries the
     // original plan's STATISTICS onto the checkpoint, and iterated
@@ -62,7 +64,7 @@ object Checkpoints {
     // measured ~80 s/round of pure driver `BigInteger.multiply`. The
     // shim checkpoints with fresh leaf stats (see its scaladoc).
     val (ck, rddId) = org.apache.spark.sql.GraftCheckpointShim
-      .localCheckpointFreshStatsTracked(df, diskOnly, keepPartitioning)
+      .localCheckpointFreshStatsTracked(df, diskOnly, keepPartitioning, serialized)
     val n = ck.count()
     (ck, new Token(Seq(rddId), sc), n)
   }

@@ -91,6 +91,20 @@ object SuffixArray {
   private def parts(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** SCALE-DERIVED build parallelism (the ×100 lesson): the doubling
+    * joins hold O(positions / partitions) rows per task, so a corpus
+    * that outgrows the session's shuffle width must widen the build's
+    * shuffles rather than demand a bigger heap — the round-16 ×100 run
+    * OOM'd the default 24 g heap at 32 partitions (~5 M positions per
+    * task) and was "fixed" with a 96 g knob; the cluster-faithful fix
+    * is ~1 M positions per partition, derived from the measured
+    * position count. Identity below 32 M positions (gate scales keep
+    * their exact plans); capped at 2048 (beyond that, per-partition
+    * constant overheads dominate on any plausible executor count).
+    */
+  private[text] def derivedBuildParts(sessionParts: Int, total: Long): Int =
+    math.max(sessionParts, math.min(2048L, total / 1000000L).toInt)
+
   /** `(doc_id, pos, code)` — 1-based CODEPOINT positions (never UTF-16
     * units: surrogate pairs are one position, matching DuckDB / SQL
     * `length`/`substr` semantics).
@@ -178,15 +192,22 @@ object SuffixArray {
     * corpus).
     */
   private def doubling(addr: DataFrame, total: Long, maxM: Long,
-                       maxRounds: Int, retainLevels: Boolean)
+                       maxRounds: Int, retainLevels: Boolean,
+                       levelStore: Option[String] = None)
       : (DataFrame, Seq[(Long, DataFrame)]) = {
+    val spark = addr.sparkSession
+    val bp = derivedBuildParts(parts(addr), total)
+    // scaleUp: explicit join-key repartitions at the derived width —
+    // a no-op (and not planned) at gate scales, where bp == session
+    // width and the plans must stay byte-identical.
+    val scaleUp = bp > parts(addr)
     val (init, nActive0) = initialRanks(addr)
     // ONE checkpointed full frame per round — the lookup side and every
     // retained level stay single compact scans (a union-of-parts view
     // re-read K frames per join and measurably drowned the freezing
     // win); the freezing savings live in the PAIR/rank relations, which
     // carry only the live residue.
-    var (full, tokF) = Checkpoints.eager(init)
+    var (full, tokF) = Checkpoints.eager(init, serialized = scaleUp)
     var nActive = nActive0
     val levels = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)]()
     // Retained levels are SEPARATE DISK_ONLY snapshots of (gid, rank):
@@ -196,11 +217,25 @@ object SuffixArray {
     // (sharing the hot frames evict-thrashed it: measured 4× the bare
     // build at ×10 corpora; at 100 TB these snapshots are the lake
     // writes a real run pays per round anyway).
+    // Two level-retention modes: block-manager DISK_ONLY snapshots
+    // (local dev default — zero files, swept with the JVM) or LAKE
+    // PARQUET generations under `levelStore` (the at-scale mode: the
+    // ×100 with-levels build died on No-space because ~12 uncompressed
+    // block-manager snapshots of 156 M (gid, rank) rows exceeded the
+    // ~94 GB executor scratch — as columnar parquet the same levels
+    // delta-compress to a few GB, live on the data disk a real cluster
+    // writes per round anyway, and each level is individually
+    // droppable once the LCP descent passes it).
     def snapLevel(m: Long): Unit =
-      if (retainLevels) {
-        val (lv, _) = Checkpoints.eager(
-          full.select(col("gid"), col("rank")), diskOnly = true)
-        levels += ((m, lv))
+      if (retainLevels) levelStore match {
+        case Some(dir) =>
+          full.select(col("gid"), col("rank"))
+            .write.mode("overwrite").parquet(s"$dir/level=$m")
+          levels += ((m, spark.read.parquet(s"$dir/level=$m")))
+        case None =>
+          val (lv, _) = Checkpoints.eager(
+            full.select(col("gid"), col("rank")), diskOnly = true)
+          levels += ((m, lv))
       }
     snapLevel(1L)
     var m = 1L
@@ -208,13 +243,23 @@ object SuffixArray {
     while (nActive > 0 && m < maxM && rounds < maxRounds) {
       val step = m
       val np = rankParts(addr, nActive)
+      // At derived widths, pre-partition both join sides on their join
+      // keys so the lookup join and the join-back run at bp partitions
+      // (~1 M rows/task) instead of the session width (5 M rows/task
+      // OOM'd the ×100 default heap).
+      val liveSide =
+        if (scaleUp) full.filter(col("live")).repartition(bp, col("gid") + step)
+        else full.filter(col("live"))
+      val lookSide =
+        if (scaleUp) full.select(col("gid"), col("rank")).repartition(bp, col("gid"))
+        else full.select(col("gid"), col("rank"))
       // checkpoint: consumed by the pair count AND the join-back, and
       // derived from a join — an unsevered lineage would run it twice
-      val (pairs, tokP) = Checkpoints.eager(full.filter(col("live")).as("a")
-        .join(full.select(col("gid"), col("rank")).as("b"),
+      val (pairs, tokP) = Checkpoints.eager(liveSide.as("a")
+        .join(lookSide.as("b"),
           col("b.gid") === col("a.gid") + step, "left_outer")
         .select(col("a.gid").as("gid"), col("a.rank").as("r1"),
-          coalesce(col("b.rank"), lit(-1L)).as("r2")))
+          coalesce(col("b.rank"), lit(-1L)).as("r2")), serialized = scaleUp)
       val d = pairs.groupBy(col("r1"), col("r2")).agg(count(lit(1)).as("c"))
       val (cum, tokG) = GlobalRank.withGlobalPrefixSumTracked(
         d, "cum", col("c"), np, col("r1"), col("r2"))
@@ -226,16 +271,19 @@ object SuffixArray {
       val minG = g.groupBy(col("r1")).agg(min(col("gpair")).as("ming"))
       val (rankedPairs, tokR, _) = Checkpoints.eagerCounted(g.join(minG, Seq("r1"))
         .select(col("r1"), col("r2"),
-          (col("r1") + col("gpair") - col("ming")).as("nrank"), col("c")))
+          (col("r1") + col("gpair") - col("ming")).as("nrank"), col("c")),
+        serialized = scaleUp)
       // next round's live population — |D|-row aggregate, read before
       // the full-frame write so the loop condition is free afterwards
       nActive = rankedPairs.filter(col("c") > 1L)
         .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
-      val assigned = pairs.join(rankedPairs, Seq("r1", "r2"))
+      val pairsSide =
+        if (scaleUp) pairs.repartition(bp, col("r1"), col("r2")) else pairs
+      val assigned = pairsSide.join(rankedPairs, Seq("r1", "r2"))
         .select(col("gid"), col("nrank").as("rank"),
           (col("c") > 1L).as("live"), col("c").as("gsz"))
       val (nextFull, tokF2) = Checkpoints.eager(
-        full.filter(!col("live")).unionByName(assigned))
+        full.filter(!col("live")).unionByName(assigned), serialized = scaleUp)
       // Free the round's scratch and the superseded full frame (levels
       // are independent snapshots, so this is safe either way).
       tokP.free(); tokG.free(); tokR.free(); tokF.free()
@@ -254,13 +302,38 @@ object SuffixArray {
   }
 
   /** Build the index over documents' codepoints. `retainLevels` keeps
-    * the per-round rank tables alive for [[lcpAdjacent]].
+    * the per-round rank tables alive for [[lcpAdjacent]] —
+    * block-manager snapshots by default, or compressed lake parquet
+    * under `levelStore` (the at-scale mode; see [[doubling]]'s
+    * retention note).
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-                 maxRounds: Int = 40, retainLevels: Boolean = false): Index = {
-    val (addr, _, total) = Checkpoints.eagerCounted(addressed(docs, idCol, textCol))
-    val (full, levels) = doubling(addr, total, Long.MaxValue, maxRounds, retainLevels)
+                 maxRounds: Int = 40, retainLevels: Boolean = false,
+                 levelStore: Option[String] = None): Index = {
+    // cheap position-count estimate (codepoints + one SEP per doc)
+    // BEFORE materializing the addressing, so the addressing itself can
+    // be checkpointed at the derived width — the ×100 OOM was the
+    // 32-way DESERIALIZED unroll of this very frame, ahead of any join
+    val est = docs
+      .agg((coalesce(sum(length(col(textCol)).cast("long")), lit(0L)) +
+        count(lit(1))).as("n")).head().getLong(0)
+    val (addr, _, total) =
+      checkpointAddr(addressed(docs, idCol, textCol), est)
+    val (full, levels) =
+      doubling(addr, total, Long.MaxValue, maxRounds, retainLevels, levelStore)
     Index(addr, full, levels, total, idCol, Sep.toLong)
+  }
+
+  /** Checkpoint the addressing, at-scale-aware: past the derived-width
+    * threshold the frame is pre-partitioned to ~1 M rows/task and
+    * stored SERIALIZED (deserialized unroll of 5 M-row partitions
+    * OOM'd the ×100 default heap before the first doubling round).
+    */
+  private def checkpointAddr(addr0: DataFrame, est: Long): (DataFrame, Checkpoints.Token, Long) = {
+    val bp = derivedBuildParts(parts(addr0), est)
+    if (bp > parts(addr0))
+      Checkpoints.eagerCounted(addr0.repartition(bp, col("gid")), serialized = true)
+    else Checkpoints.eagerCounted(addr0)
   }
 
   /** Token-space build: `rows` is `(idCol, pos, code)` — 1-based
@@ -269,10 +342,13 @@ object SuffixArray {
     */
   def buildIndexFromRows(ids: DataFrame, rows: DataFrame, idCol: String,
                          sepCode: Long, maxRounds: Int = 40,
-                         retainLevels: Boolean = false): Index = {
+                         retainLevels: Boolean = false,
+                         levelStore: Option[String] = None): Index = {
+    val est = rows.count() + ids.count()
     val (addr, _, total) =
-      Checkpoints.eagerCounted(addressedRows(ids, rows, idCol, sepCode))
-    val (full, levels) = doubling(addr, total, Long.MaxValue, maxRounds, retainLevels)
+      checkpointAddr(addressedRows(ids, rows, idCol, sepCode), est)
+    val (full, levels) =
+      doubling(addr, total, Long.MaxValue, maxRounds, retainLevels, levelStore)
     Index(addr, full, levels, total, idCol, sepCode)
   }
 

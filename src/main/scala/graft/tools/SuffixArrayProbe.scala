@@ -42,6 +42,13 @@ object SuffixArrayProbe {
       .select(col("doc_id"), col("text")).cache()
     val nDocs = docs.count()
 
+    def dirSizeMb(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(new java.io.File(dir)) / 1000000L
+    }
+
     def timed(tag: String)(f: => Long): Unit = {
       write.set(0); read.set(0)
       val t0 = System.nanoTime()
@@ -88,7 +95,8 @@ object SuffixArrayProbe {
     }
     }
 
-    if (group == "token" || group == "all" || group == "token-build") {
+    if (group == "token" || group == "all" || group == "token-build" ||
+        group == "token-full-disk") {
     // Round-15: TOKEN-SPACE end to end (sa6's full-corpus row —
     // tokenize → SA → LCP → cut duplicated ≥16-TOKEN spans, the shape
     // Lee et al. ship). The char-space legs' blocks are swept first:
@@ -122,6 +130,39 @@ object SuffixArrayProbe {
         graft.text.SuffixArray.buildIndexFromRows(
           docs.select(col("doc_id")), trows, "doc_id", sepCode = 0L,
           retainLevels = false).total
+      }
+      spark.stop()
+      return
+    }
+    if (group == "token-full-disk") {
+      // The r16 verdict's #3: the ×100 FULL chain (build WITH levels →
+      // LCP → cut), disk-bounded — levels as compressed lake parquet
+      // generations instead of block-manager scratch (the No-space
+      // killer), build shuffles at the scale-DERIVED partition count
+      // (the 24 g-heap OOM killer). Runs at the default heap.
+      val store = s"/tmp/sa-levels-${System.nanoTime()}"
+      var tix: graft.text.SuffixArray.Index = null
+      timed("token_sa_build_levels_lake") {
+        tix = graft.text.SuffixArray.buildIndexFromRows(
+          docs.select(col("doc_id")), trows, "doc_id", sepCode = 0L,
+          retainLevels = true, levelStore = Some(store))
+        println(s"""{"detail":"token_levels_lake","n":${tix.levels.length},"total":${tix.total},"store_mb":${dirSizeMb(store)}}""")
+        tix.total
+      }
+      var tlcp: org.apache.spark.sql.DataFrame = null
+      timed("token_lcp_adjacent_full") {
+        tlcp = graft.text.SuffixArray.lcpAdjacent(tix)
+        tlcp.count()
+      }
+      timed("token_span_removal_L16") {
+        val kept = graft.text.SuffixArray
+          .removeTokenSpansFromLcp(
+            tix.addr.filter(col("code") =!= lit(0L))
+              .select(col("doc_id"), col("pos"), col("gid"), col("code")),
+            "doc_id", tlcp, minLen = 16L, np = 32)
+          .agg(count(lit(1))).head().getLong(0)
+        println(s"""{"detail":"token_span_removal","kept_tokens":$kept}""")
+        kept
       }
       spark.stop()
       return

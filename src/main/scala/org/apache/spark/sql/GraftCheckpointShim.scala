@@ -63,14 +63,22 @@ object GraftCheckpointShim {
   def localCheckpointFreshStatsTracked(
       df: DataFrame,
       diskOnly: Boolean = false,
-      keepPartitioning: Boolean = false): (DataFrame, Int) = {
+      keepPartitioning: Boolean = false,
+      serialized: Boolean = false): (DataFrame, Int) = {
     val cds = df.asInstanceOf[CDataset[Row]]
     val spark = cds.sparkSession.asInstanceOf[CSparkSession]
     val physicalPlan = cds.queryExecution.executedPlan
     val internalRdd = physicalPlan.execute().map(_.copy())
     // RDD.localCheckpoint keeps a pre-set storage level, only forcing
-    // disk into it — so persisting DISK_ONLY first sticks.
+    // disk into it — so persisting DISK_ONLY first sticks. `serialized`
+    // stores MEMORY_AND_DISK_SER: deserialized unroll holds every row
+    // as a heap object and OOM'd the default heap on 100 M-row frames
+    // (the ×100 SA build — 32 concurrent 5 M-row unrolls); the
+    // serialized path unrolls into byte buffers incrementally and
+    // spills cleanly.
     if (diskOnly) internalRdd.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else if (serialized)
+      internalRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     internalRdd.localCheckpoint()
     @annotation.tailrec
     def firstLeaf(p: Partitioning): Partitioning = p match {

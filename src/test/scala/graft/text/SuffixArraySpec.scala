@@ -268,4 +268,42 @@ class SuffixArraySpec extends SparkSpec {
         "doc_id", "text", prefixLen = 6)
     }
   }
+
+  test("lake-parquet level store reproduces the in-memory levels exactly") {
+    // The at-scale retention mode (the x100 No-space fix): levels
+    // written as parquet generations must drive the SAME LCP descent
+    // and cut as the block-manager snapshots.
+    val docs = Seq((0L, "abracadabra abracadabra"), (1L, "cadabra arb"),
+      (2L, "abracadabra"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("sa-levels").toString
+    val mem = SuffixArray.buildIndex(docs, "doc_id", "text", retainLevels = true)
+    val lake = SuffixArray.buildIndex(docs, "doc_id", "text", retainLevels = true,
+      levelStore = Some(store))
+    assert(lake.levels.map(_._1) == mem.levels.map(_._1), "level ladder differs")
+    // every stored level byte-identical to its in-memory twin
+    mem.levels.zip(lake.levels).foreach { case ((m, a), (m2, b)) =>
+      assert(m == m2)
+      assert(a.orderBy($"gid").collect().toSeq == b.orderBy($"gid").collect().toSeq,
+        s"level $m differs between store modes")
+    }
+    // parquet files actually exist under the store
+    assert(new java.io.File(store).listFiles.exists(_.getName.startsWith("level=")),
+      "level store wrote no parquet generations")
+    val lcpMem = SuffixArray.lcpAdjacent(mem)
+      .orderBy($"sa_rank").collect().toSeq
+    val lcpLake = SuffixArray.lcpAdjacent(lake)
+      .orderBy($"sa_rank").collect().toSeq
+    assert(lcpMem == lcpLake, "LCP descent diverged between store modes")
+  }
+
+  test("build parallelism derives from the measured position count") {
+    // identity at gate scales (plans must stay byte-identical), ~1 M
+    // positions per partition past the session width, capped at 2048
+    assert(SuffixArray.derivedBuildParts(32, 1000L) == 32)
+    assert(SuffixArray.derivedBuildParts(32, 32000000L) == 32)
+    assert(SuffixArray.derivedBuildParts(32, 156600000L) == 156)
+    assert(SuffixArray.derivedBuildParts(32, 5000000000L) == 2048)
+    assert(SuffixArray.derivedBuildParts(200, 50000000L) == 200)
+  }
 }
