@@ -2435,8 +2435,13 @@ object SimQueries {
     // spread-the-starts role, widened): the ×10 probe measured
     // recall@5 sagging 0.92 → 0.86 with one entry per list and
     // recovering to 1.00 with two (entries_2 sweep, PLANS.md
-    // round-16) — the cheapest rung of the entry ladder, before the
-    // e22 layer descent is ever needed.
+    // round-16) — the cheapest rung of the entry ladder. NOTE the
+    // round-17 200-query panels (GraphRecall200) showed that 10-query
+    // reading was panel-resolution luck: on 1 000 hit slots flat-2
+    // serving reads 0.87/0.39/0.22 at ×1/×10/×100 while the e22 rep
+    // ladder holds 0.96/1.00/1.00 — the gate keeps this convention
+    // because its hash prices exactly this walk, but the ladder is
+    // the adopted serving design at scale.
     val ent =
       s"""ent AS (SELECT vec_id AS bid FROM (
          |  SELECT vec_id, ROW_NUMBER() OVER (
@@ -2589,8 +2594,11 @@ object SimQueries {
 
   /** Beam-search entry points: the `n` lowest ids of each coarse list
     * (HNSW's spread-the-starts role). One per list sagged recall@5 to
-    * 0.86 at ×10 corpora; two recovered 1.00 (PLANS.md round-16 entry
-    * sweep), so 2 is the gate convention.
+    * 0.86 at ×10 corpora; two read 1.00 on the 10-query panel
+    * (PLANS.md round-16 entry sweep), so 2 is the gate convention —
+    * though the round-17 200-query panels showed the flat-entry arm
+    * sags hard at derived scales regardless (0.39 at ×10 on 1 000
+    * slots); the e22 rep ladder is the at-scale serving design.
     */
   private def entriesPerList(
       emb: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {

@@ -86,7 +86,8 @@ object SuffixArray {
       levels: Seq[(Long, DataFrame)],
       total: Long,
       idCol: String,
-      sepCode: Long)
+      sepCode: Long,
+      levelStore: Option[String] = None)
 
   private def parts(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
@@ -207,7 +208,7 @@ object SuffixArray {
     // re-read K frames per join and measurably drowned the freezing
     // win); the freezing savings live in the PAIR/rank relations, which
     // carry only the live residue.
-    var (full, tokF) = Checkpoints.eager(init, serialized = scaleUp)
+    var (full, tokF) = Checkpoints.eager(init, diskOnly = scaleUp)
     var nActive = nActive0
     val levels = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)]()
     // Retained levels are SEPARATE DISK_ONLY snapshots of (gid, rank):
@@ -259,7 +260,7 @@ object SuffixArray {
         .join(lookSide.as("b"),
           col("b.gid") === col("a.gid") + step, "left_outer")
         .select(col("a.gid").as("gid"), col("a.rank").as("r1"),
-          coalesce(col("b.rank"), lit(-1L)).as("r2")), serialized = scaleUp)
+          coalesce(col("b.rank"), lit(-1L)).as("r2")), diskOnly = scaleUp)
       val d = pairs.groupBy(col("r1"), col("r2")).agg(count(lit(1)).as("c"))
       val (cum, tokG) = GlobalRank.withGlobalPrefixSumTracked(
         d, "cum", col("c"), np, col("r1"), col("r2"))
@@ -272,7 +273,7 @@ object SuffixArray {
       val (rankedPairs, tokR, _) = Checkpoints.eagerCounted(g.join(minG, Seq("r1"))
         .select(col("r1"), col("r2"),
           (col("r1") + col("gpair") - col("ming")).as("nrank"), col("c")),
-        serialized = scaleUp)
+        diskOnly = scaleUp)
       // next round's live population — |D|-row aggregate, read before
       // the full-frame write so the loop condition is free afterwards
       nActive = rankedPairs.filter(col("c") > 1L)
@@ -283,7 +284,7 @@ object SuffixArray {
         .select(col("gid"), col("nrank").as("rank"),
           (col("c") > 1L).as("live"), col("c").as("gsz"))
       val (nextFull, tokF2) = Checkpoints.eager(
-        full.filter(!col("live")).unionByName(assigned), serialized = scaleUp)
+        full.filter(!col("live")).unionByName(assigned), diskOnly = scaleUp)
       // Free the round's scratch and the superseded full frame (levels
       // are independent snapshots, so this is safe either way).
       tokP.free(); tokG.free(); tokR.free(); tokF.free()
@@ -317,22 +318,66 @@ object SuffixArray {
     val est = docs
       .agg((coalesce(sum(length(col(textCol)).cast("long")), lit(0L)) +
         count(lit(1))).as("n")).head().getLong(0)
-    val (addr, _, total) =
+    val (addr0, _, total) =
       checkpointAddr(addressed(docs, idCol, textCol), est)
+    val addr = persistAddr(addr0, levelStore)
     val (full, levels) =
       doubling(addr, total, Long.MaxValue, maxRounds, retainLevels, levelStore)
-    Index(addr, full, levels, total, idCol, Sep.toLong)
+    Index(addr, full, levels, total, idCol, Sep.toLong, levelStore)
+  }
+
+  /** When the index is built against a `levelStore`, the ADDRESSING is
+    * part of the stored artifact too (`$store/addr`): the levels alone
+    * cannot serve the span-removal tail (it needs `(id, pos, gid,
+    * code)`), and a chain that dies after the build — the expensive
+    * leg — must be resumable from disk ([[loadIndex]]) without
+    * re-paying it. The returned frame is the parquet READ-BACK, so
+    * every downstream consumer scans the lake file instead of
+    * block-manager blocks.
+    */
+  private def persistAddr(addr: DataFrame, levelStore: Option[String]): DataFrame =
+    levelStore match {
+      case Some(dir) =>
+        addr.write.mode("overwrite").parquet(s"$dir/addr")
+        addr.sparkSession.read.parquet(s"$dir/addr")
+      case None => addr
+    }
+
+  /** Reconstruct a servable [[Index]] from a level store written by a
+    * `levelStore` build — the resume path for the LCP/cut tail of a
+    * chain whose build leg already completed (at 100 TB the build is
+    * the hour-scale leg; its artifact must outlive the JVM). `full` is
+    * the deepest level: the build converged there, so its ranks are
+    * the final suffix-array ranks (the descent and [[saOf]] read only
+    * `(gid, rank)` from it).
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, store: String,
+                idCol: String, sepCode: Long): Index = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(store), spark.sparkContext.hadoopConfiguration)
+    val lvls = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("level="))
+      .map(n => n.stripPrefix("level=").toLong).sorted
+    require(lvls.nonEmpty, s"no level=* directories under $store")
+    val levels = lvls.map(m => (m, spark.read.parquet(s"$store/level=$m"))).toSeq
+    val addr = spark.read.parquet(s"$store/addr")
+    Index(addr, levels.last._2, levels, addr.count(), idCol, sepCode, Some(store))
   }
 
   /** Checkpoint the addressing, at-scale-aware: past the derived-width
     * threshold the frame is pre-partitioned to ~1 M rows/task and
-    * stored SERIALIZED (deserialized unroll of 5 M-row partitions
-    * OOM'd the ×100 default heap before the first doubling round).
+    * stored DISK_ONLY — deserialized unroll of 5 M-row partitions
+    * OOM'd the ×100 default heap before the first doubling round, and
+    * even SERIALIZED in-memory blocks starved the unified pool's
+    * execution side mid-build (UNABLE_TO_ACQUIRE_MEMORY, round 4 of
+    * the ×100 run); at scale the inter-round frames belong on disk,
+    * exactly where a cluster run's inter-stage lake artifacts live,
+    * with the heap left whole for join/window execution.
     */
   private def checkpointAddr(addr0: DataFrame, est: Long): (DataFrame, Checkpoints.Token, Long) = {
     val bp = derivedBuildParts(parts(addr0), est)
     if (bp > parts(addr0))
-      Checkpoints.eagerCounted(addr0.repartition(bp, col("gid")), serialized = true)
+      Checkpoints.eagerCounted(addr0.repartition(bp, col("gid")), diskOnly = true)
     else Checkpoints.eagerCounted(addr0)
   }
 
@@ -345,12 +390,23 @@ object SuffixArray {
                          retainLevels: Boolean = false,
                          levelStore: Option[String] = None): Index = {
     val est = rows.count() + ids.count()
-    val (addr, _, total) =
+    val (addr0, _, total) =
       checkpointAddr(addressedRows(ids, rows, idCol, sepCode), est)
+    val addr = persistAddr(addr0, levelStore)
     val (full, levels) =
       doubling(addr, total, Long.MaxValue, maxRounds, retainLevels, levelStore)
-    Index(addr, full, levels, total, idCol, sepCode)
+    Index(addr, full, levels, total, idCol, sepCode, levelStore)
   }
+
+  /** The global addressing of token rows, as [[buildIndexFromRows]]
+    * computes it — public so a resume path can reconstruct (and
+    * backfill into a level store) the addressing of a build whose JVM
+    * is gone: the derivation is deterministic, so the recomputed gids
+    * are bitwise the build's own.
+    */
+  def addressingOfRows(ids: DataFrame, rows: DataFrame, idCol: String,
+                       sepCode: Long): DataFrame =
+    addressedRows(ids, rows, idCol, sepCode)
 
   /** The suffix array: `(doc_id, pos, gid, sa_rank)` for every TEXT
     * position (SEP positions participate in the build — they fence
@@ -422,32 +478,73 @@ object SuffixArray {
     */
   def lcpAdjacent(ix: Index): DataFrame = {
     require(ix.levels.nonEmpty, "lcpAdjacent needs retainLevels = true")
-    val pairs0 = ix.full.select(col("rank").as("sa_rank"), col("gid").as("gid1"))
-      .join(ix.full.select((col("rank") - 1L).as("sa_rank"), col("gid").as("gid2")),
-        Seq("sa_rank"))
+    val spark = ix.full.sparkSession
+    val bp = derivedBuildParts(parts(ix.full), ix.total)
+    // Past the derived-width threshold the descent inherits the
+    // build's disciplines: every join side pre-partitioned on its join
+    // key at ~1 M rows/task (the join reuses the partitioning — no
+    // second exchange), and the working pair frame severed through the
+    // LEVEL STORE each round with the superseded generation's files
+    // (parquet AND the round's now-unreferenced shuffles) reclaimed
+    // eagerly. The reclamation is the load-bearing part: the ×100 LCP
+    // leg writes ~24 GB of shuffle per level, and ContextCleaner's
+    // periodic GC (30 min default) never fires inside an 11-level
+    // loop — the round-16 run died on No-space exactly this way. On a
+    // real cluster this is the same contract: per-level lake
+    // checkpoints, shuffle data reclaimed once the next generation is
+    // durable.
+    val scaleUp = bp > parts(ix.full)
+    def wide(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+      if (scaleUp) df.repartition(bp, key) else df
+    val left = ix.full.select(col("rank").as("sa_rank"), col("gid").as("gid1"))
+    val right = ix.full.select((col("rank") - 1L).as("sa_rank"), col("gid").as("gid2"))
+    val pairs0 = wide(left, col("sa_rank"))
+      .join(wide(right, col("sa_rank")), Seq("sa_rank"))
       .withColumn("lcp", lit(0L))
     // The largest level can never match (all final ranks distinct), so
     // the descent starts one below it; max reachable h = Σ m = M−1,
     // and LCP ≤ M−1 because the build converged at M.
     val desc = ix.levels.sortBy(-_._1).drop(1)
-    var (p, tok) = Checkpoints.eager(pairs0)
+    val lakeMode = scaleUp && ix.levelStore.isDefined
+    def lakeSever(df: DataFrame, step: Int): DataFrame = {
+      val dir = ix.levelStore.get
+      df.write.mode("overwrite").parquet(s"$dir/descent/step=$step")
+      if (step > 0) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/descent/step=${step - 1}"), true)
+      }
+      // The previous step's shuffles are unreferenced once this write
+      // is durable; nudge the cleaner NOW (weak-ref processing only
+      // happens on a GC) so their files free before the next level
+      // writes its own ~24 GB.
+      System.gc()
+      spark.read.parquet(s"$dir/descent/step=$step")
+    }
+    var (p, tok) =
+      if (lakeMode) (lakeSever(pairs0, 0), Checkpoints.none(pairs0))
+      else Checkpoints.eager(pairs0)
     var sinceCkpt = 0
     for (((m, lvl), i) <- desc.zipWithIndex) {
       val a = lvl.select(col("gid").as("__ga"), col("rank").as("__ra"))
       val b = lvl.select(col("gid").as("__gb"), col("rank").as("__rb"))
-      p = p
-        .join(a, col("__ga") === col("gid1") + col("lcp"), "left_outer")
-        .join(b, col("__gb") === col("gid2") + col("lcp"), "left_outer")
+      p = wide(p, col("gid1") + col("lcp"))
+        .join(wide(a, col("__ga")), col("__ga") === col("gid1") + col("lcp"), "left_outer")
+      p = wide(p, col("gid2") + col("lcp"))
+        .join(wide(b, col("__gb")), col("__gb") === col("gid2") + col("lcp"), "left_outer")
         .withColumn("lcp", col("lcp") +
           when(coalesce(col("__ra"), lit(-1L)) === coalesce(col("__rb"), lit(-2L)),
             lit(m)).otherwise(lit(0L)))
         .select(col("sa_rank"), col("gid1"), col("gid2"), col("lcp"))
       sinceCkpt += 1
-      // Sever every few levels (and at the end): a per-level checkpoint
-      // pays one fixed job per level for nothing — a handful of chained
-      // equi-joins is a fine plan — but an UNBOUNDED chain re-executes
-      // from the last severed point on every reference.
-      if (sinceCkpt == 3 || i == desc.length - 1) {
+      if (lakeMode) {
+        p = lakeSever(p, i + 1)
+      } else if (sinceCkpt == 3 || i == desc.length - 1) {
+        // Sever every few levels (and at the end): a per-level
+        // checkpoint pays one fixed job per level for nothing — a
+        // handful of chained equi-joins is a fine plan — but an
+        // UNBOUNDED chain re-executes from the last severed point on
+        // every reference.
         val (ck, t2) = Checkpoints.eager(p)
         tok.free()
         p = ck

@@ -44,6 +44,42 @@ object SpanAB {
     }
     val k = 16
 
+    // ---- the MEMO-SERVED gate path itself (what Bench times on warm
+    // passes), with the per-gate Spark JOB count: both gates are
+    // tiny-data multi-job chains once the memo serves, so if their
+    // walls track njobs × the host's fixed per-job cost, the drift is
+    // job-overhead of the container class, not a leg regression.
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+    def gateLeg(name: String, rep: Int): Unit = {
+      jobs.set(0)
+      val (n, sec) = t(graft.SparkEntry.queries(name)(spark, sfDir).collect().length)
+      Thread.sleep(300) // listener drain
+      println(f"""{"gate":"$name","rep":$rep,"path":"memo-served","rows":$n,"sec":$sec%.3f,"jobs":${jobs.get},"sf":"$sfDir"}""")
+    }
+    // Fixed per-job cost probe: trivial two-stage jobs (32-row shuffle
+    // + collect — no data work to speak of), warm median.
+    def jobProbe(rep: Int): Unit = {
+      import spark.implicits._
+      val times = (1 to 12).map { _ =>
+        t(spark.range(32).repartition(4).agg(sum($"id")).collect()) ._2
+      }.sorted
+      println(f"""{"probe":"trivial_job","rep":$rep,"median_sec":${times(times.length / 2)}%.3f,"min_sec":${times.head}%.3f}""")
+    }
+    // warm the gate classes/codegen once, then measure
+    gateLeg("t15_substring_spans", 0)
+    gateLeg("sa4_exact_substring_dedup", 0)
+    (1 to reps).foreach { rep =>
+      gateLeg("t15_substring_spans", rep)
+      gateLeg("sa4_exact_substring_dedup", rep)
+      jobProbe(rep)
+    }
+
     (1 to reps).foreach { rep =>
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

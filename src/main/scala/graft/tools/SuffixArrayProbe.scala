@@ -96,7 +96,7 @@ object SuffixArrayProbe {
     }
 
     if (group == "token" || group == "all" || group == "token-build" ||
-        group == "token-full-disk") {
+        group == "token-full-disk" || group == "token-lcp-resume") {
     // Round-15: TOKEN-SPACE end to end (sa6's full-corpus row —
     // tokenize → SA → LCP → cut duplicated ≥16-TOKEN spans, the shape
     // Lee et al. ship). The char-space legs' blocks are swept first:
@@ -130,6 +130,43 @@ object SuffixArrayProbe {
         graft.text.SuffixArray.buildIndexFromRows(
           docs.select(col("doc_id")), trows, "doc_id", sepCode = 0L,
           retainLevels = false).total
+      }
+      spark.stop()
+      return
+    }
+    if (group == "token-lcp-resume") {
+      // Resume the ×100 FULL chain's LCP + cut legs from a level store
+      // whose build leg already completed in a dead JVM (args(2) = the
+      // store dir): the addressing is recomputed deterministically
+      // (BPE → encode → global ranks are all deterministic, so the
+      // gids are bitwise the build's own) and backfilled into the
+      // store if the build predates the addr-persist contract.
+      val store = args(2)
+      val addrPath = new java.io.File(s"$store/addr")
+      if (!addrPath.exists()) {
+        timed("token_addr_backfill") {
+          val addr = graft.text.SuffixArray.addressingOfRows(
+            docs.select(col("doc_id")), trows, "doc_id", sepCode = 0L)
+          addr.write.mode("overwrite").parquet(s"$store/addr")
+          spark.read.parquet(s"$store/addr").count()
+        }
+      }
+      val tix = graft.text.SuffixArray.loadIndex(spark, store, "doc_id", 0L)
+      println(s"""{"detail":"resume","levels":${tix.levels.length},"total":${tix.total},"store_mb":${dirSizeMb(store)}}""")
+      var tlcp: org.apache.spark.sql.DataFrame = null
+      timed("token_lcp_adjacent_full") {
+        tlcp = graft.text.SuffixArray.lcpAdjacent(tix)
+        tlcp.count()
+      }
+      timed("token_span_removal_L16") {
+        val kept = graft.text.SuffixArray
+          .removeTokenSpansFromLcp(
+            tix.addr.filter(col("code") =!= lit(0L))
+              .select(col("doc_id"), col("pos"), col("gid"), col("code")),
+            "doc_id", tlcp, minLen = 16L, np = 32)
+          .agg(count(lit(1))).head().getLong(0)
+        println(s"""{"detail":"token_span_removal","kept_tokens":$kept}""")
+        kept
       }
       spark.stop()
       return

@@ -297,6 +297,45 @@ class SuffixArraySpec extends SparkSpec {
     assert(lcpMem == lcpLake, "LCP descent diverged between store modes")
   }
 
+  test("loadIndex resumes the LCP + cut chain from a level store alone") {
+    // The build leg is the hour-scale leg at x100; its artifact must
+    // outlive the JVM. A store written by a levelStore build carries
+    // the addressing too, and loadIndex must reconstruct an index
+    // whose SA view, LCP descent, and span cut are bitwise the
+    // original's.
+    val docs = Seq((0L, "the cat sat on the mat, the cat sat"),
+      (1L, "a cat sat on a mat"), (2L, "entirely unrelated text here"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("sa-resume").toString
+    val built = SuffixArray.buildIndex(docs, "doc_id", "text",
+      retainLevels = true, levelStore = Some(store))
+    assert(new java.io.File(s"$store/addr").exists(),
+      "levelStore build must persist the addressing")
+    val loaded = SuffixArray.loadIndex(spark, store, "doc_id", SuffixArray.Sep.toLong)
+    assert(loaded.total == built.total)
+    assert(loaded.levels.map(_._1) == built.levels.map(_._1))
+    assert(SuffixArray.saOf(loaded).orderBy($"gid").collect().toSeq ==
+      SuffixArray.saOf(built).orderBy($"gid").collect().toSeq,
+      "SA view diverged after resume")
+    val lcpB = SuffixArray.lcpAdjacent(built).orderBy($"sa_rank").collect().toSeq
+    val lcpL = SuffixArray.lcpAdjacent(loaded).orderBy($"sa_rank").collect().toSeq
+    assert(lcpB == lcpL, "LCP descent diverged after resume")
+    val cut = SuffixArray.removeSpansFromLcp(docs, "doc_id", "text",
+      SuffixArray.lcpAdjacent(loaded),
+      loaded.addr.filter($"code" =!= SuffixArray.Sep.toLong)
+        .select($"doc_id", $"pos", $"gid"),
+      minLen = 8L, np = 4)
+      .orderBy($"doc_id").collect().toSeq
+    val cutB = SuffixArray.removeSpansFromLcp(docs, "doc_id", "text",
+      SuffixArray.lcpAdjacent(built),
+      built.addr.filter($"code" =!= SuffixArray.Sep.toLong)
+        .select($"doc_id", $"pos", $"gid"),
+      minLen = 8L, np = 4)
+      .orderBy($"doc_id").collect().toSeq
+    assert(cut == cutB, "span cut diverged after resume")
+    assert(cut.exists(_.getLong(2) > 0), "fixture must actually cut something")
+  }
+
   test("build parallelism derives from the measured position count") {
     // identity at gate scales (plans must stay byte-identical), ~1 M
     // positions per partition past the session width, capped at 2048
