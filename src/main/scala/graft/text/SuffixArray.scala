@@ -476,10 +476,18 @@ object SuffixArray {
     * interval clip to documents drops them later). Requires an index
     * built with `retainLevels = true`.
     */
-  def lcpAdjacent(ix: Index): DataFrame = {
+  def lcpAdjacent(ix: Index): DataFrame = lcpAdjacentAt(ix, None)
+
+  /** [[lcpAdjacent]] with the derived descent width overridable —
+    * test seam only: the lake-mode path (per-level store sever +
+    * reclaim) engages past ~32 M positions, which no unit fixture
+    * reaches; the spec forces a small width to pin lake ≡ in-memory
+    * descent on a gate-sized corpus.
+    */
+  private[text] def lcpAdjacentAt(ix: Index, widthOverride: Option[Int]): DataFrame = {
     require(ix.levels.nonEmpty, "lcpAdjacent needs retainLevels = true")
     val spark = ix.full.sparkSession
-    val bp = derivedBuildParts(parts(ix.full), ix.total)
+    val bp = widthOverride.getOrElse(derivedBuildParts(parts(ix.full), ix.total))
     // Past the derived-width threshold the descent inherits the
     // build's disciplines: every join side pre-partitioned on its join
     // key at ~1 M rows/task (the join reuses the partitioning — no
@@ -636,14 +644,28 @@ object SuffixArray {
   def removeTokenSpansFromLcp(addrText: DataFrame, idCol: String,
                               lcpPairs: DataFrame, minLen: Long,
                               np: Int): DataFrame = {
-    val covered = duplicatedIntervals(lcpPairs, minLen, np)
-      .select(explode(sequence(col("lo"), col("hi") - 1)).as("gid"))
+    val covered = coveredGids(duplicatedIntervals(lcpPairs, minLen, np))
       .join(addrText.select(col(idCol), col("pos"), col("gid")), Seq("gid"))
       .select(col(idCol), col("pos"))
     addrText
       .join(covered, Seq(idCol, "pos"), "left_anti")
       .select(col(idCol), col("pos"), col("code"))
   }
+
+  /** Explode merged `[lo, hi)` islands into the covered POSITION set —
+    * checkpointed with fresh leaf stats before anything joins it. The
+    * planner cannot see through `explode(sequence(...))`: its logical
+    * stats carry the merged-islands estimate (thousands of rows), while
+    * the exploded set is corpus-scale on a duplicate-heavy corpus — the
+    * ×100 run (100 exact clones per document, ~150 M covered positions)
+    * planned a BROADCAST of the "tiny" side and died building it. One
+    * checkpoint job makes every downstream join/anti-join plan against
+    * the true size at every scale (and the count it materializes is the
+    * removed-position total a pipeline reports anyway).
+    */
+  private def coveredGids(islands: DataFrame): DataFrame =
+    Checkpoints.eagerCounted(
+      islands.select(explode(sequence(col("lo"), col("hi") - 1)).as("gid")))._1
 
   /** [[removeTokenSpansFromLcp]] end to end: build the token-space
     * index with retained levels over `(idCol, pos, code)` rows, LCP
@@ -670,8 +692,7 @@ object SuffixArray {
                          lcpPairs: DataFrame, addrText: DataFrame,
                          minLen: Long, np: Int): DataFrame =
     cutCoveredPositions(docs, idCol, textCol,
-      duplicatedIntervals(lcpPairs, minLen, np)
-        .select(explode(sequence(col("lo"), col("hi") - 1)).as("gid"))
+      coveredGids(duplicatedIntervals(lcpPairs, minLen, np))
         .join(addrText.select(col(idCol), col("pos"), col("gid")), Seq("gid"))
         .select(col(idCol), col("pos")))
 

@@ -153,17 +153,34 @@ object SuffixArrayProbe {
       }
       val tix = graft.text.SuffixArray.loadIndex(spark, store, "doc_id", 0L)
       println(s"""{"detail":"resume","levels":${tix.levels.length},"total":${tix.total},"store_mb":${dirSizeMb(store)}}""")
+      // cut-leg shuffles sized like the build's: ~1 M positions/task —
+      // session-wide, so the anti-join and the gid equi-join (both
+      // corpus-scale at x100) run at the derived width too, exactly
+      // the conf a cluster submission would set for this corpus
+      val np = math.max(32, (tix.total / 1000000L).toInt)
+      spark.conf.set("spark.sql.shuffle.partitions", np.toString)
       var tlcp: org.apache.spark.sql.DataFrame = null
-      timed("token_lcp_adjacent_full") {
-        tlcp = graft.text.SuffixArray.lcpAdjacent(tix)
-        tlcp.count()
+      val lastStep = new java.io.File(s"$store/descent")
+      val doneSteps = Option(lastStep.listFiles).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("step="))
+        .map(_.stripPrefix("step=").toInt).sorted
+      if (doneSteps.lastOption.contains(tix.levels.length - 1)) {
+        // the LCP descent's final generation survived a dead JVM —
+        // serve the cut leg straight from it
+        tlcp = spark.read.parquet(s"$store/descent/step=${doneSteps.last}")
+        println(s"""{"detail":"lcp_resume_from_step","step":${doneSteps.last},"rows":${tlcp.count()}}""")
+      } else {
+        timed("token_lcp_adjacent_full") {
+          tlcp = graft.text.SuffixArray.lcpAdjacent(tix)
+          tlcp.count()
+        }
       }
       timed("token_span_removal_L16") {
         val kept = graft.text.SuffixArray
           .removeTokenSpansFromLcp(
             tix.addr.filter(col("code") =!= lit(0L))
               .select(col("doc_id"), col("pos"), col("gid"), col("code")),
-            "doc_id", tlcp, minLen = 16L, np = 32)
+            "doc_id", tlcp, minLen = 16L, np = np)
           .agg(count(lit(1))).head().getLong(0)
         println(s"""{"detail":"token_span_removal","kept_tokens":$kept}""")
         kept

@@ -297,6 +297,28 @@ class SuffixArraySpec extends SparkSpec {
     assert(lcpMem == lcpLake, "LCP descent diverged between store modes")
   }
 
+  test("lake-mode LCP descent (per-level store sever) matches the in-memory descent") {
+    // The at-scale descent path — join sides pre-partitioned at the
+    // derived width, pair frame severed through the level store as a
+    // parquet generation per level, superseded step deleted — engages
+    // past ~32 M positions; force a small width to pin its output
+    // bitwise against the default descent on a gate-sized corpus.
+    val docs = Seq((0L, "the cat sat on the mat, the cat sat on it"),
+      (1L, "a cat sat on a mat near the cat"), (2L, "something else"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("sa-lakedesc").toString
+    val lake = SuffixArray.buildIndex(docs, "doc_id", "text",
+      retainLevels = true, levelStore = Some(store))
+    val mem = SuffixArray.buildIndex(docs, "doc_id", "text", retainLevels = true)
+    val wide = spark.sessionState.conf.numShufflePartitions + 3
+    val viaLake = SuffixArray.lcpAdjacentAt(lake, Some(wide))
+      .orderBy($"sa_rank").collect().toSeq
+    assert(new java.io.File(s"$store/descent").exists(),
+      "forced-width descent must sever through the store")
+    val viaMem = SuffixArray.lcpAdjacent(mem).orderBy($"sa_rank").collect().toSeq
+    assert(viaLake == viaMem, "lake-mode descent diverged from in-memory")
+  }
+
   test("loadIndex resumes the LCP + cut chain from a level store alone") {
     // The build leg is the hour-scale leg at x100; its artifact must
     // outlive the JVM. A store written by a levelStore build carries
