@@ -3382,6 +3382,69 @@ object TextQueries {
     * full sort), nothing after the word-type collapse touches the
     * corpus.
     */
+  /** t42 — CORPUS-LEVEL LINE DEDUP ([[TextOps.dedupLines]]), the
+    * CCNet / Dolma paragraph-dedup stage. The raw `documents` table is
+    * single-line, so the gate DERIVES a multi-line web-page corpus
+    * deterministically (the e24 discipline — expression tree mirrored
+    * in the oracle SQL): every page is the doc body wrapped in the
+    * crawl boilerplate line-dedup exists to kill — a per-SOURCE header
+    * and share-bar line (each repeats on all of that source's pages)
+    * and one global copyright footer (repeats on EVERY page). Keep-
+    * first over the whole corpus: one page per source keeps its
+    * header, exactly one page keeps the footer, bodies survive except
+    * exact-dup bodies beyond their first. The oracle replays the
+    * derivation, the keep-first rule (row_number over the line digest),
+    * and the reassembly; `clean_md5` pins every kept line and its
+    * order at every scale.
+    */
+  val lineDedup: Query = Query(
+    "t42_line_dedup",
+    s"""WITH pages AS (
+       |  SELECT doc_id,
+       |         'HEADER ' || source || ' :: all rights reserved' || chr(10) ||
+       |         text || chr(10) ||
+       |         'SHARE subscribe to ' || source || ' newsletter today' || chr(10) ||
+       |         'COPYRIGHT footer common to every page of the crawl' AS page
+       |  FROM documents),
+       |lines AS (
+       |  SELECT doc_id,
+       |         generate_subscripts(string_split(page, chr(10)), 1) - 1 AS ln,
+       |         unnest(string_split(page, chr(10))) AS line
+       |  FROM pages),
+       |firsts AS (
+       |  SELECT doc_id, ln FROM (
+       |    SELECT doc_id, ln,
+       |           ROW_NUMBER() OVER (PARTITION BY md5(line)
+       |                              ORDER BY doc_id, ln) AS r
+       |    FROM lines WHERE length(line) >= 30)
+       |  WHERE r = 1),
+       |kept AS (
+       |  SELECT l.doc_id, l.ln, l.line
+       |  FROM lines l LEFT JOIN firsts f ON f.doc_id = l.doc_id AND f.ln = l.ln
+       |  WHERE length(l.line) < 30 OR f.doc_id IS NOT NULL),
+       |rebuilt AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(line, chr(10) ORDER BY ln) AS clean
+       |  FROM kept GROUP BY doc_id)
+       |SELECT p.doc_id,
+       |       CAST(len(string_split(p.page, chr(10))) AS BIGINT) AS n_lines,
+       |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       |       md5(COALESCE(r.clean, '')) AS clean_md5
+       |FROM pages p LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val pages = documents(spark, d).select($"doc_id",
+      concat(
+        lit("HEADER "), $"source", lit(" :: all rights reserved\n"),
+        $"text", lit("\n"),
+        lit("SHARE subscribe to "), $"source", lit(" newsletter today\n"),
+        lit("COPYRIGHT footer common to every page of the crawl")).as("page"))
+    TextOps.dedupLines(pages, "doc_id", "page", minChars = 30)
+      .select($"doc_id", $"n_lines", $"n_kept",
+        md5($"clean_text").as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   val unigramPrune: Query = Query(
     "t41b_unigram_prune", unigramPruneOracle(0.5)) { (spark, d) =>
     import spark.implicits._
@@ -3424,5 +3487,5 @@ object TextQueries {
     dsirOnline, domainKlWeights, klMixture, corpusShards, shardDealOnline,
     suffixArraySlice, dupPrefixCensus, saLcpPairs, saSpanRemoval,
     saTokenCensus, saTokenSpanRemoval, langIdModel, shardManifest,
-    qualityDistill, distillServe, unigramEncode, unigramPrune)
+    qualityDistill, distillServe, unigramEncode, unigramPrune, lineDedup)
 }

@@ -206,6 +206,58 @@ object TextOps {
       length(scrubbed).cast("long").as("scrubbed_len"): _*)
   }
 
+  /** CORPUS-LEVEL LINE DEDUPLICATION — the CCNet / Dolma pipeline
+    * stage (Wenzek et al. 2020 dedup paragraphs before anything else;
+    * Dolma's paragraph dedup is the same keep-first rule through a
+    * bloom filter): split every document into `\n` lines, and of all
+    * occurrences of each DUPLICATED line across the WHOLE corpus keep
+    * only the first (by `(doc_id, line-index)` order) — the cut that
+    * kills crawl boilerplate (headers, footers, share bars) which
+    * repeats on every page of a site and would otherwise dominate the
+    * token distribution. Lines shorter than `minChars` are exempt
+    * (always kept): blank lines and short connectives are structure,
+    * not boilerplate, and deduplicating them would strip every
+    * paragraph break in the corpus — CCNet's length floor.
+    *
+    * Returns `(idCol, n_lines, n_kept, clean_text)` for EVERY input
+    * document (reassembled in original line order; a fully-deduped
+    * document comes back empty, not null).
+    *
+    * 100 TB shape: the census is ONE map-side-combinable
+    * `min(struct(id, ln))` per line-DIGEST — `md5` keys the shuffle
+    * (16 bytes vs the line text), and a boilerplate line with 10⁹
+    * copies folds to one row per partition before the exchange, so
+    * there is no hot-key window anywhere (`row_number over
+    * partitionBy(line)` would put all copies of the hottest line in
+    * one task). Keep-set returns by one `(id, ln)` semi-join;
+    * reassembly is a per-document sorted `collect_list` bounded by
+    * lines-per-doc, never corpus-wide.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 minChars: Int): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("ln", "line")))
+    val big = lines.filter(length(col("line")) >= minChars)
+    val firsts = big
+      .select(col(idCol), col("ln"), md5(col("line")).as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("id"), col("ln").as("ln"))).as("__f"))
+      .select(col("__f.id").as(idCol), col("__f.ln").as("ln"))
+    val kept = lines.filter(length(col("line")) < minChars)
+      .unionByName(big.join(firsts, Seq(idCol, "ln"), "left_semi"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      expr("array_join(transform(array_sort(collect_list(struct(ln, line)))," +
+        " x -> x.line), '\n')").as("clean_text"))
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Order-SENSITIVE document fingerprint: positional weighted checksum
     * `Σ (i+1)·h(tok_i) mod P` over 28-bit md5-derived token hashes —
     * exact int64 arithmetic (max term ≈ 10^5·2^28 ≪ 2^63), so two

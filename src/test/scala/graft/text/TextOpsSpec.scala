@@ -80,4 +80,38 @@ class TextOpsSpec extends SparkSpec {
     assert(d4.getAs[String]("scrubbed") === "code 1234-567-8901 and name at example.com")
     assert(d4.getAs[Long]("scrubbed_len") === d4.getAs[String]("scrubbed").length)
   }
+
+  test("dedupLines: corpus keep-first over duplicated lines, short lines exempt") {
+    // boiler = the repeated crawl line (>= minChars); docs 0 and 2
+    // carry it, doc 0 first. Short lines ("", "ok") repeat everywhere
+    // and must ALWAYS survive (the CCNet length floor). Doc 3 is
+    // nothing but copies of lines seen earlier -> fully deduped, empty.
+    val boiler = "SHARED BOILERPLATE LINE OF THE WHOLE CRAWL SITE"
+    val uniq0 = "first document unique body line long enough"
+    val uniq2 = "second unique body line also long enough here"
+    val docs = Seq(
+      (0L, s"$boiler\n$uniq0\nok"),
+      (1L, "ok\n\nok"),
+      (2L, s"$boiler\n$uniq2\n\nok"),
+      (3L, s"$boiler\n$uniq0")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupLines(docs, "doc_id", "text", minChars = 30)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(got(0L).getAs[String]("clean_text") === s"$boiler\n$uniq0\nok")
+    assert(got(0L).getAs[Long]("n_lines") === 3 && got(0L).getAs[Long]("n_kept") === 3)
+    // short lines never deduped, even as exact corpus-wide repeats
+    assert(got(1L).getAs[String]("clean_text") === "ok\n\nok")
+    // doc 2 loses only the boilerplate (doc 0 holds the first copy)
+    assert(got(2L).getAs[String]("clean_text") === s"$uniq2\n\nok")
+    assert(got(2L).getAs[Long]("n_lines") === 4 && got(2L).getAs[Long]("n_kept") === 3)
+    // every long line of doc 3 was seen earlier -> empty, not null
+    assert(got(3L).getAs[String]("clean_text") === "")
+    assert(got(3L).getAs[Long]("n_kept") === 0)
+
+    // partitioning invariance: the census min is associative
+    val re = TextOps.dedupLines(docs.repartition(7), "doc_id", "text", 30)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert((0L to 3L).forall(i => re(i) === got(i).getAs[String]("clean_text")))
+  }
 }
