@@ -235,16 +235,42 @@ object TextOps {
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  minChars: Int): DataFrame = {
-    val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\n", -1)).as(Seq("ln", "line")))
+    val lines = splitLines(docs, idCol, textCol)
     val big = lines.filter(length(col("line")) >= minChars)
-    val firsts = big
+    val kept = lines.filter(length(col("line")) < minChars)
+      .unionByName(keepFirstLines(big, idCol))
+    reassembleLines(docs, idCol, textCol, kept)
+  }
+
+  /** `(idCol, ln, line)` — 0-based line index per document. Shared by
+    * the batch operator and the streaming admission twin
+    * ([[graft.streaming.LineDedupStream]]) so line boundaries cannot
+    * drift between them.
+    */
+  def splitLines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("ln", "line")))
+
+  /** Keep-first over `(idCol, ln, line)` rows: of all rows sharing a
+    * line (by md5 digest), the one with the smallest `(id, ln)`
+    * survives — the map-side-combinable census + semi-join described
+    * in [[dedupLines]]'s scaladoc.
+    */
+  def keepFirstLines(rows: DataFrame, idCol: String): DataFrame = {
+    val firsts = rows
       .select(col(idCol), col("ln"), md5(col("line")).as("__h"))
       .groupBy(col("__h"))
       .agg(min(struct(col(idCol).as("id"), col("ln").as("ln"))).as("__f"))
       .select(col("__f.id").as(idCol), col("__f.ln").as("ln"))
-    val kept = lines.filter(length(col("line")) < minChars)
-      .unionByName(big.join(firsts, Seq(idCol, "ln"), "left_semi"))
+    rows.join(firsts, Seq(idCol, "ln"), "left_semi")
+  }
+
+  /** The reassembly tail shared by batch and stream: kept lines
+    * re-joined in original order, every input document represented
+    * (fully-deduped documents come back empty, not null).
+    */
+  def reassembleLines(docs: DataFrame, idCol: String, textCol: String,
+                      kept: DataFrame): DataFrame = {
     val rebuilt = kept.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_kept"),
       expr("array_join(transform(array_sort(collect_list(struct(ln, line)))," +
