@@ -249,6 +249,28 @@ object ExtensionProbe {
     }
     }
 
+    if (on("line")) {
+    // --- corpus-level line dedup (t42's operator at corpus scale) ---
+    // The derived-scale corpora are clone corpora (ScaleUp keeps text,
+    // shifts ids), so at ×100 the page derivation yields ~100 copies
+    // of every BODY line and 500 k copies of the global footer — the
+    // hot-key stress the census design exists for: min(struct) folds
+    // the hottest line per-partition before the exchange, where a
+    // row_number-over-line window would put all its copies in one task.
+    val pages = graft.Tables.documents(spark, sfDir).select($"doc_id",
+      concat(
+        lit("HEADER "), $"source", lit(" :: all rights reserved\n"),
+        $"text", lit("\n"),
+        lit("SHARE subscribe to "), $"source", lit(" newsletter today\n"),
+        lit("COPYRIGHT footer common to every page of the crawl")).as("page"))
+    timed("line_dedup_pages", nDocs) {
+      val out = graft.text.TextOps.dedupLines(pages, "doc_id", "page", 30)
+        .agg(count(lit(1)), sum($"n_kept")).head()
+      println(s"""{"detail":"line_dedup","n_docs":${out.getLong(0)},"kept_lines":${out.getLong(1)}}""")
+      out.getLong(0)
+    }
+    }
+
     if (on("sample")) {
     // --- weighted sampling ------------------------------------------
     timed("weighted_sample_100", nDocs) {

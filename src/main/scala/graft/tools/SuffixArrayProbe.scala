@@ -111,39 +111,33 @@ object SuffixArrayProbe {
     // per-round lake writes, not executor-local scratch (the r15 note).
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     docs.cache(); docs.count()
-    var trows: org.apache.spark.sql.DataFrame = null
-    timed("token_rows_bpe30") {
-      val merges = graft.text.BpeTrainer.train(docs, "text", 30)
-      val enc = graft.text.BpeTrainer.encode(docs, "doc_id", "text", merges)
-      val tr = enc
-        .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos0", "tok")))
-        .select(col("doc_id"), (col("pos0") + 1L).as("pos"), col("tok"))
-      val dict = graft.operators.GlobalRank.withGlobalRank(
-        tr.select(col("tok")).distinct(), "code", nParts = 32, col("tok"))
-      val (ck, _, n) = graft.operators.Checkpoints.eagerCounted(
-        tr.join(dict, Seq("tok")).select(col("doc_id"), col("pos"), col("code")))
-      trows = ck
-      n
-    }
-    if (group == "token-build") {
-      timed("token_sa_build_no_levels") {
-        graft.text.SuffixArray.buildIndexFromRows(
-          docs.select(col("doc_id")), trows, "doc_id", sepCode = 0L,
-          retainLevels = false).total
+    def tokenRows(): org.apache.spark.sql.DataFrame = {
+      var trows: org.apache.spark.sql.DataFrame = null
+      timed("token_rows_bpe30") {
+        val merges = graft.text.BpeTrainer.train(docs, "text", 30)
+        val enc = graft.text.BpeTrainer.encode(docs, "doc_id", "text", merges)
+        val tr = enc
+          .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos0", "tok")))
+          .select(col("doc_id"), (col("pos0") + 1L).as("pos"), col("tok"))
+        val dict = graft.operators.GlobalRank.withGlobalRank(
+          tr.select(col("tok")).distinct(), "code", nParts = 32, col("tok"))
+        val (ck, _, n) = graft.operators.Checkpoints.eagerCounted(
+          tr.join(dict, Seq("tok")).select(col("doc_id"), col("pos"), col("code")))
+        trows = ck
+        n
       }
-      spark.stop()
-      return
+      trows
     }
     if (group == "token-lcp-resume") {
       // Resume the ×100 FULL chain's LCP + cut legs from a level store
       // whose build leg already completed in a dead JVM (args(2) = the
-      // store dir): the addressing is recomputed deterministically
-      // (BPE → encode → global ranks are all deterministic, so the
-      // gids are bitwise the build's own) and backfilled into the
-      // store if the build predates the addr-persist contract.
+      // store dir). The BPE re-encode is paid ONLY when the store
+      // predates the addr-persist contract: the addressing is then
+      // recomputed deterministically (BPE → encode → global ranks, so
+      // the gids are bitwise the build's own) and backfilled.
       val store = args(2)
-      val addrPath = new java.io.File(s"$store/addr")
-      if (!addrPath.exists()) {
+      if (!new java.io.File(s"$store/addr").exists()) {
+        val trows = tokenRows()
         timed("token_addr_backfill") {
           val addr = graft.text.SuffixArray.addressingOfRows(
             docs.select(col("doc_id")), trows, "doc_id", sepCode = 0L)
@@ -184,6 +178,16 @@ object SuffixArrayProbe {
           .agg(count(lit(1))).head().getLong(0)
         println(s"""{"detail":"token_span_removal","kept_tokens":$kept}""")
         kept
+      }
+      spark.stop()
+      return
+    }
+    val trows: org.apache.spark.sql.DataFrame = tokenRows()
+    if (group == "token-build") {
+      timed("token_sa_build_no_levels") {
+        graft.text.SuffixArray.buildIndexFromRows(
+          docs.select(col("doc_id")), trows, "doc_id", sepCode = 0L,
+          retainLevels = false).total
       }
       spark.stop()
       return
