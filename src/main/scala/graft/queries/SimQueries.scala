@@ -2817,28 +2817,45 @@ object SimQueries {
     // end through the exact expansion.
     val repMap = graft.operators.Checkpoints.eager(
       graft.similarity.Ann.representatives(emb, "vec_id", "embedding"))._1
-    val reps = emb.join(
-      repMap.where($"vec_id" === $"rep").select($"vec_id"), "vec_id")
-    val n = reps.count()
+    // reps is referenced by the rank pass and EVERY layer build —
+    // checkpoint once (eagerCounted also yields the n the layer sizes
+    // need) instead of re-executing the emb⋈repMap join per reference
+    // (optimization r17; guide §1.2 "don't compute things twice").
+    val (reps, _, n) = graft.operators.Checkpoints.eagerCounted(
+      emb.join(repMap.where($"vec_id" === $"rep").select($"vec_id"), "vec_id"))
     val ranks = graft.similarity.Ann.hnswRanks(reps, "vec_id")
-    val ranked = reps.join(ranks, "vec_id")
+    val ranked = graft.operators.Checkpoints.eager(reps.join(ranks, "vec_id"))._1
     // Upper-layer graphs are layer-sized (n/8^ℓ); each symmetrized edge
     // table is eagerly checkpointed so the hops consume a materialized
     // artifact (the presymmetrized contract), not a re-executed build.
-    val uppers = (hnswLayers to 1 by -1).map { lyr =>
-      val members = ranked
-        .filter($"hrank" <= graft.similarity.Ann.layerSize(n, lyr, hnswFanout))
-        .select($"vec_id", $"label", $"embedding")
+    // The four builds (3 uppers + layer 0) are INDEPENDENT once
+    // `ranked`/`reps` are materialized, and each uses a fraction of the
+    // cores at bench scale — build them as concurrent Spark jobs (guide
+    // §2.6 "overlap independent jobs": FIFO back-fill; results are the
+    // checkpointed tables either way, bit-identical).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val upperF = (hnswLayers to 1 by -1).map { lyr =>
+      Future {
+        val members = ranked
+          .filter($"hrank" <= graft.similarity.Ann.layerSize(n, lyr, hnswFanout))
+          .select($"vec_id", $"label", $"embedding")
+        graft.operators.Checkpoints.eager(
+          graft.similarity.Ann.symmetrize(
+            graft.similarity.Ann.knnGraph(
+              members, "vec_id", "embedding", "label", k = hnswKUpper, nprobe = hnswNprobe)))._1
+      }
+    }
+    // Layer 0: e21's degree-16 label graph shape, over representatives.
+    val edges0F = Future {
       graft.operators.Checkpoints.eager(
         graft.similarity.Ann.symmetrize(
           graft.similarity.Ann.knnGraph(
-            members, "vec_id", "embedding", "label", k = hnswKUpper, nprobe = hnswNprobe)))._1
+            reps, "vec_id", "embedding", "label", k = 16, nprobe = graphNprobe)))._1
     }
-    // Layer 0: e21's degree-16 label graph shape, over representatives.
-    val edges0 = graft.operators.Checkpoints.eager(
-      graft.similarity.Ann.symmetrize(
-        graft.similarity.Ann.knnGraph(
-          reps, "vec_id", "embedding", "label", k = 16, nprobe = graphNprobe)))._1
+    val uppers = upperF.map(Await.result(_, 10.minutes))
+    val edges0 = Await.result(edges0F, 10.minutes)
     val corpus = emb.select($"vec_id", $"embedding")
     val panel = corpus.filter($"vec_id" < 10)
     val topEntries = ranks.filter($"hrank" <= 2).select($"vec_id".as("bid"))

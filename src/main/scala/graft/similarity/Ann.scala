@@ -517,9 +517,14 @@ object Ann {
     require((entries != null) ^ (entryPairs != null),
       "beamSearchKnn: pass exactly one of entries (global start set) / " +
         "entryPairs (per-query seeds)")
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val base = corpus.select(col(idCol).as("bid"), col(vecCol).as("bv"))
-    val fwd = graph.select(col("qid").as("__src"), col("bid").as("__dst"))
+    val spark = corpus.sparkSession
+    val qidType = queries.schema(idCol).dataType
+    val bidType = corpus.schema(idCol).dataType
+    val vecElemType = corpus.schema(vecCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val base = corpus.select(col(idCol).cast("long").as("bid"), col(vecCol).as("bv"))
+    val fwd = graph.select(
+      col("qid").cast("long").as("__src"), col("bid").cast("long").as("__dst"))
     // Symmetrize ONCE and checkpoint: every hop re-reads the edge
     // table, and an unmaterialized union+distinct would re-shuffle the
     // N·k rows per hop. A production deployment materializes the
@@ -532,60 +537,139 @@ object Ann {
       else graft.operators.Checkpoints.eager(
         fwd.unionByName(fwd.select(col("__dst").as("__src"), col("__src").as("__dst")))
           .distinct())
-    val beamW = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("bid"))
-    // The frontier is |queries|·beam·(degree+1) rows — ALWAYS the tiny
-    // side. Broadcast it explicitly against both big relations, so a
-    // hop is two parallel scans (edge table, corpus) with ZERO shuffle
-    // of anything corpus-sized, amortized over the whole query batch
-    // (left to stats, a cold run shuffle-joins the N·k edge table per
-    // hop: measured 22→30 MB shuffled per search at ×10 before the
-    // hints, ~0 after).
-    def rescore(cand: DataFrame): DataFrame =
-      base.join(broadcast(cand.join(q, "qid")), Seq("bid"))
+
+    // THE FRONTIER LIVES ON THE DRIVER (optimization round 17; guide
+    // §1.2 "remove unnecessary passes" + §8 "decide with small rows").
+    // Everything driver-held here is QUERY-BATCH-sized and corpus-
+    // INDEPENDENT — |queries| vectors, |queries|·beam·(degree+1) scored
+    // pairs per hop — the same bounded class as a broadcast centroid
+    // table, never the corpus or the N·k edge table (those stay
+    // distributed and are only scanned against a broadcast of the
+    // frontier). The previous shape materialized every hop as an eager
+    // localCheckpoint + window re-rank: 4–6 scheduler round-trips per
+    // hop (AQE stage jobs, broadcast builds, checkpoint counts), which
+    // on the bench host costs ~0.1 s each while the data work is
+    // micro-seconds — e22b measured 159 jobs / 5.6 s wall for 1.6 s of
+    // executor time. This shape is 1–2 jobs per hop (neighbour fetch
+    // over the edge table, cosine scoring over the corpus — both
+    // pure broadcast-join scans, zero shuffle, no per-hop window), plus
+    // driver-side score/adjacency caches so a pair is never re-scored
+    // and a node's neighbours never re-fetched, and a provable early
+    // exit: scores are deterministic (6-dp round, id tiebreak), so a
+    // hop that leaves every query's beam unchanged fixes all later
+    // beams — remaining hops are skipped with bit-identical results.
+    // It is also how a production graph-ANN serving tier works: the
+    // coordinator holds per-query frontiers, index shards answer
+    // neighbour/score lookups.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val qRows = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .collect()
+    val qids: Array[Long] = qRows.map(_.getLong(0))
+    val qvec: Map[Long, Any] = qRows.map(r => r.getLong(0) -> r.get(1)).toMap
+    val pairSchema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("bid", LongType, nullable = false),
+      StructField("qv", ArrayType(vecElemType), nullable = true)))
+    // Deterministic pair scoring: one broadcast-join scan of the corpus
+    // per hop, exactly the expression the old shape evaluated
+    // (round(cosine(qv, bv), 6) — double precision, left-to-right), so
+    // every score is bit-identical to the previous implementation.
+    val scoreCache = scala.collection.mutable.HashMap[(Long, Long), Double]()
+    def score(pairs: Seq[(Long, Long)]): Unit = {
+      val fresh = pairs.filterNot(scoreCache.contains)
+      if (fresh.isEmpty) return
+      val rows = fresh.map { case (q, b) => Row(q, b, qvec(q)) }.asJava
+      val pdf = spark.createDataFrame(rows, pairSchema)
+      base.join(broadcast(pdf), Seq("bid"))
         .select(col("qid"), col("bid"),
           round(cosine(col("qv"), col("bv")), 6).as("cosine"))
-        .withColumn("__r", row_number().over(beamW))
-        .filter(col("__r") <= beamWidth)
-        .select(col("qid"), col("bid"), col("cosine"))
+        .collect()
+        .foreach(r => scoreCache((r.getLong(0), r.getLong(1))) = r.getDouble(2))
+    }
+    // Adjacency fetch, cached per node: one broadcast-join scan of the
+    // (distributed) edge table per hop, restricted to ids not yet seen.
+    val adjCache = scala.collection.mutable.HashMap[Long, Array[Long]]()
+    def fetchAdj(ids: Seq[Long]): Unit = {
+      val fresh = ids.filterNot(adjCache.contains)
+      if (fresh.isEmpty) return
+      val idDf = spark.createDataFrame(
+        fresh.map(Row(_)).asJava,
+        StructType(Seq(StructField("__src", LongType, nullable = false))))
+      val got = edges.join(broadcast(idDf), Seq("__src"))
+        .select(col("__src"), col("__dst")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (s, rs) => s -> rs.map(_.getLong(1)) }
+      fresh.foreach(s => adjCache(s) = got.getOrElse(s, Array.empty[Long]))
+    }
+    // Beam ordering = the old window's (cosine desc, bid asc) with
+    // Spark's double total order (NaN greatest, -0.0 < 0.0).
+    val ord = Ordering.Tuple2(
+      Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+    def topBeam(qid: Long, cand: Iterable[Long], width: Int): Array[Long] =
+      cand.toArray.map(b => (scoreCache((qid, b)), b)).sortBy(identity)(ord)
+        .take(width).map(_._2)
+    def noSelf(qid: Long, ids: Iterable[Long]): Iterable[Long] =
+      if (excludeSelf) ids.filter(_ != qid) else ids
+
     // Hop 0: every query starts at the entry ids (minus itself — a
     // corpus query must not retrieve itself, e1's convention). Two
     // seeding modes: GLOBAL entries (every query starts at the same
-    // broadcast id set — e21's flat convention) or PER-QUERY
-    // `entryPairs` (qid, bid) — the hierarchical mode, where a coarser
-    // layer's walk already picked starts near each query (e22; HNSW's
-    // layer descent). Per-query seeds keep hop 0 CONSTANT-width as the
-    // corpus grows, where the flat 2-per-list set grows with the list
-    // count — the measured reason the layered tier exists (PLANS.md
-    // round-16 ×100 rows).
-    // `excludeSelf = false` is the REPRESENTATIVE-walk mode (e22): when
-    // the graph indexes duplicate-class representatives, a query that
-    // IS a representative must still retrieve its own node — its clones
-    // are served from it by [[expandClones]], which applies the
-    // self-exclusion at member level instead.
-    def noSelf(df: DataFrame): DataFrame =
-      if (excludeSelf) df.where(col("qid") =!= col("bid")) else df
-    val seed0 =
-      if (entryPairs != null) noSelf(entryPairs.select(col("qid"), col("bid")))
-      else noSelf(q.select(col("qid")).crossJoin(broadcast(entries.toDF("bid"))))
-    var (beam, tok) = graft.operators.Checkpoints.eager(rescore(seed0))
-    for (_ <- 1 to hops) {
-      val cand = noSelf(
-        edges.join(broadcast(beam), beam("bid") === col("__src"))
-          .select(col("qid"), col("__dst").as("bid")))
-        .unionByName(beam.select(col("qid"), col("bid")))
-        .distinct()
-      val (ck, t) = graft.operators.Checkpoints.eager(rescore(cand))
-      tok.free()
-      beam = ck
-      tok = t
+    // id set — e21's flat convention) or PER-QUERY `entryPairs`
+    // (qid, bid) — the hierarchical mode, where a coarser layer's walk
+    // already picked starts near each query (e22; HNSW's layer
+    // descent). `excludeSelf = false` is the REPRESENTATIVE-walk mode
+    // (e22): clones are served from their representative by
+    // [[expandClones]], which applies self-exclusion at member level.
+    val seeds: Map[Long, Seq[Long]] =
+      if (entryPairs != null) {
+        val ps = entryPairs.select(
+          col("qid").cast("long"), col("bid").cast("long")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ps.groupBy(_._1).map { case (q, rs) =>
+          q -> noSelf(q, rs.map(_._2).toSeq).toSeq.distinct }
+      } else {
+        val es = entries.toDF("bid").select(col("bid").cast("long")).collect()
+          .map(_.getLong(0)).toSeq.distinct
+        qids.map(q => q -> noSelf(q, es).toSeq).toMap
+      }
+    score(seeds.toSeq.flatMap { case (q, bs) => bs.map(q -> _) })
+    var beam: Map[Long, Array[Long]] = seeds.map { case (q, bs) =>
+      q -> topBeam(q, bs, beamWidth) }
+    var hop = 0
+    var converged = false
+    while (hop < hops && !converged) {
+      fetchAdj(beam.valuesIterator.flatten.toSeq.distinct)
+      val cand: Map[Long, Seq[Long]] = beam.map { case (q, bs) =>
+        q -> (noSelf(q, bs.iterator.flatMap(adjCache(_)).toSeq).toSeq ++ bs)
+          .distinct
+      }
+      score(cand.toSeq.flatMap { case (q, bs) => bs.map(q -> _) })
+      val next = cand.map { case (q, bs) => q -> topBeam(q, bs, beamWidth) }
+      // Deterministic fixed point: unchanged beams reproduce themselves
+      // on every later hop (same candidates → same scores → same rank),
+      // so the remaining hops are provably identity — skip them.
+      converged = beam.forall { case (q, bs) =>
+        java.util.Arrays.equals(bs, next(q)) }
+      beam = next
+      hop += 1
     }
-    // the final beam is checkpointed — the edge blocks can go now
     edgeTok.free()
-    beam
-      .withColumn("rank", row_number().over(beamW).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("bid"), col("cosine"))
+    val out = beam.toSeq.sortBy(_._1).flatMap { case (q, bs) =>
+      bs.take(k).zipWithIndex.map { case (b, i) =>
+        Row(q, (i + 1).toLong, b, scoreCache((q, b)))
+      }
+    }
+    spark.createDataFrame(
+      out.asJava,
+      StructType(Seq(
+        StructField("qid", LongType, nullable = false),
+        StructField("rank", LongType, nullable = false),
+        StructField("bid", LongType, nullable = false),
+        StructField("cosine", DoubleType, nullable = true))))
+      .select(col("qid").cast(qidType).as("qid"), col("rank"),
+        col("bid").cast(bidType).as("bid"), col("cosine"))
   }
 
   /** One node's candidate row for [[selectDiverse]]: candidates arrive
