@@ -37,15 +37,26 @@ object GlobalRank {
     */
   private def prefixed(df: DataFrame, nParts: Int, agg: Column,
                        ord: Seq[Column], zero: Long = 0L,
-                       combine: (Long, Long) => Long = _ + _)
-      : (DataFrame, Long, Checkpoints.Token) = {
+                       combine: (Long, Long) => Long = _ + _,
+                       extra: Option[Column] = None)
+      : (DataFrame, Long, Checkpoints.Token, Long) = {
     val (parted, token) = Checkpoints.eager(df
       .repartitionByRange(nParts, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("__pid", spark_partition_id()))
-    // Pass 1: per-partition aggregates — |partitions| rows to the driver.
-    val sizes = parted.groupBy(col("__pid")).agg(agg.as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // Pass 1: per-partition aggregates — |partitions| rows to the
+    // driver. A caller-supplied `extra` per-partition aggregate rides
+    // the SAME collect (summed across partitions) so iterated callers
+    // — the suffix-array doubling rounds need the next live count —
+    // never pay a separate action for a statistic this pass already
+    // visits every row for (optimization r17, guide §1.2).
+    val aggs = Seq(agg.as("n")) ++ extra.map(_.cast("long").as("x"))
+    val collected = parted.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val sizes = collected.map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val extraTotal =
+      if (extra.isEmpty) 0L
+      else collected.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
     // Exclusive prefix under `combine` (sum for ranks/running sums,
     // max for running maxima).
     val offsets = sizes.scanLeft((0, zero)) { case ((_, acc), (pid, n)) =>
@@ -54,7 +65,8 @@ object GlobalRank {
     val spark = df.sparkSession
     import spark.implicits._
     val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
-    (parted.join(offDf, Seq("__pid")), sizes.map(_._2).foldLeft(zero)(combine), token)
+    (parted.join(offDf, Seq("__pid")),
+      sizes.map(_._2).foldLeft(zero)(combine), token, extraTotal)
   }
 
   /** [[withGlobalRankCounted]] plus the staged run's checkpoint token
@@ -63,7 +75,7 @@ object GlobalRank {
     */
   def withGlobalRankTracked(df: DataFrame, rankCol: String, nParts: Int,
                             ord: Column*): (DataFrame, Long, Checkpoints.Token) = {
-    val (run, total, token) =
+    val (run, total, token, _) =
       prefixed(df, nParts, coalesce(count(lit(1)), lit(0L)), ord)
     // Pass 2: parallel per-partition rank + broadcast offset.
     val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
@@ -126,13 +138,31 @@ object GlobalRank {
   def withGlobalPrefixSumTracked(df: DataFrame, sumCol: String, value: Column,
                                  nParts: Int, ord: Column*)
       : (DataFrame, Checkpoints.Token) = {
-    val (run, _, token) = prefixed(df, nParts,
+    val (run, _, token, _) = prefixed(df, nParts,
       coalesce(sum(value.cast("long")), lit(0L)), ord)
     val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     (run
       .withColumn(sumCol, (col("__off") + sum(value.cast("long")).over(w)).cast("long"))
       .drop("__pid", "__off"), token)
+  }
+
+  /** [[withGlobalPrefixSumTracked]] plus a SECOND driver-side statistic
+    * computed on the same pass-1 collect: `extra` is aggregated per
+    * partition and summed across partitions. Iterated callers (the
+    * suffix-array doubling loop) read their convergence statistic here
+    * instead of paying one more full-relation action per round.
+    */
+  def withGlobalPrefixSumAgg(df: DataFrame, sumCol: String, value: Column,
+                             nParts: Int, extra: Column, ord: Column*)
+      : (DataFrame, Long, Checkpoints.Token) = {
+    val (run, _, token, x) = prefixed(df, nParts,
+      coalesce(sum(value.cast("long")), lit(0L)), ord, extra = Some(extra))
+    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (run
+      .withColumn(sumCol, (col("__off") + sum(value.cast("long")).over(w)).cast("long"))
+      .drop("__pid", "__off"), x, token)
   }
 
   /** Add `maxCol` — the running max of `value` over STRICTLY PRECEDING
@@ -145,7 +175,7 @@ object GlobalRank {
     */
   def withGlobalPrefixMaxExcl(df: DataFrame, maxCol: String, value: Column,
                               nParts: Int, ord: Column*): DataFrame = {
-    val (run, _, _) = prefixed(df, nParts,
+    val (run, _, _, _) = prefixed(df, nParts,
       coalesce(max(value.cast("long")), lit(Long.MinValue)), ord,
       zero = Long.MinValue, combine = math.max)
     val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)

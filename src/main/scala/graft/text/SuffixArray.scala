@@ -106,6 +106,18 @@ object SuffixArray {
   private[text] def derivedBuildParts(sessionParts: Int, total: Long): Int =
     math.max(sessionParts, math.min(2048L, total / 1000000L).toInt)
 
+  /** Rounds whose live population is at most this bound rank their
+    * distinct pairs ON THE DRIVER (one bounded collect — the same class
+    * as the alphabet table) instead of the two-pass range partition;
+    * the value bounds driver memory at ~3 longs × this many rows.
+    * Overridable (system property first, then env) so specs can force
+    * either path and scale probes can tune it.
+    */
+  private[text] def driverRankMax: Long =
+    sys.props.get("spark.graft.sa.driverRankMax")
+      .orElse(sys.env.get("SPARK_GRAFT_SA_DRIVER_RANK_MAX"))
+      .map(_.toLong).getOrElse(65536L)
+
   /** `(doc_id, pos, code)` — 1-based CODEPOINT positions (never UTF-16
     * units: surrogate pairs are one position, matching DuckDB / SQL
     * `length`/`substr` semantics).
@@ -262,22 +274,64 @@ object SuffixArray {
         .select(col("a.gid").as("gid"), col("a.rank").as("r1"),
           coalesce(col("b.rank"), lit(-1L)).as("r2")), diskOnly = scaleUp)
       val d = pairs.groupBy(col("r1"), col("r2")).agg(count(lit(1)).as("c"))
-      val (cum, tokG) = GlobalRank.withGlobalPrefixSumTracked(
-        d, "cum", col("c"), np, col("r1"), col("r2"))
-      // gpair = competition rank of the pair's positions over the live
-      // rows; minG = the group's first such rank, so the group-relative
-      // offset (gpair - ming) added to the group's frozen base rank r1
-      // is the exact new global competition rank.
-      val g = cum.withColumn("gpair", col("cum") - col("c") + 1L)
-      val minG = g.groupBy(col("r1")).agg(min(col("gpair")).as("ming"))
-      val (rankedPairs, tokR, _) = Checkpoints.eagerCounted(g.join(minG, Seq("r1"))
-        .select(col("r1"), col("r2"),
-          (col("r1") + col("gpair") - col("ming")).as("nrank"), col("c")),
-        diskOnly = scaleUp)
-      // next round's live population — |D|-row aggregate, read before
-      // the full-frame write so the loop condition is free afterwards
-      nActive = rankedPairs.filter(col("c") > 1L)
-        .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      // Re-rank the distinct live pairs, SIZE-ADAPTIVELY (optimization
+      // r17, guide §1.2/§8 "decide with small rows"): the live
+      // population `nActive` is known BEFORE the round, so a round
+      // whose distinct-pair relation is at most `driverRankMax` rows
+      // ranks it ON THE DRIVER — one |D|-row collect (the same bounded
+      // class as the alphabet table [[initialRanks]] already collects),
+      // exact integer arithmetic, broadcast back as a local relation —
+      // instead of paying the two-pass range partition's three actions
+      // (range-sampling job, staged-run checkpoint, offsets collect)
+      // per round. Big rounds (early rounds of a 100 TB build) keep the
+      // distributed two-pass; freezing shrinks every build into the
+      // driver path's range for its tail rounds. Both paths compute the
+      // identical competition ranks (spec-pinned equality in
+      // SuffixArraySpec).
+      val (rankedPairs, act, tokG) =
+        if (nActive <= driverRankMax) {
+          val rows = d.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .sortBy(t => (t._1, t._2))
+          var cum = 0L
+          var curR1 = Long.MinValue
+          var ming = 0L
+          var liveNext = 0L
+          val out = new Array[(Long, Long, Long, Long)](rows.length)
+          var i = 0
+          while (i < rows.length) {
+            val (r1, r2, c) = rows(i)
+            val gpair = cum + 1L
+            cum += c
+            if (r1 != curR1) { curR1 = r1; ming = gpair }
+            if (c > 1L) liveNext += c
+            out(i) = (r1, r2, r1 + gpair - ming, c)
+            i += 1
+          }
+          import spark.implicits._
+          (broadcast(out.toSeq.toDF("r1", "r2", "nrank", "c")),
+            liveNext, Checkpoints.none(d))
+        } else {
+          // The prefix-sum's pass-1 collect also returns the next
+          // round's live population (previously a separate |D|-row
+          // action), and the ranked-pair relation is consumed exactly
+          // once (the join-back), so it needs no checkpoint of its own.
+          val (cum, act0, tok) = GlobalRank.withGlobalPrefixSumAgg(
+            d, "cum", col("c"), np,
+            sum(when(col("c") > 1L, col("c")).otherwise(lit(0L))),
+            col("r1"), col("r2"))
+          // gpair = competition rank of the pair's positions over the
+          // live rows; minG = the group's first such rank, so the
+          // group-relative offset (gpair - ming) added to the group's
+          // frozen base rank r1 is the exact new global rank.
+          val g = cum.withColumn("gpair", col("cum") - col("c") + 1L)
+          val minG = g.groupBy(col("r1")).agg(min(col("gpair")).as("ming"))
+          (g.join(minG, Seq("r1"))
+            .select(col("r1"), col("r2"),
+              (col("r1") + col("gpair") - col("ming")).as("nrank"), col("c")),
+            act0, tok)
+        }
+      nActive = act
       val pairsSide =
         if (scaleUp) pairs.repartition(bp, col("r1"), col("r2")) else pairs
       val assigned = pairsSide.join(rankedPairs, Seq("r1", "r2"))
@@ -287,7 +341,7 @@ object SuffixArray {
         full.filter(!col("live")).unionByName(assigned), diskOnly = scaleUp)
       // Free the round's scratch and the superseded full frame (levels
       // are independent snapshots, so this is safe either way).
-      tokP.free(); tokG.free(); tokR.free(); tokF.free()
+      tokP.free(); tokG.free(); tokF.free()
       full = nextFull
       tokF = tokF2
       // Freezing-decay trace (SPARK_GRAFT_SA_DEBUG=1): the per-round

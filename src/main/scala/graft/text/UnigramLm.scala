@@ -74,20 +74,23 @@ object UnigramLm {
     * longer words fail loudly (production corpora pre-split them —
     * SentencePiece caps sentence/word lengths the same way).
     */
+  /** One word's scored candidate for the typed DP: piece of length `l`
+    * ending at position `i` with micro-nat score `s`.
+    */
+  private[text] case class VitCand(i: Int, l: Int, s: Long)
+  private[text] case class VitWord(w: String, freq: Long, cs: Seq[VitCand])
+
   def viterbi(
       words: DataFrame,
       scores: DataFrame,
       maxWordLen: Int,
       maxPiece: Int,
       excludeWholeWord: Boolean = false): (DataFrame, graft.operators.Checkpoints.Token) = {
+    val spark = words.sparkSession
+    import spark.implicits._
     val tooLong = words.filter(length(col("w")) > maxWordLen).limit(1).count()
     require(tooLong == 0L,
       s"UnigramLm.viterbi: a word exceeds maxWordLen=$maxWordLen — pre-split the corpus")
-    // The scored candidates feed every DP level — checkpoint ONCE, and
-    // checkpoint each level too: level i's plan references the prior
-    // maxPiece levels, so unsevered lineage would re-evaluate the
-    // candidate join a Fibonacci-growing number of times (measured
-    // 177 s for the sf0.1 encode before severing; ~4 s after).
     // `excludeWholeWord` drops the single piece spanning the entire
     // word (l = len(w) ⇒ i = len(w)) — the prune step's DP, which
     // scores the best segmentation of a piece's own string into
@@ -99,72 +102,78 @@ object UnigramLm {
         explode(sequence(lit(1), least(lit(maxPiece), col("i")))).as("l"))
     val candAll = if (excludeWholeWord) candBase.filter(col("l") < length(col("w")))
                   else candBase
-    val (cand, candTok) = graft.operators.Checkpoints.eager(candAll
+    // The WHOLE per-word DP runs in one typed map over each word's
+    // collected candidate list (≤ maxWordLen × maxPiece small structs —
+    // bounded local work, the selectDiverse discipline), replacing the
+    // previous maxWordLen checkpointed join-per-level rounds: one
+    // scored-candidate shuffle + one groupBy instead of ~maxWordLen
+    // actions (optimization r17, guide §1.2 — measured 139 Spark jobs
+    // for the sf0.1 t41 gate, nearly all fixed per-job cost). Scores
+    // are integer micro-nats, so best(i) = best(i−l) + s is the same
+    // exact long arithmetic the join-per-level rounds did, and the
+    // (v desc, l asc) tie-break is replicated verbatim.
+    val packed = candAll
       .select(col("w"), col("i"), col("l"),
         expr("substring(w, i - l + 1, l)").as("piece"))
       .join(scores, Seq("piece"))
-      .select(col("w"), col("i"), col("l"), col("s")))
-    // DP forward: best(w, 0) = 0; best(w, i) = max over l of
-    // best(w, i-l) + s, tie -> min l (recorded as bl for backtracking)
-    var best = words.select(col("w"), lit(0).as("pos"),
-      lit(0L).as("bval"), lit(0).as("bl"))
-    val levelToks = scala.collection.mutable.ArrayBuffer
-      .empty[graft.operators.Checkpoints.Token]
-    for (i <- 1 to maxWordLen) {
-      val prev = best.select(col("w").as("pw"), col("pos").as("ppos"),
-        col("bval").as("pval"))
-      val step = cand.filter(col("i") === i)
-        .join(prev, col("w") === col("pw") && col("ppos") === col("i") - col("l"))
-        .select(col("w"), col("i").as("pos"),
-          (col("pval") + col("s")).as("v"), col("l"))
-      val win = Window.partitionBy(col("w")).orderBy(col("v").desc, col("l"))
-      val (bi, biTok) = graft.operators.Checkpoints.eager(
-        step.withColumn("r", row_number().over(win))
-          .filter(col("r") === 1)
-          .select(col("w"), col("pos"), col("v").as("bval"), col("l").as("bl")))
-      levelToks += biTok
-      best = best.unionByName(bi)
-    }
-    // backtrack: bl per position as a dense array, then one bounded
-    // fold reconstructs the piece sequence (maxWordLen iterations)
-    val blArr = best.filter(col("pos") > 0)
       .groupBy(col("w"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("bl")))).as("pb"))
-      .select(col("w"), transform(col("pb"), x => x.getField("bl")).as("bls"))
-    val walk = aggregate(
-      sequence(lit(1), lit(maxWordLen)),
-      struct(length(col("w")).as("pos"), lit("").as("seg")),
-      (acc, _) => {
-        val pos = acc.getField("pos")
-        val l = element_at(col("bls"), pos.cast("int"))
-        val piece = col("w").substr(pos - l + 1, l)
-        val seg0 = acc.getField("seg")
-        val seg = when(seg0 === "", piece).otherwise(concat(piece, lit(Sep), seg0))
-        when(pos > 0, struct((pos - l).as("pos"), seg.as("seg"))).otherwise(acc)
-      })
-    // COVERAGE GUARD, as loud as the maxWordLen check: the walk indexes
-    // `bls` by absolute position, so it is only correct when EVERY cell
-    // 1..len(w) was reached. An unreachable cell (encode() under a
-    // FROZEN score table over a corpus containing characters absent
-    // from the vocabulary) would leave the array short — positions
-    // misalign and segmentations go silently wrong — or drop the word
-    // entirely through an inner join. Left-join + raise_error makes
-    // both failure modes a per-word error naming the word.
-    val covered = words.join(blArr, Seq("w"), "left_outer")
-      .select(col("w"), col("freq"),
-        when(size(col("bls")) === length(col("w")), col("bls"))
-          .otherwise(raise_error(concat(
-            lit("UnigramLm.viterbi: word '"), col("w"),
-            lit("' has unreachable DP cells — a character is not in the "),
-            lit("vocabulary (frozen score table lacks its single-char pieces)"))))
-          .as("bls"))
-    val (seg, segTok) = graft.operators.Checkpoints.eager(
-      covered
-        .select(col("w"), col("freq"), walk.getField("seg").as("seg"))
-        .select(col("w"), col("freq"), col("seg"),
-          (size(split(col("seg"), Sep, -1))).cast("long").as("n_pieces")))
-    candTok.free()
-    levelToks.foreach(_.free())
+      .agg(collect_list(struct(col("i"), col("l"), col("s"))).as("cs"))
+    val sepStr = Sep
+    val segTyped = words.select(col("w"), col("freq").cast("long").as("freq"))
+      .join(packed, Seq("w"), "left_outer")
+      .as[VitWord]
+      .map { vw =>
+        // Spark's string length/substring are codepoint-based — walk
+        // codepoints so supplementary characters slice identically.
+        val cps = vw.w.codePoints().toArray
+        val lenW = cps.length
+        val cands = if (vw.cs == null) Seq.empty[VitCand] else vw.cs
+        val byI = cands.groupBy(_.i)
+        val best = new Array[Long](lenW + 1)
+        val bl = new Array[Int](lenW + 1)
+        val reached = new Array[Boolean](lenW + 1)
+        reached(0) = true
+        var i = 1
+        var allReached = true
+        while (i <= lenW) {
+          var bv = 0L; var bestL = 0; var any = false
+          byI.getOrElse(i, Nil).foreach { c =>
+            if (reached(i - c.l)) {
+              val v = best(i - c.l) + c.s
+              if (!any || v > bv || (v == bv && c.l < bestL)) {
+                bv = v; bestL = c.l; any = true
+              }
+            }
+          }
+          if (any) { best(i) = bv; bl(i) = bestL; reached(i) = true }
+          else allReached = false
+          i += 1
+        }
+        // COVERAGE GUARD, as loud as the maxWordLen check: a cell no
+        // candidate reaches (encode() under a FROZEN score table over a
+        // corpus containing characters absent from the vocabulary) must
+        // be a per-word error naming the word, never a silent
+        // misalignment or a dropped word.
+        if (!allReached)
+          throw new IllegalStateException(
+            "UnigramLm.viterbi: word '" + vw.w + "' has unreachable DP " +
+              "cells — a character is not in the vocabulary (frozen " +
+              "score table lacks its single-char pieces)")
+        val sb = new StringBuilder
+        var pos = lenW
+        var nPieces = 0L
+        while (pos > 0) {
+          val l = bl(pos)
+          val piece = new String(cps, pos - l, l)
+          if (sb.isEmpty) sb.append(piece)
+          else sb.insert(0, piece + sepStr)
+          nPieces += 1L
+          pos -= l
+        }
+        (vw.w, vw.freq, sb.toString, nPieces)
+      }
+      .toDF("w", "freq", "seg", "n_pieces")
+    val (seg, segTok) = graft.operators.Checkpoints.eager(segTyped)
     (seg, segTok)
   }
 

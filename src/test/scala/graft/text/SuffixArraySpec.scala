@@ -358,6 +358,27 @@ class SuffixArraySpec extends SparkSpec {
     assert(cut.exists(_.getLong(2) > 0), "fixture must actually cut something")
   }
 
+  test("driver-side pair ranking equals the distributed two-pass exactly") {
+    // The doubling loop ranks small rounds' distinct pairs on the
+    // driver (r17 optimization); forcing the threshold to 0 keeps every
+    // round on the distributed two-pass — the ranks must be identical.
+    val docs = Seq((0L, "banana bandana ana"), (1L, "banana bandana ana"),
+      (2L, "cabana banana"), (3L, "tail piece"))
+    val viaDriver = spark2(docs)
+    val prev = sys.props.put("spark.graft.sa.driverRankMax", "0")
+    try {
+      val viaTwoPass = spark2(docs)
+      assert(viaDriver == viaTwoPass,
+        "driver-rank path diverged from the distributed two-pass")
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("spark.graft.sa.driverRankMax", v)
+        case None => sys.props.remove("spark.graft.sa.driverRankMax")
+      }
+    }
+    assert(viaDriver == bruteSa(docs).sortBy(r => (r._1, r._2)))
+  }
+
   test("build parallelism derives from the measured position count") {
     // identity at gate scales (plans must stay byte-identical), ~1 M
     // positions per partition past the session width, capped at 2048
