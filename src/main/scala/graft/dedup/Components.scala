@@ -22,6 +22,63 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Edge sets at most this large are labelled ON THE DRIVER with one
+    * bounded collect + union-find (exactly the min-reachable-id labels
+    * both distributed forms converge to) instead of an iterated
+    * checkpoint-per-round loop — near-dup components are tiny, and the
+    * loop's wall at bench scale is pure per-round scheduler cost
+    * (optimization r17, guide §1.2/§8 "decide with small rows"). Edge
+    * lists beyond the bound keep the distributed algorithms untouched;
+    * the bound caps driver memory at ~2 longs × this many rows.
+    * Overridable (system property first, then env) so specs can force
+    * either path.
+    */
+  private[dedup] def driverComponentsMax: Long =
+    sys.props.get("spark.graft.cc.driverMax")
+      .orElse(sys.env.get("SPARK_GRAFT_CC_DRIVER_MAX"))
+      .map(_.toLong).getOrElse(65536L)
+
+  /** Min-reachable-id labels of a BOUNDED edge list, union-find on the
+    * driver; None when the edge set exceeds [[driverComponentsMax]]
+    * (the `limit(bound + 1)` probe returns every edge when it fits, and
+    * detects overflow without a count when it does not — one job either
+    * way). Only edge-participating vertices appear; singletons label
+    * themselves downstream.
+    */
+  private def driverLabels(pairs: DataFrame, aCol: String, bCol: String)
+      : Option[DataFrame] = {
+    val thr = driverComponentsMax
+    if (thr <= 0L) return None
+    val rows = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .limit(math.min(thr + 1L, Int.MaxValue.toLong).toInt).collect()
+    if (rows.length > thr) None
+    else {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      rows.foreach { e =>
+        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = rows.flatMap(e => Seq(e.getLong(0), e.getLong(1))).distinct
+      val roots = verts.map(v => v -> find(v)).toMap
+      val minOf = roots.values.toSeq.distinct
+        .map(r => r -> roots.collect { case (v, rr) if rr == r => v }.min).toMap
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      Some(broadcast(
+        verts.toSeq.map(v => (v, minOf(roots(v)))).toDF("__ccv", "__cclabel")))
+    }
+  }
+
   /** Label every vertex with the minimum vertex id reachable from it.
     *
     * @param vertices one row per vertex (singletons allowed — they keep
@@ -35,6 +92,12 @@ object Components {
       aCol: String,
       bCol: String,
       maxIter: Int = 20): DataFrame = {
+    driverLabels(pairs, aCol, bCol).foreach { lab =>
+      return vertices
+        .join(lab, col(idCol).cast("long") === col("__ccv"), "left")
+        .select(col(idCol),
+          coalesce(col("__cclabel"), col(idCol).cast("long")).as("component"))
+    }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true) // reused every round; sever source lineage
@@ -86,6 +149,12 @@ object Components {
       aCol: String,
       bCol: String,
       maxIter: Int = 30): DataFrame = {
+    driverLabels(pairs, aCol, bCol).foreach { lab =>
+      return vertices.select(col(idCol).cast("long").as("v"))
+        .join(lab, col("v") === col("__ccv"), "left")
+        .select(col("v").as(idCol),
+          coalesce(col("__cclabel"), col("v")).as("component"))
+    }
     var edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))

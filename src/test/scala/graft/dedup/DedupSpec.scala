@@ -225,21 +225,53 @@ class DedupSpec extends SparkSpec {
 
   test("Components: non-convergence fails loudly instead of returning wrong labels") {
     // A 6-deep chain cannot converge in 2 label-propagation rounds; the
-    // old behavior silently returned split component ids.
+    // old behavior silently returned split component ids. The loud
+    // error lives on the DISTRIBUTED path — force it (the driver
+    // union-find path always converges, by construction).
     val vertices = (0L to 6L).toDF("id")
     val chain = (0L until 6L).map(i => (i, i + 1)).toDF("a", "b")
-    val ex = intercept[IllegalStateException] {
-      Components.connectedComponents(vertices, "id", chain, "a", "b", maxIter = 2)
+    val prev = sys.props.put("spark.graft.cc.driverMax", "0")
+    try {
+      val ex = intercept[IllegalStateException] {
+        Components.connectedComponents(vertices, "id", chain, "a", "b", maxIter = 2)
+      }
+      assert(ex.getMessage.contains("largeSmallStar")) // points at the deep-graph path
+      val ex2 = intercept[IllegalStateException] {
+        Components.largeSmallStar(vertices, "id", chain, "a", "b", maxIter = 1)
+      }
+      assert(ex2.getMessage.contains("fixpoint"))
+      // And the same graph converges fine with the default budget.
+      val ok = Components.connectedComponents(vertices, "id", chain, "a", "b")
+        .collect().map(r => r.getLong(1)).distinct
+      assert(ok.toSeq === Seq(0L))
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("spark.graft.cc.driverMax", v)
+        case None => sys.props.remove("spark.graft.cc.driverMax")
+      }
     }
-    assert(ex.getMessage.contains("largeSmallStar")) // points at the deep-graph path
-    val ex2 = intercept[IllegalStateException] {
-      Components.largeSmallStar(vertices, "id", chain, "a", "b", maxIter = 1)
+  }
+
+  test("Components: driver union-find path equals the distributed paths exactly") {
+    val vertices = (0L to 9L).toDF("id")
+    val pairs = Seq((1L, 0L), (1L, 2L), (3L, 2L), (5L, 6L), (8L, 7L), (9L, 7L))
+      .toDF("a", "b")
+    def run() = (
+      Components.connectedComponents(vertices, "id", pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      Components.largeSmallStar(vertices, "id", pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val (ccDriver, lssDriver) = run()
+    val prev = sys.props.put("spark.graft.cc.driverMax", "0")
+    val (ccDist, lssDist) = try run() finally {
+      prev match {
+        case Some(v) => sys.props.put("spark.graft.cc.driverMax", v)
+        case None => sys.props.remove("spark.graft.cc.driverMax")
+      }
     }
-    assert(ex2.getMessage.contains("fixpoint"))
-    // And the same graph converges fine with the default budget.
-    val ok = Components.connectedComponents(vertices, "id", chain, "a", "b")
-      .collect().map(r => r.getLong(1)).distinct
-    assert(ok.toSeq === Seq(0L))
+    assert(ccDriver === ccDist, "driver path diverged from label propagation")
+    assert(lssDriver === lssDist, "driver path diverged from large-small-star")
+    assert(ccDriver === lssDriver)
   }
 
   test("TextOps.chunk: windows, overlap carry, and tail sizes") {
