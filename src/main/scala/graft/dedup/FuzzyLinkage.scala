@@ -54,8 +54,13 @@ object FuzzyLinkage {
       blockCol: String,
       nameCol: String,
       maxDist: Int): DataFrame = {
+    // Word explode + pair edit-distances amplify per-row work by the
+    // block population — spread a single-split scan first (no-op at
+    // real scale).
+    val src = graft.operators.Scans.spreadSmall(
+      df.select(col(keyCol), col(blockCol), col(nameCol)), col(keyCol))
     def side(k: String, n: String): DataFrame =
-      df.select(col(keyCol).as(k), col(blockCol).as("__blk"), col(nameCol).as(n))
+      src.select(col(keyCol).as(k), col(blockCol).as("__blk"), col(nameCol).as(n))
     val a = side("key_a", "name_a")
     val b = side("key_b", "name_b")
     def words(s: DataFrame, k: String, n: String): DataFrame =

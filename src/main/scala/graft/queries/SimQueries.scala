@@ -730,8 +730,16 @@ object SimQueries {
         exactTop1.join(top5, Seq("qid", "bid"), "left_semi")
           .agg(count(lit(1)))
       }
-      val h2 = hitsAt(2).as[Long].head()
-      val h8 = hitsAt(8).as[Long].head()
+      // materialize the shared code cache once, then run the two
+      // independent probe widths as concurrent jobs (guide §2.6)
+      codes.count()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val h2F = Future(hitsAt(2).as[Long].head())
+      val h8F = Future(hitsAt(8).as[Long].head())
+      val h2 = Await.result(h2F, 10.minutes)
+      val h8 = Await.result(h8F, 10.minutes)
       codes.unpersist()
       spark.range(1).select(
         lit(nq).as("n_queries"),
@@ -1241,9 +1249,12 @@ object SimQueries {
       val qv = graft.similarity.Ann
         .quantize(embeddings(spark, d), "embedding", "qv")
         .select(col("vec_id"), col("qv"))
+      // panel × corpus SqDist evaluations ride the corpus side's scan
+      // task — spread it (no-op at real scale).
+      val qvB = graft.operators.Scans.spreadSmall(qv, col("vec_id"))
       val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("bid"))
       val df = qv.as("a")
-        .join(qv.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .join(qvB.as("b"), col("a.vec_id") =!= col("b.vec_id"))
         .where(col("a.vec_id") < panel)
         .select(
           col("a.vec_id").as("qid"), col("b.vec_id").as("bid"),
@@ -1341,8 +1352,16 @@ object SimQueries {
         exactTop1.join(top5, Seq("qid", "bid"), "left_semi")
           .agg(count(lit(1)))
       }
-      val h1 = hitsAt(1).as[Long].head()
-      val h6 = hitsAt(6).as[Long].head()
+      // materialize the shared caches once, then run the two
+      // independent probe widths as concurrent jobs (guide §2.6)
+      corpus.count(); codes.count()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val h1F = Future(hitsAt(1).as[Long].head())
+      val h6F = Future(hitsAt(6).as[Long].head())
+      val h1 = Await.result(h1F, 10.minutes)
+      val h6 = Await.result(h6F, 10.minutes)
       corpus.unpersist(); codes.unpersist()
       spark.range(1).select(
         lit(nq).as("n_queries"),
@@ -1459,15 +1478,30 @@ object SimQueries {
       val fcents = sharedCents(spark, d, dim = 64, m = 32, k = 16, iters = 4, sampleN = 200)
       val fcodes = graft.similarity.Pq
         .encode(emb, fcents, "vec_id", "embedding", dim = 64, m = 32)
-      val flat8 = exactTop1.join(
-        graft.similarity.Pq
-          .ivfAdcTopK(fcodes, fcents, corpus, panelQ,
-            "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = 8)
-          .select($"qid", $"bid"),
-        Seq("qid", "bid"), "left_semi")
-        .agg(count(lit(1))).as[Long].head()
-      val r2 = residualHits(2)
-      val r8 = residualHits(8)
+      // The three recall legs (flat nprobe-8, residual nprobe-2/8) are
+      // independent read-only evaluations — run them as concurrent
+      // Spark jobs (guide §2.6: back-fill the tail) instead of three
+      // serialized actions; each leg's own plan is unchanged.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val flat8F = Future {
+        exactTop1.join(
+          graft.similarity.Pq
+            .ivfAdcTopK(fcodes, fcents, corpus, panelQ,
+              "vec_id", "embedding", "label", dim = 64, m = 32, k = 5, nprobe = 8)
+            .select($"qid", $"bid"),
+          Seq("qid", "bid"), "left_semi")
+          .agg(count(lit(1))).as[Long].head()
+      }
+      // materialize the shared residual-code cache once before the two
+      // legs race to fill it
+      rcodes.count()
+      val r2F = Future(residualHits(2))
+      val r8F = Future(residualHits(8))
+      val flat8 = Await.result(flat8F, 10.minutes)
+      val r2 = Await.result(r2F, 10.minutes)
+      val r8 = Await.result(r8F, 10.minutes)
       rcodes.unpersist()
       spark.range(1).select(
         lit(nq).as("n_queries"),

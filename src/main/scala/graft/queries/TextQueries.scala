@@ -901,9 +901,13 @@ object TextQueries {
          |FROM spans GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (spark, d) =>
       import spark.implicits._
+      // One md5 per character position: spread a single-split scan
+      // before the window digests (Scans.spreadSmall — no-op at scale).
       def grams(docs: org.apache.spark.sql.DataFrame,
-                cond: org.apache.spark.sql.Column) = docs
-        .filter(cond && length($"text") >= k)
+                cond: org.apache.spark.sql.Column) = graft.operators.Scans
+        .spreadSmall(
+          docs.filter(cond && length($"text") >= k).select($"doc_id", $"text"),
+          $"doc_id")
         .select($"doc_id", explode(transform(
           sequence(lit(1L), length($"text").cast("long") - lit(k - 1)),
           i => struct(

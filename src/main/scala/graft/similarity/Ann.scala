@@ -42,7 +42,10 @@ object Ann {
       vecCol: String,
       k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val b = corpus.select(col(idCol).as("bid"), col(vecCol).as("bv"))
+    // |queries| cosines per corpus row: spread a single-split corpus
+    // scan before the cross join (no-op at real scale).
+    val b = graft.operators.Scans.spreadSmall(
+      corpus.select(col(idCol).as("bid"), col(vecCol).as("bv")), col("bid"))
     rank(
       q.crossJoin(b)
         .filter(col("qid") =!= col("bid"))

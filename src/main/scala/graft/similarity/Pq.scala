@@ -75,8 +75,10 @@ object Pq {
       m: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    corpus
-      .select(col(idCol), col(vecCol))
+    // Encode/train explode m sub-vectors and search k codewords PER ROW
+    // downstream of this select — spread a single-split scan first
+    // (Scans.spreadSmall is a no-op at real scale).
+    graft.operators.Scans.spreadSmall(corpus.select(col(idCol), col(vecCol)), col(idCol))
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .select(
         col(idCol), col("sub").cast("long").as("sub"),

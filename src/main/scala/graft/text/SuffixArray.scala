@@ -125,7 +125,11 @@ object SuffixArray {
   private def charRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // The codepoint explode multiplies rows by text length — spread a
+    // single-split scan first (no-op at real scale).
+    graft.operators.Scans.spreadSmall(
+      docs.select(col(idCol).cast("long"), col(textCol)), col(idCol))
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = if (text == null) "" else text
         val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
