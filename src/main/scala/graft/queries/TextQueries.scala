@@ -1151,8 +1151,12 @@ object TextQueries {
     val w = 8
     // Narrow selection: per-doc gram-hash array, then window minima via
     // slice + array_min — no exchange until the distinct (doc, fp) set.
-    val sel = documents(spark, d)
-      .filter(length($"text") >= k + w - 1)
+    // The per-character md5 scan is the gate's heavy leg and runs
+    // scan-side — spread a single-split scan first (no-op at scale).
+    val sel = graft.operators.Scans.spreadSmall(
+      documents(spark, d)
+        .filter(length($"text") >= k + w - 1)
+        .select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", transform(
         sequence(lit(1L), length($"text").cast("long") - lit(k - 1)),
         i => conv(substring(md5($"text".substr(i.cast("int"), lit(k))), 1, 15), 16, 10)

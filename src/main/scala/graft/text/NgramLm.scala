@@ -58,8 +58,13 @@ object NgramLm {
     // transform — inlined, the regex split would re-evaluate for every
     // element_at reference (4 × tokens per doc).
     val toks = col("__toks")
-    docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+    // The token explode and, downstream, the 5-10 broadcast-join
+    // scoring chain run scan-side (narrow) — spread a single-split scan
+    // first so they use every core (Scans.spreadSmall: no-op at real
+    // scale; optimization r17, guide §2.5).
+    graft.operators.Scans.spreadSmall(
+      docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks")),
+      col("doc_id"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(toks)), i =>
           struct(
