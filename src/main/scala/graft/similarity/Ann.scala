@@ -93,8 +93,9 @@ object Ann {
     val cents = centroids(corpus, listCol, vecCol)
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col(listCol))
-    val probes = queries
-      .select(col(idCol).as("qid"), col(listCol).as("__qlist"), col(vecCol).as("qv"))
+    val probes = graft.operators.Scans.spreadSmall(
+      queries.select(col(idCol).as("qid"), col(listCol).as("__qlist"), col(vecCol).as("qv")),
+      col("qid"))
       .crossJoin(broadcast(cents))
       .filter(col(listCol) =!= col("__qlist"))
       .select(
@@ -214,7 +215,8 @@ object Ann {
     * one k-means iteration): bucket → dense centroid array.
     */
   def centroids(corpus: DataFrame, bucketCol: String, vecCol: String): DataFrame =
-    corpus
+    graft.operators.Scans.spreadSmall(
+      corpus.select(col(bucketCol), col(vecCol)), col(bucketCol))
       .select(col(bucketCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col(bucketCol), col("pos"))
       .agg(avg(col("v").cast("double")).as("c"))
@@ -244,8 +246,10 @@ object Ann {
     val cents = centroids(corpus, listCol, vecCol)
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col(listCol))
-    val probes = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    // |cents| cosines per query row run scan-side — spread a
+    // single-split scan first (no-op at real scale).
+    val probes = graft.operators.Scans.spreadSmall(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), col("qid"))
       .crossJoin(broadcast(cents))
       .select(
         col("qid"), col("qv"), col(listCol),
@@ -895,7 +899,8 @@ object Ann {
     */
   def assign(corpus: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
       bucketCol: String): DataFrame = {
-    val scored = corpus.select(col(idCol), col(vecCol))
+    val scored = graft.operators.Scans.spreadSmall(
+      corpus.select(col(idCol), col(vecCol)), col(idCol))
       .crossJoin(broadcast(cents.select(col(bucketCol), col("centroid"))))
       .select(col(idCol), col(bucketCol),
         round(cosine(col(vecCol), col("centroid")), 6).as("cosine"))
