@@ -38,7 +38,12 @@ class PlanAuditSpec extends SparkSpec {
     "b1_basket_rules" -> ((false, false, false, true)),
     "e12_ivf_pq_recall" -> ((false, false, false, true)),
     "e11_pq_sampled_recall" -> ((false, false, false, true)),
-    "m11_knn_components" -> ((false, false, false, true)),
+    // Round-17: the mutual-kNN edge set is bounded, so Components takes
+    // the driver union-find path and m11's FINAL plan is the vertex
+    // parquet scan broadcast-joined with the local label table —
+    // pushdown/pruning/broadcast all LIVE again (they were false when
+    // the plan ended at the propagation loop's checkpoint blocks).
+    "m11_knn_components" -> ((true, true, true, true)),
     // Round-12/13 LM family: t33/t34's final ranked cuts now ride
     // `GlobalRank`'s two-pass shape, so their FINAL plan reads the
     // checkpointed range-sorted run (scan flags live in pass 1, like
